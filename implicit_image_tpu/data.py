@@ -1,0 +1,209 @@
+"""Image I/O and coordinate-grid generation.
+
+Host-side (numpy / OpenCV) image ingestion + device-side grid generation.
+Capability parity with the reference's `implicit_image/data.py`:
+  * `load_img`    — reference data.py:44-75 (8/16-bit read, BGR->RGB,
+                    normalize to [0,1], resize-crop / centre-crop to H x W)
+  * `get_grid`    — reference data.py:78-88 (unit-square coordinate grid,
+                    H x W x 2, row-coordinate first / 'ij' indexing)
+  * `pixel_batches` — the (dead-code) SliceDataset minibatcher of
+                    reference data.py:9-41, implemented correctly here.
+
+TPU-native notes: the grid is generated on device with `jnp.linspace` +
+broadcasting (no host transfer); images are loaded once on host and shipped
+to HBM by the caller. A deterministic synthetic-image generator is provided
+for tests/benchmarks since the rgb16bit benchmark set cannot be downloaded
+in a zero-egress environment.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "load_img",
+    "get_grid",
+    "pixel_batches",
+    "synthetic_image",
+    "save_img",
+]
+
+
+def _read_image(path: str) -> np.ndarray:
+    """Read an image file to an RGB numpy array (native bit depth).
+
+    Uses OpenCV (reads 8- and 16-bit PNG/PPM/TIFF); falls back to a
+    minimal binary-P6 PPM reader if OpenCV is unavailable.
+    """
+    try:
+        import cv2
+
+        img = cv2.imread(path, -1)
+        if img is None:
+            raise FileNotFoundError(f"Could not read image at {path}")
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        return img[:, :, ::-1]  # BGR -> RGB
+    except ImportError:
+        return _read_ppm(path)
+
+
+def _read_ppm(path: str) -> np.ndarray:
+    """Minimal binary P6 PPM reader (8- or 16-bit big-endian)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # Parse header: magic, width, height, maxval separated by whitespace
+    # (comments starting with '#' allowed).
+    tokens = []
+    i = 0
+    while len(tokens) < 4:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(data) and not data[i : i + 1].isspace():
+            i += 1
+        tokens.append(data[start:i])
+    i += 1  # single whitespace after maxval
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic != b"P6":
+        raise ValueError(f"Unsupported PPM magic {magic!r}")
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    arr = np.frombuffer(data, dtype=dtype, count=w * h * 3, offset=i)
+    return arr.reshape(h, w, 3).astype(np.uint16 if maxval > 255 else np.uint8)
+
+
+def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize with half-pixel centers (align_corners=False)."""
+    try:
+        import cv2
+
+        return cv2.resize(img, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        out = jax.image.resize(
+            jnp.asarray(img), (out_h, out_w, img.shape[-1]), method="bilinear"
+        )
+        return np.asarray(out)
+
+
+def _center_crop(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    top = max((h - out_h) // 2, 0)
+    left = max((w - out_w) // 2, 0)
+    return img[top : top + out_h, left : left + out_w]
+
+
+def load_img(
+    path: str,
+    height: int = 256,
+    width: int = 256,
+    bits: int = 8,
+    crop_mode: str = "centre-crop",
+    save_gt: bool = False,
+    **kwargs,
+) -> np.ndarray:
+    """Load an image normalized to [0, 1] float32, shaped (H, W, 3).
+
+    Mirrors reference data.py:44-75: read at native bit depth, divide by
+    (2^bits - 1), optionally resize so the smaller side matches the smaller
+    target side ('resize-crop'), then center-crop to (height, width).
+    """
+    img = _read_image(path).astype(np.float32) / float(2**bits - 1)
+
+    if crop_mode == "resize-crop":
+        smaller_target = min(height, width)
+        h, w = img.shape[:2]
+        scale = smaller_target / min(h, w)
+        new_h, new_w = round(h * scale), round(w * scale)
+        img = _resize_bilinear(img, new_h, new_w)
+
+    img = _center_crop(img, height, width)
+
+    if save_gt:
+        save_img("gt.png", img)
+
+    return np.ascontiguousarray(img, dtype=np.float32)
+
+
+def save_img(path: str, img: np.ndarray) -> None:
+    """Save a [0,1] float image as 8-bit."""
+    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    try:
+        import cv2
+
+        cv2.imwrite(path, arr[:, :, ::-1])
+    except ImportError:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+
+
+def get_grid(height: int, width: int, dtype=jnp.float32) -> jax.Array:
+    """Unit-square pixel-coordinate grid, shape (H, W, 2).
+
+    Channel 0 is the row coordinate, channel 1 the column coordinate
+    ('ij' meshgrid indexing) — reference data.py:78-88.
+    Generated on device by broadcasting (no meshgrid materialization on host).
+    """
+    coords_h = jnp.linspace(0.0, 1.0, height, dtype=dtype)
+    coords_w = jnp.linspace(0.0, 1.0, width, dtype=dtype)
+    gh = jnp.broadcast_to(coords_h[:, None], (height, width))
+    gw = jnp.broadcast_to(coords_w[None, :], (height, width))
+    return jnp.stack([gh, gw], axis=-1)
+
+
+def pixel_batches(
+    height: int,
+    width: int,
+    batch_size: int,
+    key: jax.Array | None = None,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (row_idx, col_idx) minibatches over all H*W pixels.
+
+    Functional replacement for the reference's SliceDataset/get_dataloaders
+    (data.py:9-41; note the reference's __getitem__ transposed H and W —
+    dead code there, implemented correctly here). Shuffled when `key` given.
+    """
+    n = height * width
+    order = np.arange(n)
+    if key is not None:
+        order = np.asarray(jax.random.permutation(key, n))
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        yield idx // width, idx % width
+
+
+def synthetic_image(
+    height: int = 512, width: int = 512, seed: int = 0, complexity: int = 6
+) -> np.ndarray:
+    """Deterministic multi-frequency synthetic test image in [0,1], (H,W,3).
+
+    Stands in for the imagecompression.info rgb16bit benchmark set in
+    zero-egress environments; smooth + textured content so PSNR curves are
+    meaningful.
+    """
+    rng = np.random.default_rng(seed)
+    ys = np.linspace(0, 1, height, dtype=np.float32)[:, None]
+    xs = np.linspace(0, 1, width, dtype=np.float32)[None, :]
+    img = np.zeros((height, width, 3), dtype=np.float32)
+    for c in range(3):
+        acc = np.zeros((height, width), dtype=np.float32)
+        for k in range(1, complexity + 1):
+            fy, fx = rng.uniform(0.5, 3.0 * k, size=2)
+            py, px = rng.uniform(0, 2 * np.pi, size=2)
+            amp = 1.0 / k
+            acc += amp * np.sin(2 * np.pi * fy * ys + py) * np.cos(
+                2 * np.pi * fx * xs + px
+            )
+        img[:, :, c] = acc
+    img -= img.min()
+    img /= img.max() + 1e-12
+    return img

@@ -1,0 +1,86 @@
+"""Model registry — name -> (config, init, apply) pure-function triples.
+
+Mirrors the reference's `implicit_image/models/__init__.py:5` registry
+{"siren", "fourier", "wavelet_siren"} but functional: a ModelDef bundles the
+static config dataclass with init/apply functions instead of an nn.Module.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Callable, Tuple
+
+__all__ = ["ModelDef", "registry", "build_model"]
+
+
+@dataclass(frozen=True)
+class ModelDef:
+    name: str
+    config_cls: type
+    init: Callable  # (key, cfg) -> params pytree
+    apply: Callable  # (params, grid(H,W,2), cfg) -> (H,W,3)
+    apply_flat: Callable  # (params, coords(N,2), cfg) -> (N,3)
+
+
+def _siren_def() -> ModelDef:
+    from implicit_image_tpu.models.siren import (
+        SirenConfig,
+        init_siren,
+        siren_apply,
+        siren_apply_flat,
+    )
+
+    return ModelDef("siren", SirenConfig, init_siren, siren_apply, siren_apply_flat)
+
+
+def _fourier_def() -> ModelDef:
+    from implicit_image_tpu.models.fourier import (
+        FourierConfig,
+        init_fourier,
+        fourier_apply,
+        fourier_apply_flat,
+    )
+
+    return ModelDef(
+        "fourier", FourierConfig, init_fourier, fourier_apply, fourier_apply_flat
+    )
+
+
+def _wavelet_siren_def() -> ModelDef:
+    from implicit_image_tpu.models.wavelet_siren import (
+        WaveletSirenConfig,
+        init_wavelet_siren,
+        wavelet_siren_apply,
+        wavelet_siren_apply_flat,
+    )
+
+    return ModelDef(
+        "wavelet_siren",
+        WaveletSirenConfig,
+        init_wavelet_siren,
+        wavelet_siren_apply,
+        wavelet_siren_apply_flat,
+    )
+
+
+registry = {
+    "siren": _siren_def,
+    "fourier": _fourier_def,
+    "wavelet_siren": _wavelet_siren_def,
+}
+
+
+def build_model(model_name: str, **cfg_kwargs) -> Tuple[ModelDef, Any]:
+    """Look up a model and build its config from (possibly overfull) kwargs.
+
+    Extra keys (e.g. the 'name' field from a config group file) are dropped,
+    mirroring the reference's permissive `**cfg` model construction
+    (compress.py:74-77).
+    """
+    name = model_name
+    if name not in registry:
+        raise KeyError(f"Model {name!r} not in registry {sorted(registry)}")
+    mdef = registry[name]()
+    fields = {f.name for f in dataclasses.fields(mdef.config_cls)}
+    cfg = mdef.config_cls(**{k: v for k, v in cfg_kwargs.items() if k in fields})
+    return mdef, cfg

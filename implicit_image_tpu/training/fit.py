@@ -1,0 +1,330 @@
+"""The fit loop — one compiled XLA program per fit.
+
+The reference runs a Python loop of `train_epoch` calls (compress.py:137,
+train_helper.py:132-185): full-grid forward, MSE, backward, optimizer step,
+re-apply mask, and a mask topology update every `interval` steps. Here the
+ENTIRE fit is a single `jax.lax.scan` under `jit`:
+
+  * full-grid matmul chain forward/backward (the H·W pixel axis is the large
+    MXU dimension)
+  * functional Adam / Shampoo update with StepLR(2000, 0.5) closed form
+  * mask re-application each step, topology updates under `lax.cond`
+    gated on (step % interval == 0) & (step <= end_when) — both branches
+    are compiled once; only the taken branch executes at runtime
+  * eval metrics (PSNR / PSNR_8bit) computed under `lax.cond` at the
+    log cadence, emitted as per-step arrays
+
+Because the program is pure in (key, image), it is `jax.vmap`-compatible:
+batched multi-image fitting (the TPU-native replacement for the reference's
+Hydra-multirun sweeps) falls out for free — see parallel/batched.py.
+
+Reference AMP note: the reference's autocast context is never actually
+entered (train_helper.py:44,141 looks up the wrong kwarg), so its effective
+compute is fp32 with loss scaling. We default to fp32 compute and expose
+bfloat16 via TrainConfig.compute_dtype (no loss scaling needed on TPU).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from implicit_image_tpu.models import ModelDef
+from implicit_image_tpu.ops.metrics import mse, psnr_8bit
+from implicit_image_tpu.optim import (
+    adam_init,
+    adam_momentum,
+    adam_update,
+    shampoo_init,
+    shampoo_update,
+    step_lr,
+)
+from implicit_image_tpu.sparsity import (
+    MaskState,
+    MaskingConfig,
+    apply_masks,
+    build_decay,
+    create_mask_state,
+    mask_grads,
+    mask_momentum,
+    total_density,
+    update_connections,
+)
+
+__all__ = [
+    "TrainConfig",
+    "OptimConfig",
+    "FitResult",
+    "make_train_step",
+    "make_fit_fn",
+    "fit",
+]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors the reference's cfg.train block (conf/config.yaml:17-24)."""
+
+    num_steps: int = 2000
+    log_steps: int = 1000
+    compute_dtype: Optional[str] = None  # None -> float32; "bfloat16" for MXU bf16
+    multiplier: int = 1
+    save_weights: bool = True
+    use_pallas: bool = False  # fused sine-MLP Pallas kernel (siren only)
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Mirrors conf/optim/*.yaml."""
+
+    name: str = "adam"
+    lr: float = 3e-4
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    epsilon: float = 1e-4
+    update_freq: int = 1
+    # StepLR params (train_helper.py:81-84)
+    lr_step_size: int = 2000
+    lr_gamma: float = 0.5
+
+
+class FitResult(NamedTuple):
+    params: Any
+    mask_state: Optional[MaskState]
+    opt_state: Any
+    metrics: Dict[str, jnp.ndarray]
+    wall_seconds: float
+
+
+def _needs_momentum(masking_cfg: Optional[MaskingConfig]) -> bool:
+    if masking_cfg is None:
+        return False
+    return (
+        masking_cfg.growth_mode == "momentum"
+        or masking_cfg.redistribution_mode == "momentum"
+    )
+
+
+def _compute_dtype(train_cfg: TrainConfig):
+    if train_cfg.compute_dtype in (None, "float32", "fp32"):
+        return None
+    return jnp.dtype(train_cfg.compute_dtype)
+
+
+def make_loss_fn(mdef: ModelDef, mcfg, coords, target_flat, compute_dtype, use_pallas=False):
+    apply_flat = mdef.apply_flat
+    if use_pallas and mdef.name == "siren":
+        from implicit_image_tpu.ops.sine_mlp import siren_apply_flat_pallas
+
+        apply_flat = lambda p, c, cfg, dt: siren_apply_flat_pallas(p, c, cfg)
+
+    def loss_fn(params):
+        pred = apply_flat(params, coords, mcfg, compute_dtype)
+        return mse(pred, target_flat)
+
+    return loss_fn
+
+
+def make_train_step(
+    mdef: ModelDef,
+    mcfg,
+    coords,
+    target_flat,
+    train_cfg: TrainConfig,
+    optim_cfg: OptimConfig,
+    masking_cfg: Optional[MaskingConfig] = None,
+):
+    """Build the pure (carry, step) -> (carry, metrics) scan body."""
+    compute_dtype = _compute_dtype(train_cfg)
+    loss_fn = make_loss_fn(
+        mdef, mcfg, coords, target_flat, compute_dtype, train_cfg.use_pallas
+    )
+    schedule = step_lr(optim_cfg.lr, optim_cfg.lr_step_size, optim_cfg.lr_gamma)
+    sparse = masking_cfg is not None and not masking_cfg.dense
+    decay_fn = build_decay(masking_cfg) if sparse else None
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def opt_update(grads, opt_state, params, lr):
+        if optim_cfg.name == "adam":
+            return adam_update(grads, opt_state, params, lr)
+        if optim_cfg.name == "shampoo":
+            return shampoo_update(
+                grads,
+                opt_state,
+                params,
+                lr,
+                momentum=optim_cfg.momentum,
+                weight_decay=optim_cfg.weight_decay,
+            )
+        raise KeyError(optim_cfg.name)
+
+    def train_step(carry, step):
+        params, opt_state, mask_state, key = carry
+        loss, grads = grad_fn(params)
+
+        if sparse and not masking_cfg.dense_gradients:
+            grads = mask_grads(grads, mask_state.masks)
+
+        lr = schedule(step)
+        params, opt_state = opt_update(grads, opt_state, params, lr)
+
+        prune_rate = jnp.zeros((), jnp.float32)
+        density = jnp.ones((), jnp.float32)
+        if sparse:
+            params = apply_masks(params, mask_state.masks)
+            if not masking_cfg.dense_gradients:
+                opt_state = mask_momentum(opt_state, mask_state.masks)
+
+            current_sparsity = 1.0 - total_density(mask_state)
+            prune_rate = decay_fn(step, current_sparsity)
+
+            def do_update(args):
+                params, opt_state, mask_state, key = args
+                key, ukey = jax.random.split(key)
+                if _needs_momentum(masking_cfg):
+                    momenta = [
+                        adam_momentum(opt_state, i) if m is not None else None
+                        for i, m in enumerate(mask_state.masks)
+                    ]
+                else:
+                    momenta = [None] * len(mask_state.masks)
+                new_params, new_mask_state = update_connections(
+                    params, grads, momenta, mask_state, prune_rate, ukey, masking_cfg
+                )
+                return new_params, opt_state, new_mask_state, key
+
+            def no_update(args):
+                return args
+
+            should = (step % masking_cfg.interval == 0) & (
+                step <= masking_cfg.end_when
+            )
+            params, opt_state, mask_state, key = jax.lax.cond(
+                should, do_update, no_update, (params, opt_state, mask_state, key)
+            )
+            density = total_density(mask_state)
+
+        # eval at the log cadence: (i+1) % log_steps == 0 (compress.py:146)
+        should_log = (step + 1) % train_cfg.log_steps == 0
+
+        def eval_branch(params):
+            pred = mdef.apply_flat(params, coords, mcfg, compute_dtype)
+            test_loss = mse(pred, target_flat)
+            return (
+                test_loss,
+                10.0 * jnp.log10(1.0 / test_loss),
+                psnr_8bit(pred, target_flat),
+            )
+
+        def no_eval(params):
+            nan = jnp.full((), jnp.nan, jnp.float32)
+            return nan, nan, nan
+
+        test_loss, test_psnr, test_psnr8 = jax.lax.cond(
+            should_log, eval_branch, no_eval, params
+        )
+
+        metrics = {
+            "loss": loss,
+            "test_loss": test_loss,
+            "psnr": test_psnr,
+            "psnr_8bit": test_psnr8,
+            "density": density,
+            "prune_rate": prune_rate,
+        }
+        return (params, opt_state, mask_state, key), metrics
+
+    return train_step
+
+
+def make_fit_fn(
+    mdef: ModelDef,
+    mcfg,
+    grid,
+    train_cfg: TrainConfig,
+    optim_cfg: OptimConfig,
+    masking_cfg: Optional[MaskingConfig] = None,
+):
+    """Build fit(key, img) -> (params, opt_state, mask_state, metrics).
+
+    Pure in (key, img): jit it once, vmap it over images, or shard the pixel
+    axis — see parallel/.
+    """
+    h, w, c = grid.shape
+    coords = grid.reshape(h * w, c)
+    sparse = masking_cfg is not None and not masking_cfg.dense
+
+    def fit_fn(key, img):
+        target_flat = img.reshape(h * w, -1)
+        key, init_key, mask_key, loop_key = jax.random.split(key, 4)
+        params = mdef.init(init_key, mcfg)
+
+        if optim_cfg.name == "adam":
+            opt_state = adam_init(params)
+        else:
+            opt_state = shampoo_init(params, optim_cfg.epsilon)
+
+        if sparse:
+            mask_state = create_mask_state(mask_key, params, masking_cfg)
+            params = apply_masks(params, mask_state.masks)
+        else:
+            mask_state = _dummy_mask_state(params)
+
+        train_step = make_train_step(
+            mdef, mcfg, coords, target_flat, train_cfg, optim_cfg,
+            masking_cfg if sparse else None,
+        )
+        carry = (params, opt_state, mask_state, loop_key)
+        carry, metrics = jax.lax.scan(
+            train_step, carry, jnp.arange(train_cfg.num_steps)
+        )
+        params, opt_state, mask_state, _ = carry
+        return params, opt_state, mask_state, metrics
+
+    return fit_fn
+
+
+def _dummy_mask_state(params) -> MaskState:
+    zero = jnp.zeros((), jnp.float32)
+    return MaskState(
+        masks=tuple(None for _ in params),
+        baseline_nonzero=zero,
+        total_params=jnp.ones((), jnp.float32),
+        adjusted_growth=zero,
+        adj_sum=zero,
+        adj_count=zero,
+    )
+
+
+def fit(
+    key,
+    mdef: ModelDef,
+    mcfg,
+    grid,
+    img,
+    train_cfg: TrainConfig,
+    optim_cfg: OptimConfig,
+    masking_cfg: Optional[MaskingConfig] = None,
+) -> FitResult:
+    """Compile + run one fit; returns final params and per-step metric arrays."""
+    fit_fn = jax.jit(
+        make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg)
+    )
+    img = jnp.asarray(img)
+    # warm-up compile outside the timed region
+    compiled = fit_fn.lower(key, img).compile()
+    t0 = time.perf_counter()
+    params, opt_state, mask_state, metrics = compiled(key, img)
+    jax.block_until_ready(params)
+    wall = time.perf_counter() - t0
+    sparse = masking_cfg is not None and not masking_cfg.dense
+    return FitResult(
+        params=params,
+        mask_state=mask_state if sparse else None,
+        opt_state=opt_state,
+        metrics=metrics,
+        wall_seconds=wall,
+    )

@@ -1,0 +1,71 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from implicit_image_tpu.data import (
+    get_grid,
+    load_img,
+    pixel_batches,
+    synthetic_image,
+    _read_ppm,
+)
+
+
+def test_grid_shape_and_range():
+    g = get_grid(8, 16)
+    assert g.shape == (8, 16, 2)
+    assert float(g[0, 0, 0]) == 0.0 and float(g[-1, 0, 0]) == 1.0
+    assert float(g[0, 0, 1]) == 0.0 and float(g[0, -1, 1]) == 1.0
+    # channel 0 = row coordinate ('ij' indexing, reference data.py:78-88)
+    np.testing.assert_allclose(np.asarray(g[:, 0, 0]), np.linspace(0, 1, 8), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g[0, :, 1]), np.linspace(0, 1, 16), rtol=1e-6)
+
+
+def test_grid_matches_linspace_meshgrid():
+    g = np.asarray(get_grid(5, 7))
+    hh, ww = np.meshgrid(np.linspace(0, 1, 5), np.linspace(0, 1, 7), indexing="ij")
+    np.testing.assert_allclose(g[..., 0], hh, rtol=1e-6)
+    np.testing.assert_allclose(g[..., 1], ww, rtol=1e-6)
+
+
+def test_ppm_16bit_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 65535, size=(6, 5, 3), dtype=np.uint16)
+    path = tmp_path / "x.ppm"
+    with open(path, "wb") as f:
+        f.write(b"P6\n5 6\n65535\n")
+        f.write(img.astype(">u2").tobytes())
+    back = _read_ppm(str(path))
+    np.testing.assert_array_equal(back.astype(np.uint16), img)
+
+    loaded = load_img(str(path), height=4, width=4, bits=16, crop_mode="centre-crop")
+    assert loaded.shape == (4, 4, 3)
+    assert loaded.dtype == np.float32
+    assert loaded.min() >= 0.0 and loaded.max() <= 1.0
+
+
+def test_load_img_resize_crop(tmp_path):
+    img = (synthetic_image(64, 96) * 255).astype(np.uint8)
+    path = tmp_path / "y.png"
+    import cv2
+
+    cv2.imwrite(str(path), img[:, :, ::-1])
+    out = load_img(str(path), height=32, width=32, bits=8, crop_mode="resize-crop")
+    assert out.shape == (32, 32, 3)
+
+
+def test_pixel_batches_cover_all():
+    seen = set()
+    for r, c in pixel_batches(4, 6, batch_size=5):
+        for ri, ci in zip(r, c):
+            assert 0 <= ri < 4 and 0 <= ci < 6
+            seen.add((int(ri), int(ci)))
+    assert len(seen) == 24
+
+
+def test_synthetic_image_deterministic():
+    a = synthetic_image(16, 16, seed=3)
+    b = synthetic_image(16, 16, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= 0 and a.max() <= 1.0

@@ -1,0 +1,123 @@
+"""End-to-end fit tests (CPU, tiny shapes)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from implicit_image_tpu.data import get_grid, synthetic_image
+from implicit_image_tpu.models import build_model
+from implicit_image_tpu.sparsity import MaskingConfig, total_density
+from implicit_image_tpu.training import OptimConfig, TrainConfig, fit
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    grid = get_grid(32, 32)
+    img = jnp.asarray(synthetic_image(32, 32, seed=1, complexity=3))
+    mdef, mcfg = build_model(
+        "siren", depth=4, hidden_size=32, first_omega_0=30.0, hidden_omega_0=30.0
+    )
+    return grid, img, mdef, mcfg
+
+
+def test_dense_fit_converges(small_problem):
+    grid, img, mdef, mcfg = small_problem
+    res = fit(
+        jax.random.PRNGKey(0),
+        mdef,
+        mcfg,
+        grid,
+        img,
+        TrainConfig(num_steps=300, log_steps=100),
+        OptimConfig(lr=1e-3),
+    )
+    losses = np.asarray(res.metrics["loss"])
+    assert losses[-1] < losses[0] * 0.1
+    psnrs = np.asarray(res.metrics["psnr"])
+    logged = psnrs[~np.isnan(psnrs)]
+    assert len(logged) == 3  # every 100 steps
+    assert logged[-1] > 22.0
+
+
+def test_dense_fit_deterministic(small_problem):
+    grid, img, mdef, mcfg = small_problem
+    tc = TrainConfig(num_steps=50, log_steps=50)
+    oc = OptimConfig(lr=1e-3)
+    r1 = fit(jax.random.PRNGKey(3), mdef, mcfg, grid, img, tc, oc)
+    r2 = fit(jax.random.PRNGKey(3), mdef, mcfg, grid, img, tc, oc)
+    np.testing.assert_array_equal(
+        np.asarray(r1.params[0]["w"]), np.asarray(r2.params[0]["w"])
+    )
+
+
+def test_rigl_sparse_fit(small_problem):
+    grid, img, mdef, mcfg = small_problem
+    mask_cfg = MaskingConfig(density=0.5, end_when=150, interval=20)
+    res = fit(
+        jax.random.PRNGKey(1),
+        mdef,
+        mcfg,
+        grid,
+        img,
+        TrainConfig(num_steps=200, log_steps=100),
+        OptimConfig(lr=1e-3),
+        mask_cfg,
+    )
+    d = float(total_density(res.mask_state))
+    assert abs(d - 0.5) < 0.05
+    # masked weights are exactly zero
+    for layer, m in zip(res.params, res.mask_state.masks):
+        if m is not None:
+            assert float(jnp.sum(jnp.abs(layer["w"] * (1 - m)))) == 0.0
+    psnrs = np.asarray(res.metrics["psnr"])
+    assert psnrs[~np.isnan(psnrs)][-1] > 15.0
+
+
+def test_gmp_pruning_fit(small_problem):
+    grid, img, mdef, mcfg = small_problem
+    mask_cfg = MaskingConfig(
+        name="Pruning",
+        density=1.0,
+        sparse_init="random",
+        prune_mode="global-magnitude",
+        growth_mode="none",
+        redistribution_mode="none",
+        decay_schedule="magnitude-prune",
+        final_density=0.5,
+        start_when=5,
+        end_when=150,
+        interval=10,
+    )
+    res = fit(
+        jax.random.PRNGKey(2),
+        mdef,
+        mcfg,
+        grid,
+        img,
+        TrainConfig(num_steps=200, log_steps=200),
+        OptimConfig(lr=1e-3),
+        mask_cfg,
+    )
+    densities = np.asarray(res.metrics["density"])
+    final_d = float(total_density(res.mask_state))
+    # GMP reaches the target sparsity on the masked subset by end_when
+    assert final_d == pytest.approx(0.5, abs=0.05)
+    # density decreased monotonically (within update granularity)
+    assert densities[0] >= densities[-1]
+
+
+def test_fourier_fit(small_problem):
+    grid, img, _, _ = small_problem
+    mdef, mcfg = build_model("fourier", depth=4, hidden_size=32, map_size=64, map_scale=4.0)
+    res = fit(
+        jax.random.PRNGKey(4),
+        mdef,
+        mcfg,
+        grid,
+        img,
+        TrainConfig(num_steps=200, log_steps=200),
+        OptimConfig(lr=2e-3),
+    )
+    losses = np.asarray(res.metrics["loss"])
+    assert losses[-1] < losses[0] * 0.5

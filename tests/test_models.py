@@ -1,0 +1,88 @@
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from implicit_image_tpu.data import get_grid
+from implicit_image_tpu.models import build_model
+from implicit_image_tpu.models.siren import SirenConfig, init_siren, siren_apply
+
+
+def test_registry():
+    for name in ["siren", "fourier"]:
+        mdef, cfg = build_model(name, name=name, depth=4, hidden_size=32)
+        assert mdef.name == name
+
+
+def test_siren_init_bounds():
+    cfg = SirenConfig(depth=5, hidden_size=64, first_omega_0=50.0, hidden_omega_0=30.0)
+    params = init_siren(jax.random.PRNGKey(0), cfg)
+    assert len(params) == 5
+    # first layer: U(±1/fan_in) (reference siren.py:46-47)
+    w0 = np.asarray(params[0]["w"])
+    assert w0.shape == (2, 64)
+    assert np.abs(w0).max() <= 1.0 / 2 + 1e-6
+    # hidden: U(±sqrt(6/fan_in)/omega) (reference siren.py:48-49)
+    bound = math.sqrt(6.0 / 64) / 30.0
+    for layer in params[1:]:
+        w = np.asarray(layer["w"])
+        assert np.abs(w).max() <= bound + 1e-6
+        # uniform should nearly reach the bound
+        assert np.abs(w).max() >= 0.8 * bound
+
+
+def test_siren_forward_shapes_and_jit():
+    mdef, cfg = build_model("siren", depth=4, hidden_size=32)
+    params = mdef.init(jax.random.PRNGKey(1), cfg)
+    grid = get_grid(10, 12)
+    out = mdef.apply(params, grid, cfg)
+    assert out.shape == (10, 12, 3)
+    out_jit = jax.jit(lambda p, g: mdef.apply(p, g, cfg))(params, grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_jit), atol=1e-6)
+
+
+def test_siren_output_mapping():
+    """Siren output = last_linear/2 + 0.5; with zero last-layer weights -> 0.5."""
+    mdef, cfg = build_model("siren", depth=3, hidden_size=16)
+    params = list(mdef.init(jax.random.PRNGKey(2), cfg))
+    params[-1] = {
+        "w": jnp.zeros_like(params[-1]["w"]),
+        "b": jnp.zeros_like(params[-1]["b"]),
+    }
+    out = mdef.apply(tuple(params), get_grid(4, 4), cfg)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-7)
+
+
+def test_siren_small_dense_width():
+    _, cfg = build_model("siren", hidden_size=128, small_dense_density=0.5)
+    assert cfg.effective_hidden == int(128 * math.sqrt(0.5))
+
+
+def test_fourier_forward():
+    mdef, cfg = build_model("fourier", depth=5, hidden_size=32, map_size=64)
+    params = mdef.init(jax.random.PRNGKey(3), cfg)
+    # frozen encoding + depth-1 linear layers (reference fourier.py:45-57)
+    assert len(params) == 1 + (5 - 1)
+    assert params[0]["B"].shape == (2, 32)
+    out = mdef.apply(params, get_grid(6, 7), cfg)
+    assert out.shape == (6, 7, 3)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0  # sigmoid
+
+
+def test_siren_matches_manual_forward():
+    """Hand-computed 2-layer SIREN forward."""
+    cfg = SirenConfig(depth=2, hidden_size=4, first_omega_0=5.0, hidden_omega_0=3.0)
+    params = init_siren(jax.random.PRNGKey(4), cfg)
+    grid = get_grid(3, 3)
+    out = np.asarray(siren_apply(params, grid, cfg))
+
+    x = np.asarray(grid).reshape(-1, 2)
+    x = (x - 0.5) * 2.0
+    w0, b0 = np.asarray(params[0]["w"]), np.asarray(params[0]["b"])
+    w1, b1 = np.asarray(params[1]["w"]), np.asarray(params[1]["b"])
+    h = np.sin(5.0 * (x @ w0 + b0))
+    y = (h @ w1 + b1) / 2.0 + 0.5
+    np.testing.assert_allclose(out.reshape(-1, 3), y, atol=1e-5)

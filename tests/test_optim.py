@@ -1,0 +1,78 @@
+"""Optimizer parity: our functional Adam vs torch.optim.Adam (CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from implicit_image_tpu.optim import adam_init, adam_update, step_lr
+from implicit_image_tpu.optim.adam import adam_momentum
+
+
+def _quadratic_grads(params, target):
+    return tuple(
+        {k: 2.0 * (layer[k] - target[i][k]) for k in layer}
+        for i, layer in enumerate(params)
+    )
+
+
+def test_adam_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4, 3)).astype(np.float32)
+    b = rng.normal(size=(3,)).astype(np.float32)
+    tw = rng.normal(size=(4, 3)).astype(np.float32)
+    tb = rng.normal(size=(3,)).astype(np.float32)
+
+    # torch side
+    pw = torch.nn.Parameter(torch.tensor(w))
+    pb = torch.nn.Parameter(torch.tensor(b))
+    opt = torch.optim.Adam([pw, pb], lr=3e-4)
+    for _ in range(10):
+        opt.zero_grad()
+        loss = ((pw - torch.tensor(tw)) ** 2).sum() + ((pb - torch.tensor(tb)) ** 2).sum()
+        loss.backward()
+        opt.step()
+
+    # jax side
+    params = ({"w": jnp.asarray(w), "b": jnp.asarray(b)},)
+    target = ({"w": jnp.asarray(tw), "b": jnp.asarray(tb)},)
+    state = adam_init(params)
+    for _ in range(10):
+        grads = _quadratic_grads(params, target)
+        params, state = adam_update(grads, state, params, 3e-4)
+
+    np.testing.assert_allclose(
+        np.asarray(params[0]["w"]), pw.detach().numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(params[0]["b"]), pb.detach().numpy(), atol=1e-6
+    )
+
+
+def test_adam_momentum_statistic():
+    params = ({"w": jnp.ones((2, 2))},)
+    state = adam_init(params)
+    grads = ({"w": jnp.full((2, 2), 0.5)},)
+    params, state = adam_update(grads, state, params, 1e-3)
+    mom = adam_momentum(state, 0)
+    # mu = 0.05, nu = 0.00025 -> mom = 0.05 / (sqrt(0.00025)+1e-8)
+    expect = 0.05 / (np.sqrt(0.00025) + 1e-8)
+    np.testing.assert_allclose(np.asarray(mom), expect, rtol=1e-5)
+
+
+def test_step_lr():
+    sched = step_lr(1.0, step_size=10, gamma=0.5)
+    assert float(sched(0)) == 1.0
+    assert float(sched(9)) == 1.0
+    assert float(sched(10)) == 0.5
+    assert float(sched(25)) == 0.25
+
+
+def test_frozen_leaf_not_updated():
+    params = ({"B": jnp.ones((2, 2)), "w": jnp.ones((2, 2)), "b": jnp.zeros((2,))},)
+    state = adam_init(params)
+    grads = ({"B": jnp.ones((2, 2)), "w": jnp.ones((2, 2)), "b": jnp.ones((2,))},)
+    new_params, _ = adam_update(grads, state, params, 0.1)
+    np.testing.assert_array_equal(np.asarray(new_params[0]["B"]), np.ones((2, 2)))
+    assert not np.allclose(np.asarray(new_params[0]["w"]), np.ones((2, 2)))
