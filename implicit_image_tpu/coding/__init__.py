@@ -1,0 +1,207 @@
+"""Entropy coding — serialize (quantized) model params to the compressed
+bitstream, and the decode path back to a rendered image.
+
+Capability parity with reference `pipeline/entropy_coding/__init__.py`:
+  * `linear_state_dict`      (:15-41)  — quantized layers stored as
+    uint8/uint16 `labeled_weight` + fp `centroids` instead of fp weights
+  * `compress_state_dict`    (:70-120) — writes `compressed_weights.data`
+    (one compressed stream of concatenated tensor bytes) + `meta_data.json`
+    (ordered per-tensor shape/dtype/name manifest); returns the byte count,
+    THE rate metric (consumed at compress.py:253-263)
+  * `decompress_state_dict`  (:123-186) — offset-walks the decompressed
+    buffer per the manifest and re-materializes weight = centroids[labels]
+  * plus a proper decode→render entry point (`decode_and_render`), which the
+    reference lacks — decode Mpix/s is a tracked benchmark (BASELINE.md).
+
+Host-side by design: entropy coding is byte-exact CPU work (zstd/lzma/
+huffman C libraries); the TPU renders the decoded params.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import OrderedDict
+from pathlib import Path
+from typing import Dict, Optional, Tuple, Union
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from implicit_image_tpu.coding.parsers import (
+    backend_names,
+    decode_stream,
+    encode_stream,
+)
+
+__all__ = [
+    "linear_state_dict",
+    "compress_state_dict",
+    "decompress_state_dict",
+    "params_from_state_dict",
+    "decode_and_render",
+    "backend_names",
+    "sparsity",
+]
+
+
+def sparsity(arr) -> float:
+    """Fraction of zero entries (reference entropy_coding/utils.py:6-10)."""
+    arr = np.asarray(arr)
+    return float((arr == 0).sum() / arr.size)
+
+
+def linear_state_dict(
+    params,
+    codebooks=None,
+    half: bool = True,
+) -> "OrderedDict[str, np.ndarray]":
+    """Flatten a params pytree to an ordered name->array dict.
+
+    Naming: `layers.{i}.weight` / `.bias` / `.labeled_weight` / `.centroids`
+    plus any frozen extras under their own key (e.g. Fourier `layers.0.B`).
+    Quantized layers (codebooks[i] is not None) store labels + centroids;
+    labels are uint8 when they fit, else uint16 (reference :33-38).
+    `half=True` stores floats as fp16 — the reference calls model.half()
+    before compressing (compress.py:250).
+    """
+    fdtype = np.float16 if half else np.float32
+    state: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    for i, layer in enumerate(params):
+        book = codebooks[i] if codebooks is not None else None
+        for key, val in layer.items():
+            arr = np.asarray(val)
+            if key == "w" and book is not None:
+                labels = np.asarray(book.labels)
+                dtype = np.uint8 if labels.max(initial=0) < 256 else np.uint16
+                state[f"layers.{i}.labeled_weight"] = labels.astype(dtype)
+                state[f"layers.{i}.centroids"] = np.asarray(book.centroids).astype(
+                    fdtype
+                )
+            elif key == "w":
+                state[f"layers.{i}.weight"] = arr.astype(fdtype)
+            elif key == "b":
+                state[f"layers.{i}.bias"] = arr.astype(fdtype)
+            else:
+                state[f"layers.{i}.{key}"] = arr.astype(fdtype)
+    return state
+
+
+def compress_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    dir_name: Union[str, Path],
+    stream_name: str = "zstd",
+    **kwargs,
+) -> int:
+    """Write compressed_weights.data + meta_data.json; return payload bytes."""
+    dir_name = Path(dir_name)
+    dir_name.mkdir(exist_ok=True, parents=True)
+    binary_file = dir_name / "compressed_weights.data"
+    meta_file = dir_name / "meta_data.json"
+
+    meta = OrderedDict()
+    chunks = []
+    for order, (name, arr) in enumerate(state_dict.items()):
+        arr = np.ascontiguousarray(arr)
+        chunks.append(arr.tobytes())
+        meta[order] = {
+            "shape": list(arr.shape),
+            "dtype": str(arr.dtype),
+            "name": name,
+        }
+
+    payload = encode_stream(stream_name, b"".join(chunks), **kwargs)
+    binary_file.write_bytes(payload)
+    meta_file.write_text(json.dumps(meta, indent=2, sort_keys=True))
+    return binary_file.stat().st_size
+
+
+def decompress_state_dict(
+    dir_name: Union[str, Path], stream_name: str = "zstd", **kwargs
+) -> Dict[str, np.ndarray]:
+    """Read the bitstream back; re-materialize weight = centroids[labels].
+
+    Returns float32 arrays keyed by canonical names (`layers.{i}.weight`
+    etc.), exactly the reference's decode semantics (:146-185).
+    """
+    dir_name = Path(dir_name)
+    meta = json.loads((dir_name / "meta_data.json").read_text())
+    meta = {int(k): v for k, v in meta.items()}
+    dec = decode_stream(
+        stream_name, (dir_name / "compressed_weights.data").read_bytes(), **kwargs
+    )
+
+    raw: Dict[str, np.ndarray] = {}
+    offset = 0
+    for order in sorted(meta):
+        info = meta[order]
+        dtype = np.dtype(info["dtype"])
+        size = int(np.prod(info["shape"], dtype=np.int64)) if info["shape"] else 1
+        arr = np.frombuffer(dec, dtype=dtype, count=size, offset=offset)
+        raw[info["name"]] = arr.reshape(info["shape"])
+        offset += size * dtype.itemsize
+
+    out: Dict[str, np.ndarray] = {}
+    for name, arr in raw.items():
+        if "centroids" in name:
+            continue
+        if "labeled_weight" in name:
+            centroids = raw[name.replace("labeled_weight", "centroids")]
+            weight = centroids[arr]
+            out[name.replace("labeled_weight", "weight")] = weight.astype(np.float32)
+        else:
+            out[name] = np.asarray(arr, dtype=np.float32)
+    return out
+
+
+def params_from_state_dict(state_dict: Dict[str, np.ndarray]) -> Tuple[dict, ...]:
+    """Rebuild the params pytree from a decoded state dict."""
+    layers: Dict[int, dict] = {}
+    for name, arr in state_dict.items():
+        _, idx, key = name.split(".", 2)
+        i = int(idx)
+        key = {"weight": "w", "bias": "b"}.get(key, key)
+        layers.setdefault(i, {})[key] = jnp.asarray(arr)
+    return tuple(layers[i] for i in sorted(layers))
+
+
+def decode_and_render(
+    dir_name: Union[str, Path],
+    stream_name: str,
+    mdef,
+    mcfg,
+    height: int,
+    width: int,
+    **kwargs,
+):
+    """Full decoder: bitstream -> params -> rendered (H, W, 3) image.
+
+    Returns (image, stats) where stats has host decode and device render
+    wall-clock plus Mpix/s. The reference has no decode entry point
+    (SURVEY.md §3.2); this is the canonical one.
+    """
+    import jax
+
+    from implicit_image_tpu.data import get_grid
+
+    t0 = time.perf_counter()
+    state = decompress_state_dict(dir_name, stream_name, **kwargs)
+    params = params_from_state_dict(state)
+    t1 = time.perf_counter()
+    grid = get_grid(height, width)
+    render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
+    img = render(params)
+    jax.block_until_ready(img)
+    t2 = time.perf_counter()
+    # steady-state render (compile + first-touch excluded)
+    img = render(params)
+    jax.block_until_ready(img)
+    t3 = time.perf_counter()
+    stats = {
+        "decode_s": t1 - t0,
+        "first_render_s": t2 - t1,
+        "render_s": t3 - t2,
+        "mpix_per_s": (height * width) / max(t3 - t2, 1e-9) / 1e6,
+    }
+    return img, stats

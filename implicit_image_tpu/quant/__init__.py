@@ -1,0 +1,115 @@
+"""Quantization subsystem — functional equivalent of the reference's
+`with Quantize(model, optim, cfg) as q: ... q.convert()` context
+(quant/context.py:10-53).
+
+Pipeline position (compress.py:172-240): after the (sparse) fit, a fresh
+optimizer is built in quantize mode, the model trains `num_steps` more steps
+with weights snapped to the codebook every forward, and `convert()`
+freezes (labels, centroids) per quantized layer.
+
+Functional design: `quantize_params` is a pure transform applied inside the
+quant-phase train step (training/quant_phase.py); `convert` maps final
+params -> a QuantizedParams pytree consumed by the entropy coder
+(coding/). `skip_layers` mirrors conf/quant/kmeans.yaml's skip_ll
+(first & last Linear kept full precision).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from implicit_image_tpu.quant.kmeans import (
+    LayerCodebook,
+    kmeans_fit,
+    quantize_weight,
+)
+from implicit_image_tpu.quant.uniform import fake_quant, uniform_quantize_weight
+
+__all__ = [
+    "QuantConfig",
+    "LayerCodebook",
+    "kmeans_fit",
+    "quantize_weight",
+    "uniform_quantize_weight",
+    "fake_quant",
+    "quantize_params",
+    "convert",
+    "dequantize",
+    "quantized_layer_indices",
+]
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Mirrors conf/quant/{kmeans,qat}.yaml."""
+
+    name: str = "KMeans"  # "KMeans" | "QAT"
+    bits: int = 8
+    num_steps: int = 100
+    log_steps: int = 10
+    lloyd_iters: int = 5
+    # Layer indices (into the params tuple) kept full precision; None means
+    # the first and last weight-bearing layers, the reference's default
+    # skip_ll = [layers.0.linear, layers.7.linear] (conf/quant/kmeans.yaml).
+    skip_layers: Optional[Tuple[int, ...]] = None
+
+    def __post_init__(self):
+        assert self.name in ("KMeans", "QAT"), self.name
+
+
+def quantized_layer_indices(params, cfg: QuantConfig) -> List[int]:
+    """Weight-bearing layer indices subject to quantization."""
+    widx = [i for i, layer in enumerate(params) if "w" in layer]
+    if cfg.skip_layers is not None:
+        skip = set(cfg.skip_layers)
+    else:
+        skip = {widx[0], widx[-1]} if widx else set()
+    return [i for i in widx if i not in skip]
+
+
+def _snap(weight: jnp.ndarray, cfg: QuantConfig):
+    if cfg.name == "KMeans":
+        return quantize_weight(weight, cfg.bits, cfg.lloyd_iters)
+    return uniform_quantize_weight(weight, cfg.bits)
+
+
+def quantize_params(params, cfg: QuantConfig):
+    """Snap every quantized layer's weights to its codebook (pure).
+
+    The forward-pre-hook re-clustering of the reference (kmeans.py:65-71),
+    applied functionally once per quant-phase train step.
+    """
+    qidx = set(quantized_layer_indices(params, cfg))
+    out = []
+    for i, layer in enumerate(params):
+        if i in qidx:
+            snapped, _ = _snap(layer["w"], cfg)
+            out.append({**layer, "w": snapped})
+        else:
+            out.append(layer)
+    return tuple(out)
+
+
+def convert(params, cfg: QuantConfig):
+    """Finalize quantization — reference q.convert() / update_weights()
+    (kmeans.py:73-100). Returns (snapped_params, codebooks) where
+    codebooks[i] is a LayerCodebook for quantized layers, None otherwise.
+    """
+    qidx = set(quantized_layer_indices(params, cfg))
+    out, books = [], []
+    for i, layer in enumerate(params):
+        if i in qidx:
+            snapped, book = _snap(layer["w"], cfg)
+            out.append({**layer, "w": snapped})
+            books.append(book)
+        else:
+            out.append(layer)
+            books.append(None)
+    return tuple(out), tuple(books)
+
+
+def dequantize(labels: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    """weight = centroids[labels] (reference entropy_coding/__init__.py:170-185)."""
+    return jnp.asarray(centroids)[jnp.asarray(labels).astype(jnp.int32)]

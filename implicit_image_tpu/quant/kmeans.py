@@ -1,0 +1,106 @@
+"""K-means codebook quantization (Deep Compression, Han et al. 2016).
+
+Capability parity with reference `implicit_image/pipeline/quant/kmeans.py`
+(KmeansQuant :11-181) and `kmeans_helper.py`, re-designed for XLA:
+
+  * the reference re-clusters each layer's weights via forward-pre hooks and
+    torch_scatter; here `quantize_weight` is a pure jittable function using
+    one-hot matmuls / segment-sum semantics, so the whole quant-aware
+    finetune phase compiles into the same single XLA program as the fit.
+  * "exclude zeros from clustering" (kmeans.py:120) is expressed with
+    validity weights instead of boolean indexing (static shapes).
+  * cluster count = 2^bits - 1 on the nonzero weights, then a zero centroid
+    is prepended and centroids are sorted by |c| (kmeans.py:126-146).
+  * Lloyd's iterations: `iter_limit=5`, linspace init over [min_nz, max_nz]
+    (kmeans_helper.py:59-98; kmeans.py:123-129).
+  * gradient semantics: the reference's forward hook snaps the *parameter
+    itself* to the centroids, then Adam steps from the snapped value
+    (weight.data replacement, kmeans.py:65-71). `quant_step` in
+    training/quant_phase.py reproduces exactly that: grads are taken at the
+    snapped params and the optimizer update starts from the snapped params.
+    The backward-hook centroid SGD nudge (kmeans.py:163-181) is NOT
+    replicated: the reference itself marks it dead ("TODO: Is this even
+    needed? Centroids are re-computed in the forward pass").
+
+Deviations (documented):
+  * `torch.unique` de-duplication of centroids (kmeans.py:139-140) is a
+    dynamic-shape op; collisions of float centroids are measure-zero, and a
+    duplicate centroid only wastes one codebook slot, so it is skipped.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["LayerCodebook", "kmeans_fit", "quantize_weight"]
+
+
+class LayerCodebook(NamedTuple):
+    centroids: jnp.ndarray  # (k,) float32, centroids[0] == 0.0
+    labels: jnp.ndarray  # weight-shaped int32
+
+
+def kmeans_fit(
+    values: jnp.ndarray,
+    valid: jnp.ndarray,
+    centers: jnp.ndarray,
+    iters: int = 5,
+) -> jnp.ndarray:
+    """Weighted 1-D Lloyd's algorithm, jittable.
+
+    Args:
+      values: (n,) points.
+      valid: (n,) 0/1 weights — invalid points do not pull centroids
+        (the functional form of the reference's nonzero indexing).
+      centers: (k,) initial centroids.
+      iters: Lloyd iterations (reference iter_limit=5).
+
+    Empty clusters keep their previous center. A fixed iteration count
+    replaces the reference's center-shift tolerance check (tol=1e-4) —
+    a data-independent trip count XLA can fully unroll.
+    """
+    k = centers.shape[0]
+
+    def body(centers, _):
+        # (n, k) squared distances; n-major so XLA tiles the big axis.
+        d = (values[:, None] - centers[None, :]) ** 2
+        assign = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(assign, k, dtype=values.dtype) * valid[:, None]
+        counts = one_hot.sum(axis=0)
+        sums = one_hot.T @ values
+        new_centers = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centers)
+        return new_centers, None
+
+    centers, _ = jax.lax.scan(body, centers, None, length=iters)
+    return centers
+
+
+def quantize_weight(
+    weight: jnp.ndarray, bits: int, iters: int = 5
+) -> Tuple[jnp.ndarray, LayerCodebook]:
+    """Cluster a weight tensor's nonzeros into 2^bits - 1 centroids (+0).
+
+    Returns (snapped_weight, LayerCodebook). Mirrors KmeansQuant.find_centroids
+    (kmeans.py:110-150): linspace init over the nonzero range, Lloyd fit,
+    prepend 0 centroid, sort by |c|, assign ALL weights (zeros land on the
+    0 centroid), snap weight = centroids[labels].
+    """
+    n_clusters = 2**bits - 1
+    flat = weight.reshape(-1)
+    valid = (flat != 0.0).astype(flat.dtype)
+    big = jnp.asarray(jnp.inf, flat.dtype)
+    lo = jnp.min(jnp.where(valid > 0, flat, big))
+    hi = jnp.max(jnp.where(valid > 0, flat, -big))
+    guess = jnp.linspace(0.0, 1.0, n_clusters, dtype=flat.dtype) * (hi - lo) + lo
+
+    centers = kmeans_fit(flat, valid, guess, iters=iters)
+    centroids = jnp.concatenate([jnp.zeros((1,), flat.dtype), centers])
+    order = jnp.argsort(jnp.abs(centroids))
+    centroids = centroids[order]
+
+    d = (flat[:, None] - centroids[None, :]) ** 2
+    labels = jnp.argmin(d, axis=1).astype(jnp.int32)
+    snapped = centroids[labels].reshape(weight.shape)
+    return snapped, LayerCodebook(centroids=centroids, labels=labels.reshape(weight.shape))

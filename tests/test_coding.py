@@ -1,0 +1,128 @@
+"""Entropy coding tests: backends, bitstream round trip, decode->render."""
+import numpy as np
+import pytest
+
+import jax
+
+from implicit_image_tpu.coding import (
+    compress_state_dict,
+    decode_and_render,
+    decompress_state_dict,
+    linear_state_dict,
+    params_from_state_dict,
+    sparsity,
+)
+from implicit_image_tpu.coding.huffman import (
+    _py_decode,
+    _py_encode,
+    huffman_decode,
+    huffman_encode,
+    native_available,
+)
+from implicit_image_tpu.coding.parsers import backend_names, decode_stream, encode_stream
+
+
+@pytest.mark.parametrize("name", backend_names)
+def test_stream_roundtrip(name):
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 40, size=100_000, dtype=np.uint8).tobytes()
+    blob = encode_stream(name, raw)
+    assert decode_stream(name, blob) == raw
+    if name != "plain":
+        assert len(blob) < len(raw)  # skewed data must actually compress
+
+
+@pytest.mark.parametrize(
+    "data",
+    [b"", b"x", b"ab" * 500, bytes(range(256)) * 7],
+    ids=["empty", "single", "two-sym", "uniform"],
+)
+def test_huffman_edge_cases(data):
+    assert huffman_decode(huffman_encode(data)) == data
+    assert _py_decode(_py_encode(data)) == data
+
+
+def test_huffman_native_python_interop():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 8, size=20_000, dtype=np.uint8).tobytes()
+    # each implementation decodes the other's stream
+    assert _py_decode(huffman_encode(data)) == data
+    assert huffman_decode(_py_encode(data)) == data
+
+
+def test_sparsity_helper():
+    assert sparsity(np.asarray([0.0, 1.0, 0.0, 2.0])) == 0.5
+
+
+def _fitted_quantized(tmp_path):
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.quant import QuantConfig
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(24, 24, seed=1)
+    grid = get_grid(24, 24)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=16)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=100, log_steps=50), OptimConfig(lr=1e-3),
+    )
+    qres = quant_finetune(
+        res.params, img, mdef, mcfg, grid,
+        QuantConfig(bits=4, num_steps=10), OptimConfig(lr=1e-3),
+    )
+    return mdef, mcfg, img, grid, qres
+
+
+@pytest.mark.parametrize("stream", ["plain", "zstd", "lzma", "huffman"])
+def test_bitstream_roundtrip_quantized_model(tmp_path, stream):
+    mdef, mcfg, img, grid, qres = _fitted_quantized(tmp_path)
+    state = linear_state_dict(qres.params, qres.codebooks, half=True)
+
+    # quantized layers store labels + centroids, not weights
+    assert "layers.1.labeled_weight" in state
+    assert "layers.1.centroids" in state
+    assert "layers.1.weight" not in state
+    assert state["layers.1.labeled_weight"].dtype == np.uint8
+    assert "layers.0.weight" in state  # skipped layer keeps fp weights
+
+    nbytes = compress_state_dict(state, tmp_path / stream, stream)
+    assert nbytes > 0
+    if stream != "plain":
+        raw_bytes = sum(a.nbytes for a in state.values())
+        # huffman's 268-byte canonical-lengths header dominates at this tiny
+        # model size; it still must stay within header overhead of raw.
+        budget = raw_bytes + (300 if stream == "huffman" else 0)
+        assert nbytes < budget
+
+    decoded = decompress_state_dict(tmp_path / stream, stream)
+    # decoded weight == centroids[labels] in fp16, exactly
+    expect = state["layers.1.centroids"][state["layers.1.labeled_weight"]]
+    np.testing.assert_array_equal(decoded["layers.1.weight"], expect.astype(np.float32))
+    # skipped layers round trip through fp16
+    np.testing.assert_array_equal(
+        decoded["layers.0.weight"], state["layers.0.weight"].astype(np.float32)
+    )
+
+
+def test_decode_and_render_matches_fp16_params(tmp_path):
+    mdef, mcfg, img, grid, qres = _fitted_quantized(tmp_path)
+    state = linear_state_dict(qres.params, qres.codebooks, half=True)
+    compress_state_dict(state, tmp_path / "zstd", "zstd")
+
+    rendered, stats = decode_and_render(
+        tmp_path / "zstd", "zstd", mdef, mcfg, 24, 24
+    )
+    assert rendered.shape == (24, 24, 3)
+    assert stats["mpix_per_s"] > 0
+
+    # render from the fp16-rounded original params for comparison
+    params = params_from_state_dict(
+        {
+            k: v
+            for k, v in decompress_state_dict(tmp_path / "zstd", "zstd").items()
+        }
+    )
+    direct = mdef.apply(params, grid, mcfg)
+    np.testing.assert_allclose(np.asarray(rendered), np.asarray(direct), atol=1e-6)

@@ -1,0 +1,146 @@
+"""Quantization subsystem tests (k-means codebook + uniform fake-quant)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_image_tpu.quant import (
+    QuantConfig,
+    convert,
+    dequantize,
+    quantize_params,
+    quantize_weight,
+    quantized_layer_indices,
+    uniform_quantize_weight,
+)
+from implicit_image_tpu.quant.kmeans import kmeans_fit
+from implicit_image_tpu.quant.uniform import fake_quant
+
+
+def test_kmeans_fit_recovers_clusters():
+    # three well-separated blobs -> Lloyd should land one center in each
+    rng = np.random.default_rng(0)
+    pts = np.concatenate(
+        [rng.normal(c, 0.01, 200) for c in (-1.0, 0.5, 2.0)]
+    ).astype(np.float32)
+    valid = np.ones_like(pts)
+    centers0 = jnp.linspace(pts.min(), pts.max(), 3)
+    centers = np.sort(np.asarray(kmeans_fit(jnp.asarray(pts), jnp.asarray(valid), centers0, iters=10)))
+    np.testing.assert_allclose(centers, [-1.0, 0.5, 2.0], atol=0.05)
+
+
+def test_kmeans_fit_ignores_invalid_points():
+    pts = jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.1, 0.9], jnp.float32)
+    valid = jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+    centers = kmeans_fit(pts, valid, jnp.asarray([0.5]), iters=5)
+    np.testing.assert_allclose(np.asarray(centers), [1.0], atol=1e-6)
+
+
+def test_quantize_weight_zero_centroid_and_snap():
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (32, 32))
+    mask = (jax.random.uniform(jax.random.PRNGKey(1), w.shape) < 0.5).astype(w.dtype)
+    w = w * mask
+    snapped, book = quantize_weight(w, bits=4)
+    cents = np.asarray(book.centroids)
+    assert cents.shape == (16,)
+    assert cents[0] == 0.0  # zero centroid first after |c| sort
+    # zeros stay exactly zero after snapping
+    np.testing.assert_array_equal(np.asarray(snapped)[np.asarray(mask) == 0], 0.0)
+    # snapped values are all centroids
+    assert set(np.round(np.unique(snapped), 5)) <= set(np.round(cents, 5))
+    # labels reproduce the snapped weight
+    np.testing.assert_allclose(
+        np.asarray(dequantize(book.labels, book.centroids)), np.asarray(snapped)
+    )
+
+
+def test_quantize_weight_is_jittable():
+    w = jax.random.normal(jax.random.PRNGKey(2), (16, 16))
+    f = jax.jit(lambda w: quantize_weight(w, bits=3)[0])
+    np.testing.assert_allclose(
+        np.asarray(f(w)), np.asarray(quantize_weight(w, bits=3)[0]), atol=1e-6
+    )
+
+
+def test_uniform_quantize_roundtrip():
+    w = jax.random.normal(jax.random.PRNGKey(3), (64,))
+    snapped, book = uniform_quantize_weight(w, bits=8)
+    # max error bounded by scale/2
+    scale = float(np.diff(np.asarray(book.centroids)).max())
+    assert np.abs(np.asarray(snapped) - np.asarray(w)).max() <= scale / 2 + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(dequantize(book.labels, book.centroids)),
+        np.asarray(snapped),
+        atol=1e-7,
+    )
+
+
+def test_fake_quant_straight_through_gradient():
+    w = jnp.asarray([0.1, -0.3, 0.7])
+    g = jax.grad(lambda x: jnp.sum(fake_quant(x, 8) * 2.0))(w)
+    np.testing.assert_allclose(np.asarray(g), 2.0)  # STE passes grads through
+
+
+def test_skip_layers_default_first_last():
+    from implicit_image_tpu.models import build_model
+
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=8)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    cfg = QuantConfig(bits=4)
+    qidx = quantized_layer_indices(params, cfg)
+    assert qidx == [1, 2]  # first & last linear kept full precision
+
+    qparams = quantize_params(params, cfg)
+    # skipped layers untouched
+    np.testing.assert_array_equal(
+        np.asarray(qparams[0]["w"]), np.asarray(params[0]["w"])
+    )
+    # quantized layer snapped to <= 2^bits distinct values
+    assert len(np.unique(qparams[1]["w"])) <= 2**4
+
+
+def test_convert_emits_codebooks_only_for_quantized():
+    from implicit_image_tpu.models import build_model
+
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=8)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    qparams, books = convert(params, QuantConfig(bits=4))
+    assert books[0] is None and books[3] is None
+    assert books[1] is not None and books[2] is not None
+    np.testing.assert_allclose(
+        np.asarray(dequantize(books[1].labels, books[1].centroids)),
+        np.asarray(qparams[1]["w"]),
+    )
+
+
+def test_quant_finetune_end_to_end():
+    """Quant phase recovers PSNR close to the dense fit (small scale)."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(32, 32, seed=0)
+    grid = get_grid(32, 32)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=32)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=300, log_steps=100), OptimConfig(lr=1e-3),
+    )
+    pre = np.asarray(res.metrics["psnr"])
+    pre = pre[~np.isnan(pre)][-1]
+
+    # reference operating point: 8 bits, ~100 finetune steps
+    # (conf/quant/kmeans.yaml). SIREN's omega_0 amplification makes raw
+    # snapping lossy; the finetune recovers most of it.
+    qres = quant_finetune(
+        res.params, img, mdef, mcfg, grid,
+        QuantConfig(bits=8, num_steps=100), OptimConfig(lr=1e-3),
+    )
+    qpsnr = float(np.asarray(qres.metrics["quant_psnr"]))
+    assert qpsnr > pre - 3.0, (qpsnr, pre)
+    # all quantized layers express <= 2^bits values
+    for i, book in enumerate(qres.codebooks):
+        if book is not None:
+            assert len(np.unique(qres.params[i]["w"])) <= 2**8
