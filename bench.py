@@ -1,0 +1,81 @@
+"""Headline benchmark — run by the driver on real TPU hardware.
+
+Measures the reference's core workload at its published operating point:
+fit a 512x512 image with SIREN depth 8 / hidden 128 for 2000 full-grid
+steps (conf/mlp/siren.yaml + conf/config.yaml:18). Compute in bfloat16 on
+the MXU (the reference's AMP was a no-op, so its effective baseline is
+fp32 on a GTX 1080 / RTX 2080 Ti — see BASELINE.md).
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+"published": {}); we compare against an estimated 40 s for the same
+2000-step fit on the reference's RTX 2080 Ti (≈360 TFLOP total at
+~13 TFLOPS fp32 with typical <70% utilization). The estimate is
+documented in BASELINE.md; vs_baseline > 1 means faster than that
+estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary numbers (PSNR, steps/s, batched throughput) go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_ESTIMATE_S = 40.0
+
+
+def main() -> None:
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    h = w = 512
+    steps = 2000
+    img = synthetic_image(h, w, seed=0)
+    grid = get_grid(h, w)
+    mdef, mcfg = build_model("siren", depth=8, hidden_size=128)
+
+    res = fit(
+        jax.random.PRNGKey(0),
+        mdef,
+        mcfg,
+        grid,
+        img,
+        TrainConfig(
+            num_steps=steps,
+            log_steps=steps // 4,
+            compute_dtype="bfloat16",
+            use_pallas=True,  # fused sine-MLP kernel (ops/sine_mlp.py)
+        ),
+        OptimConfig(),
+    )
+    wall = res.wall_seconds
+    psnr = np.asarray(res.metrics["psnr"])
+    psnr = float(psnr[~np.isnan(psnr)][-1])
+
+    print(
+        f"[bench] device={jax.devices()[0].device_kind} "
+        f"wall={wall:.3f}s steps/s={steps / wall:.1f} "
+        f"pixel-steps/s={steps * h * w / wall / 1e6:.1f}M final_psnr={psnr:.2f}dB",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "fit_512px_siren_d8w128_2000steps_wall",
+                "value": round(wall, 4),
+                "unit": "s",
+                "vs_baseline": round(REF_ESTIMATE_S / wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Orchestrator / CLI — the equivalent of reference implicit_image/compress.py.
+
+Pipeline (reference compress.py:52-273): seed → load image → build grid +
+model (Small-Dense width scaling / Feathermap wrap per the masking group) →
+fit (dense or sparse, ONE compiled scan) → optional quantize-aware finetune
+→ convert → entropy-code the state dict → report (PSNR, compressed bytes).
+The tuple return feeds hyper-parameter sweepers exactly like the
+reference's Optuna/Ax integration (compress.py:269).
+
+CLI mirrors the reference's Hydra UX (config/__init__.py):
+
+    python -m implicit_image_tpu.compress img=flower masking=RigL \
+        masking.density=0.2 train.multiplier=5
+    python -m implicit_image_tpu.compress -m masking.density=0.1,0.3,0.5
+
+Multirun jobs write to per-job output dirs outputs/<img>/<exp>/<overrides>
+(reference conf/hydra.yaml:2-8 templating).
+"""
+from __future__ import annotations
+
+import logging
+import math
+import os
+import sys
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from implicit_image_tpu.coding import compress_state_dict, linear_state_dict
+from implicit_image_tpu.config import DotDict, compose, expand_multirun
+from implicit_image_tpu.data import get_grid, load_img, save_img, synthetic_image
+from implicit_image_tpu.feathermap import build_feather_model
+from implicit_image_tpu.models import build_model
+from implicit_image_tpu.quant import QuantConfig
+from implicit_image_tpu.sparsity import MaskingConfig
+from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+from implicit_image_tpu.training.quant_phase import quant_finetune
+from implicit_image_tpu.utils import MetricsLogger, catch_error_decorator
+
+log = logging.getLogger("implicit_image_tpu")
+
+_MASKING_FIELDS = {
+    "density",
+    "sparse_init",
+    "dense_gradients",
+    "prune_mode",
+    "growth_mode",
+    "redistribution_mode",
+    "decay_schedule",
+    "prune_rate",
+    "final_density",
+    "start_when",
+    "end_when",
+    "interval",
+    "dense",
+    "print_FLOPs",
+    "name",
+}
+
+
+def _load_image(img_cfg) -> np.ndarray:
+    """Load the configured image; deterministic synthetic fallback when the
+    benchmark file is unavailable (zero-egress environments)."""
+    path = img_cfg.get("path")
+    if path and os.path.exists(path):
+        return load_img(
+            path,
+            height=img_cfg.height,
+            width=img_cfg.width,
+            bits=img_cfg.bits,
+            crop_mode=img_cfg.get("crop_mode", "centre-crop"),
+            save_gt=img_cfg.get("save_gt", False),
+        )
+    if path:
+        log.warning("image %s not found; using synthetic stand-in", path)
+    seed = abs(hash(img_cfg.get("name", "synthetic"))) % (2**31)
+    return synthetic_image(img_cfg.height, img_cfg.width, seed=seed)
+
+
+def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
+    """Run the full compress pipeline; returns (test_PSNR, compressed_bytes)."""
+    key = jax.random.PRNGKey(int(cfg.seed))
+    run_dir = run_dir or cfg.get("output_dir", "outputs/run")
+    Path(run_dir).mkdir(parents=True, exist_ok=True)
+    logger = MetricsLogger(run_dir, use=cfg.get("logging", {}).get("use", True))
+
+    img = _load_image(cfg.img)
+    h, w = img.shape[:2]
+    grid = get_grid(h, w)
+
+    # Small-Dense width compensation (compress.py:74-77)
+    small_density = 1.0
+    masking_cfg_raw = cfg.get("masking")
+    if masking_cfg_raw and masking_cfg_raw.get("name") == "Small_Dense":
+        small_density = float(masking_cfg_raw.density)
+
+    mlp_kwargs = {k: v for k, v in cfg.mlp.items() if k != "name"}
+    mdef, mcfg = build_model(
+        cfg.mlp.name, small_dense_density=small_density, **mlp_kwargs
+    )
+
+    # Feathermap wrap (compress.py:80-81)
+    if masking_cfg_raw and masking_cfg_raw.get("name") == "Feathermap":
+        mdef = build_feather_model(mdef, mcfg, compress=float(masking_cfg_raw.density))
+
+    # training multiplier semantics (compress.py:110-120)
+    mult = int(cfg.train.get("multiplier", 1))
+    num_steps = int(cfg.train.num_steps) * mult
+
+    masking: Optional[MaskingConfig] = None
+    if masking_cfg_raw and not masking_cfg_raw.get("dense", False):
+        fields = {
+            k: v for k, v in masking_cfg_raw.items() if k in _MASKING_FIELDS
+        }
+        if "end_when" in fields:
+            fields["end_when"] = int(fields["end_when"] * mult)
+        if "interval" in fields:
+            fields["interval"] = int(fields["interval"] * mult)
+        masking = MaskingConfig(**fields)
+
+    train_cfg = TrainConfig(
+        num_steps=num_steps,
+        log_steps=int(cfg.train.log_steps),
+        compute_dtype="bfloat16" if cfg.train.get("mixed_precision", True) else None,
+        multiplier=mult,
+        save_weights=cfg.train.get("save_weights", True),
+        use_pallas=bool(cfg.train.get("use_pallas", False)) and cfg.mlp.name == "siren",
+    )
+    # PyYAML parses bare "3e-4" as a string; coerce numeric optim fields
+    optim_kwargs = {}
+    for k, v in cfg.optim.items():
+        if k != "name" and isinstance(v, str):
+            v = float(v)
+        optim_kwargs[k] = v
+    optim_cfg = OptimConfig(**optim_kwargs)
+
+    log.info(
+        "fit: %s on %s (%dx%d), %d steps, masking=%s",
+        cfg.mlp.name, cfg.img.name, h, w, num_steps,
+        masking_cfg_raw.get("name") if masking_cfg_raw else "none",
+    )
+    res = fit(key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking)
+
+    # post-hoc logging at the reference cadence (metrics were computed
+    # in-program at (i+1) % log_steps == 0, compress.py:146)
+    psnr_arr = np.asarray(res.metrics["psnr"])
+    test_psnr = float("nan")
+    for i in range(num_steps):
+        if (i + 1) % train_cfg.log_steps == 0:
+            entry = {
+                "loss": float(np.asarray(res.metrics["test_loss"])[i]),
+                "PSNR": float(psnr_arr[i]),
+                "PSNR_8bit": float(np.asarray(res.metrics["psnr_8bit"])[i]),
+            }
+            if masking is not None:
+                entry["Prune Rate"] = float(
+                    np.asarray(res.metrics["prune_rate"])[i]
+                )
+                entry["Density"] = float(np.asarray(res.metrics["density"])[i])
+            logger.log(i + 1, entry)
+            test_psnr = entry["PSNR"]
+    logger.summary({"PSNR": test_psnr, "fit_wall_s": res.wall_seconds})
+
+    params = res.params
+    compressed_bytes = 0
+
+    # ---- quant phase (compress.py:172-240) ----
+    quant_cfg_raw = cfg.get("quant")
+    qres = None
+    if quant_cfg_raw and quant_cfg_raw.get("name", "none") != "none":
+        quant_cfg = QuantConfig(
+            name=quant_cfg_raw.name,
+            bits=int(quant_cfg_raw.get("bits", 8)),
+            num_steps=int(quant_cfg_raw.get("num_steps", 100)),
+            log_steps=int(quant_cfg_raw.get("log_steps", 10)),
+        )
+        masks = res.mask_state.masks if res.mask_state is not None else None
+        qres = quant_finetune(
+            params, img, mdef, mcfg, grid, quant_cfg, optim_cfg,
+            masks=masks,
+            compute_dtype=jnp.bfloat16 if train_cfg.compute_dtype else None,
+        )
+        qpsnr = float(np.asarray(qres.metrics["quant_psnr"]))
+        logger.log(
+            num_steps,
+            {
+                "Quant PSNR": qpsnr,
+                "Quant PSNR_8bit": float(
+                    np.asarray(qres.metrics["quant_psnr_8bit"])
+                ),
+            },
+            prefix="Quant",
+        )
+        logger.summary({"Quant PSNR": qpsnr})
+        test_psnr = qpsnr
+
+    # ---- save weights (compress.py:243-247) ----
+    if train_cfg.save_weights:
+        flat = {}
+        for i, layer in enumerate(params):
+            for k, v in layer.items():
+                flat[f"layers.{i}.{k}"] = np.asarray(v)
+        np.savez(Path(run_dir) / "model.npz", **flat)
+        np.savez(
+            Path(run_dir) / "model_half.npz",
+            **{k: v.astype(np.float16) for k, v in flat.items()},
+        )
+
+    # ---- entropy coding (compress.py:250-263) ----
+    ec = cfg.get("entropy_coding")
+    if ec and ec.get("stream_name", "none") != "none":
+        source = qres if qres is not None else None
+        state = linear_state_dict(
+            source.params if source else params,
+            source.codebooks if source else None,
+            half=True,
+        )
+        kwargs = {k: v for k, v in ec.items() if k != "stream_name"}
+        compressed_bytes = compress_state_dict(
+            state, Path(run_dir) / "model_quantized", ec.stream_name, **kwargs
+        )
+        log.info("Compressed bytes %d", compressed_bytes)
+        logger.summary({"Compressed Bytes": compressed_bytes})
+
+    logger.close()
+    return test_psnr, compressed_bytes
+
+
+@catch_error_decorator
+def cli(argv=None) -> None:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    argv = list(sys.argv[1:] if argv is None else argv)
+    multirun = False
+    if "-m" in argv:
+        argv.remove("-m")
+        multirun = True
+    if "--multirun" in argv:
+        argv.remove("--multirun")
+        multirun = True
+
+    jobs = expand_multirun(argv) if multirun else [argv]
+    results = []
+    for job_overrides in jobs:
+        cfg = compose(job_overrides)
+        subdir = ",".join(job_overrides).replace("/", "_") or "default"
+        run_dir = (
+            os.path.join(cfg.get("output_dir", "outputs/run"), subdir)
+            if multirun
+            else cfg.get("output_dir", "outputs/run")
+        )
+        psnr, nbytes = main(cfg, run_dir=run_dir)
+        print(f"[{subdir}] PSNR={psnr:.3f} bytes={nbytes}")
+        results.append((psnr, nbytes))
+    if len(results) == 1:
+        psnr, nbytes = results[0]
+        print(f"RESULT PSNR={psnr:.4f} COMPRESSED_BYTES={nbytes}")
+
+
+if __name__ == "__main__":
+    cli()

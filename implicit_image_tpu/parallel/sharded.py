@@ -1,0 +1,94 @@
+"""Pixel-axis sharded fitting — one image, many chips.
+
+The workload's "sequence axis" is the pixel axis H·W (SURVEY.md §5): the
+reference always processes the full grid as one batch on one device
+(compress.py:138). Here the image's ROW axis is sharded across the mesh's
+"pixel" axis, so each chip owns H/n rows of the coordinate grid and target:
+
+  * forward/backward matmuls are embarrassingly row-parallel
+  * the MSE mean and parameter gradients are all-reduced by XLA (psum over
+    ICI) because params are replicated while activations are sharded —
+    the standard data-parallel-over-tokens layout from the scaling
+    playbook, expressed with NamedSharding and left to GSPMD
+
+Eval metrics inside the scan reduce over the sharded axis the same way, so
+per-step metrics stay replicated scalars.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from implicit_image_tpu.models import ModelDef
+from implicit_image_tpu.training.fit import (
+    FitResult,
+    OptimConfig,
+    TrainConfig,
+    make_fit_fn,
+)
+
+__all__ = ["make_sharded_fit_fn", "sharded_fit"]
+
+
+def make_sharded_fit_fn(
+    mesh: Mesh,
+    mdef: ModelDef,
+    mcfg,
+    grid,
+    train_cfg: TrainConfig,
+    optim_cfg: OptimConfig,
+    masking_cfg=None,
+):
+    """Build fit(key, img) with img row-sharded over the mesh "pixel" axis.
+
+    Params/opt state are replicated (out_shardings=None lets XLA keep its
+    propagated layout; params end up replicated because every shard needs
+    them)."""
+    h = grid.shape[0]
+    n_pixel = mesh.shape["pixel"]
+    assert h % n_pixel == 0, f"H={h} not divisible by pixel axis {n_pixel}"
+    fit_fn = make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg)
+    return jax.jit(
+        fit_fn,
+        in_shardings=(
+            NamedSharding(mesh, P()),  # key replicated
+            NamedSharding(mesh, P("pixel")),  # img (H, W, C) sharded over rows
+        ),
+    )
+
+
+def sharded_fit(
+    key,
+    mesh: Mesh,
+    mdef: ModelDef,
+    mcfg,
+    grid,
+    img,
+    train_cfg: TrainConfig,
+    optim_cfg: OptimConfig,
+    masking_cfg=None,
+) -> FitResult:
+    """Compile + run one pixel-sharded fit."""
+    fn = make_sharded_fit_fn(
+        mesh, mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+    )
+    img = jnp.asarray(img)
+    compiled = fn.lower(key, img).compile()
+    t0 = time.perf_counter()
+    params, opt_state, mask_state, metrics = compiled(key, img)
+    import numpy as _np
+
+    _np.asarray(jnp.ravel(metrics["loss"])[-1])  # force completion (see fit.py)
+    wall = time.perf_counter() - t0
+    sparse = masking_cfg is not None and not masking_cfg.dense
+    return FitResult(
+        params=params,
+        mask_state=mask_state if sparse else None,
+        opt_state=opt_state,
+        metrics=metrics,
+        wall_seconds=wall,
+    )

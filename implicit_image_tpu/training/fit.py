@@ -318,7 +318,11 @@ def fit(
     compiled = fit_fn.lower(key, img).compile()
     t0 = time.perf_counter()
     params, opt_state, mask_state, metrics = compiled(key, img)
-    jax.block_until_ready(params)
+    # force a value to host: block_until_ready alone can return before
+    # remote execution finishes on tunneled TPU runtimes
+    import numpy as _np
+
+    _np.asarray(jnp.ravel(metrics["loss"])[-1])
     wall = time.perf_counter() - t0
     sparse = masking_cfg is not None and not masking_cfg.dense
     return FitResult(

@@ -1,0 +1,59 @@
+"""Run-local metrics sink — the replacement for the reference's W&B.
+
+The reference logs {loss, PSNR, PSNR_8bit, Prune Rate, Density, Quant PSNR,
+Compressed Bytes} to W&B (compress.py:33-49,146-170,212-216,260-263) and
+its analysis scripts read them back from the W&B API. In a zero-egress
+environment the same metrics go to `<run_dir>/metrics.jsonl` (one JSON
+object per logged step) plus a human log line; visualize/ reads these
+files instead of the W&B API.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Optional
+
+log = logging.getLogger("implicit_image_tpu")
+
+
+class MetricsLogger:
+    def __init__(self, run_dir: Optional[str] = None, use: bool = True):
+        self.use = use
+        self.run_dir = Path(run_dir) if run_dir else None
+        self._fh = None
+        if use and self.run_dir is not None:
+            self.run_dir.mkdir(parents=True, exist_ok=True)
+            self._fh = open(self.run_dir / "metrics.jsonl", "a")
+
+    def log(self, step: int, metrics: dict, prefix: str = "Train"):
+        if not self.use:
+            return
+        clean = {
+            k: (float(v) if hasattr(v, "__float__") else v)
+            for k, v in metrics.items()
+        }
+        line = " | ".join(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}"
+                          for k, v in clean.items())
+        log.info("%s step %d | %s", prefix, step, line)
+        if self._fh is not None:
+            self._fh.write(json.dumps({"step": step, "prefix": prefix, **clean}) + "\n")
+            self._fh.flush()
+
+    def summary(self, metrics: dict):
+        if not self.use or self.run_dir is None:
+            return
+        path = self.run_dir / "summary.json"
+        existing = {}
+        if path.exists():
+            existing = json.loads(path.read_text())
+        existing.update(
+            {k: (float(v) if hasattr(v, "__float__") else v) for k, v in metrics.items()}
+        )
+        path.write_text(json.dumps(existing, indent=2))
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

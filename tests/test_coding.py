@@ -125,4 +125,4 @@ def test_decode_and_render_matches_fp16_params(tmp_path):
         }
     )
     direct = mdef.apply(params, grid, mcfg)
-    np.testing.assert_allclose(np.asarray(rendered), np.asarray(direct), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rendered), np.asarray(direct), atol=1e-5)

@@ -1,0 +1,148 @@
+"""Config composer + CLI orchestrator tests."""
+import numpy as np
+import pytest
+
+from implicit_image_tpu.config import compose, expand_multirun
+
+
+def test_compose_defaults():
+    cfg = compose([])
+    assert cfg.mlp.name == "siren"
+    assert cfg.img.name == "flower_foveon"
+    assert cfg.masking.name == "RigL"
+    assert cfg.quant.name == "KMeans"
+    assert cfg.entropy_coding.stream_name == "plain"
+    assert cfg.train.num_steps == 2000
+
+
+def test_group_override_and_value_override():
+    cfg = compose(["masking=Pruning", "mlp.hidden_size=256", "optim=shampoo"])
+    assert cfg.masking.name == "Pruning"
+    assert cfg.masking.prune_mode == "global-magnitude"
+    assert cfg.mlp.hidden_size == 256
+    assert cfg.optim.name == "shampoo"
+
+
+def test_interpolation():
+    cfg = compose([])
+    assert cfg.exp_name == "siren_flower_foveon"
+    assert cfg.train.batch_height == 512
+    # chained: img.path references ${img.bits} and ${img.name}
+    assert "rgb16bit" in cfg.img.path and "flower_foveon" in cfg.img.path
+
+
+def test_interpolation_tracks_overrides():
+    cfg = compose(["img=synthetic", "img.height=64"])
+    assert cfg.train.batch_height == 64
+    assert cfg.exp_name == "siren_synthetic"
+
+
+def test_group_deletion():
+    cfg = compose(["~quant"])
+    assert "quant" not in cfg
+
+
+def test_unknown_group_option_lists_available():
+    with pytest.raises(KeyError) as e:
+        compose(["masking=DoesNotExist"])
+    assert "RigL" in str(e.value)
+
+
+def test_expand_multirun_cartesian():
+    jobs = expand_multirun(["a=1,2", "b=x", "c=7,8,9"])
+    assert len(jobs) == 6
+    assert ["a=1", "b=x", "c=7"] in jobs
+    assert ["a=2", "b=x", "c=9"] in jobs
+
+
+def test_cli_end_to_end(tmp_path):
+    """Tiny full-pipeline run through the orchestrator (CPU)."""
+    from implicit_image_tpu.compress import main
+
+    cfg = compose(
+        [
+            "img=synthetic",
+            "img.height=24",
+            "img.width=24",
+            "mlp.depth=4",
+            "mlp.hidden_size=16",
+            "train.num_steps=100",
+            "train.log_steps=50",
+            "train.use_pallas=False",
+            "train.mixed_precision=False",
+            "masking=RigL",
+            "masking.end_when=80",
+            "masking.interval=20",
+            "quant.num_steps=10",
+            "quant.bits=5",
+            "entropy_coding=zstd",
+        ]
+    )
+    psnr, nbytes = main(cfg, run_dir=str(tmp_path))
+    assert np.isfinite(psnr) and psnr > 10.0
+    assert nbytes > 0
+    assert (tmp_path / "metrics.jsonl").exists()
+    assert (tmp_path / "summary.json").exists()
+    assert (tmp_path / "model_quantized" / "compressed_weights.data").exists()
+    # decode round trip from the run artifacts
+    from implicit_image_tpu.coding import decompress_state_dict
+
+    state = decompress_state_dict(tmp_path / "model_quantized", "zstd")
+    assert any("weight" in k for k in state)
+
+
+def test_cli_dense_no_quant_no_coding(tmp_path):
+    from implicit_image_tpu.compress import main
+
+    cfg = compose(
+        [
+            "img=synthetic",
+            "img.height=16",
+            "img.width=16",
+            "mlp.depth=3",
+            "mlp.hidden_size=8",
+            "train.num_steps=20",
+            "train.log_steps=10",
+            "train.use_pallas=False",
+            "train.mixed_precision=False",
+            "masking=none",
+            "quant=none",
+            "entropy_coding=none",
+        ]
+    )
+    psnr, nbytes = main(cfg, run_dir=str(tmp_path))
+    assert np.isfinite(psnr)
+    assert nbytes == 0
+
+
+def test_cli_multiplier_semantics(tmp_path):
+    """train.multiplier scales num_steps, end_when, interval (compress.py:110-120)."""
+    from implicit_image_tpu.compress import main
+
+    cfg = compose(
+        [
+            "img=synthetic",
+            "img.height=16",
+            "img.width=16",
+            "mlp.depth=3",
+            "mlp.hidden_size=8",
+            "train.num_steps=20",
+            "train.log_steps=20",
+            "train.multiplier=2",
+            "train.use_pallas=False",
+            "train.mixed_precision=False",
+            "masking=RigL",
+            "masking.end_when=10",
+            "masking.interval=5",
+            "quant=none",
+            "entropy_coding=none",
+        ]
+    )
+    psnr, _ = main(cfg, run_dir=str(tmp_path))
+    import json
+
+    lines = [
+        json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    # logged at step 20 and 40 -> 40 total steps means multiplier applied
+    assert {l["step"] for l in lines if l["prefix"] == "Train"} == {20, 40}

@@ -1,0 +1,145 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_image_tpu.data import get_grid, synthetic_image
+from implicit_image_tpu.models import build_model
+from implicit_image_tpu.parallel import (
+    make_mesh,
+    make_sharded_fit_fn,
+    batched_fit,
+)
+from implicit_image_tpu.parallel.sharded import sharded_fit
+from implicit_image_tpu.sparsity import MaskingConfig
+from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+
+def _imgs(b, n=16):
+    return np.stack([synthetic_image(n, n, seed=s) for s in range(b)])
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(image=4, pixel=2)
+    assert mesh.shape == {"image": 4, "pixel": 2}
+    with pytest.raises(ValueError):
+        make_mesh(image=3, pixel=2)
+
+
+def test_batched_fit_matches_single():
+    """vmapped fits == individually-run fits (bitwise same program)."""
+    grid = get_grid(16, 16)
+    imgs = _imgs(4)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    tc, oc = TrainConfig(num_steps=50, log_steps=25), OptimConfig(lr=1e-3)
+    key = jax.random.PRNGKey(7)
+
+    res = batched_fit(key, mdef, mcfg, grid, imgs, tc, oc)
+    assert res.params[0]["w"].shape[0] == 4
+
+    keys = jax.random.split(key, 4)
+    single = fit(keys[2], mdef, mcfg, grid, imgs[2], tc, oc)
+    np.testing.assert_allclose(
+        np.asarray(res.params[0]["w"][2]),
+        np.asarray(single.params[0]["w"]),
+        rtol=2e-5, atol=1e-6,
+    )
+
+
+def test_batched_fit_on_image_mesh():
+    mesh = make_mesh(image=8, pixel=1)
+    grid = get_grid(16, 16)
+    imgs = _imgs(8)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    res = batched_fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, imgs,
+        TrainConfig(num_steps=40, log_steps=20), OptimConfig(lr=1e-3),
+        mesh=mesh,
+    )
+    loss = np.asarray(res.metrics["loss"])
+    assert loss.shape == (8, 40)
+    assert np.all(loss[:, -1] < loss[:, 0])
+
+
+def test_batched_sparse_fit_rigl():
+    """RigL topology updates vmap across images (per-image masks)."""
+    grid = get_grid(16, 16)
+    imgs = _imgs(3)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    mk = MaskingConfig(density=0.5, end_when=30, interval=10)
+    res = batched_fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, imgs,
+        TrainConfig(num_steps=40, log_steps=20), OptimConfig(lr=1e-3), mk,
+    )
+    density = np.asarray(res.metrics["density"])[:, -1]
+    np.testing.assert_allclose(density, 0.5, atol=0.1)
+    # masks actually differ between images (independent topologies)
+    m0 = np.asarray(res.mask_state.masks[1][0])
+    m1 = np.asarray(res.mask_state.masks[1][1])
+    assert not np.array_equal(m0, m1)
+
+
+def test_sharded_fit_matches_unsharded():
+    """Pixel-axis sharding changes layout, not math."""
+    mesh = make_mesh(image=1, pixel=8)
+    grid = get_grid(32, 32)
+    img = synthetic_image(32, 32, seed=0)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    tc, oc = TrainConfig(num_steps=60, log_steps=30), OptimConfig(lr=1e-3)
+    key = jax.random.PRNGKey(1)
+
+    res_sharded = sharded_fit(key, mesh, mdef, mcfg, grid, img, tc, oc)
+    res_plain = fit(key, mdef, mcfg, grid, img, tc, oc)
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.params[0]["w"]),
+        np.asarray(res_plain.params[0]["w"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    p_sh = np.asarray(res_sharded.metrics["psnr"])
+    p_pl = np.asarray(res_plain.metrics["psnr"])
+    np.testing.assert_allclose(
+        p_sh[~np.isnan(p_sh)], p_pl[~np.isnan(p_pl)], atol=0.2
+    )
+
+
+def test_sharded_fit_rejects_indivisible():
+    mesh = make_mesh(image=1, pixel=8)
+    grid = get_grid(30, 30)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    with pytest.raises(AssertionError):
+        make_sharded_fit_fn(
+            mesh, mdef, mcfg, grid,
+            TrainConfig(num_steps=5, log_steps=5), OptimConfig(),
+        )
+
+
+def test_2d_mesh_batched_and_sharded():
+    """Combined ("image", "pixel") layout: 4 images x 2-way pixel shards."""
+    mesh = make_mesh(image=4, pixel=2)
+    grid = get_grid(16, 16)
+    imgs = _imgs(4)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from implicit_image_tpu.training.fit import make_fit_fn
+
+    fit_fn = jax.vmap(
+        make_fit_fn(
+            mdef, mcfg, grid,
+            TrainConfig(num_steps=30, log_steps=15), OptimConfig(lr=1e-3),
+        )
+    )
+    jfit = jax.jit(
+        fit_fn,
+        in_shardings=(
+            NamedSharding(mesh, P("image")),
+            NamedSharding(mesh, P("image", "pixel")),
+        ),
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    params, _, _, metrics = jfit(keys, jnp.asarray(imgs))
+    loss = np.asarray(metrics["loss"])
+    assert loss.shape == (4, 30)
+    assert np.all(loss[:, -1] < loss[:, 0])
