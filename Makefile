@@ -1,0 +1,45 @@
+# Experiment automation — parity with the reference's Makefile / makefiles/*.mk
+# (make siren :40-43, make prune :48-52, finals.compress.% finals.mk:3-11,
+# vis.* visualization.mk). SLURM fan-out is replaced by single-program
+# batched fits (parallel/) and plain loops; see scripts/.
+
+PY ?= python
+IMG ?= synthetic
+DENSITIES ?= 0.01,0.02,0.05,0.1,0.2,0.3,0.4,0.5,0.75,0.95
+
+.PHONY: test bench siren prune sweep vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.%
+
+test:
+	$(PY) -m pytest tests/ -q
+
+bench:
+	$(PY) bench.py
+
+# dense SIREN fit (reference `make siren`)
+siren:
+	$(PY) -m implicit_image_tpu.compress img=$(IMG) masking=none quant=none
+
+# sparse training (reference `make prune`)
+prune:
+	$(PY) -m implicit_image_tpu.compress img=$(IMG) masking=RigL masking.density=0.5
+
+# density-ladder finals per image: zstd + 5x train (finals.mk:3-11)
+finals.compress.%:
+	$(PY) -m implicit_image_tpu.compress -m img=$* entropy_coding=zstd \
+	    train.multiplier=5 masking=RigL masking.density=$(DENSITIES)
+
+sweep:
+	$(PY) -m implicit_image_tpu.sweep n_trials=15 img=$(IMG) \
+	    masking.density='loguniform(0.05,0.95)'
+
+vis.rate_distortion:
+	$(PY) -m implicit_image_tpu.visualize.rate_distortion img=$(IMG)
+
+vis.width_depth:
+	$(PY) -m implicit_image_tpu.visualize.width_depth
+
+vis.weight_removal:
+	$(PY) -m implicit_image_tpu.visualize.weight_removal
+
+vis.jpeg:
+	$(PY) -m implicit_image_tpu.visualize.jpeg_quality_curve

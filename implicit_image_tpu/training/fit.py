@@ -86,6 +86,12 @@ class OptimConfig:
     weight_decay: float = 0.0
     epsilon: float = 1e-4
     update_freq: int = 1
+    # "ekfac" enables the EKFAC natural-gradient preconditioner
+    # (optim/ekfac.py; the reference plumbs-but-never-constructs it,
+    # train_helper.py:163-164 — here it is a live capability)
+    preconditioner: Optional[str] = None
+    precond_eps: float = 0.1
+    precond_interval: int = 10
     # StepLR params (train_helper.py:81-84)
     lr_step_size: int = 2000
     lr_gamma: float = 0.5
@@ -161,12 +167,42 @@ def make_train_step(
             )
         raise KeyError(optim_cfg.name)
 
+    use_ekfac = optim_cfg.preconditioner == "ekfac"
+
     def train_step(carry, step):
-        params, opt_state, mask_state, key = carry
+        params, opt_state, mask_state, key, ekfac_state = carry
         loss, grads = grad_fn(params)
 
         if sparse and not masking_cfg.dense_gradients:
             grads = mask_grads(grads, mask_state.masks)
+
+        if use_ekfac:
+            from implicit_image_tpu.optim.ekfac import (
+                capture_layer_stats,
+                ekfac_precondition,
+                ekfac_update_stats,
+            )
+
+            acts, pgrads = capture_layer_stats(
+                mdef, mcfg, params, coords, target_flat
+            )
+            # recompute eigenbases every precond_interval steps; KFE second
+            # moments update every step (EKFAC's amortized schedule)
+            def with_eigs(st):
+                return ekfac_update_stats(st, acts, pgrads, recompute_eigs=True)
+
+            def without_eigs(st):
+                return ekfac_update_stats(st, acts, pgrads, recompute_eigs=False)
+
+            ekfac_state = jax.lax.cond(
+                step % optim_cfg.precond_interval == 0,
+                with_eigs,
+                without_eigs,
+                ekfac_state,
+            )
+            grads = ekfac_precondition(
+                ekfac_state, grads, eps=optim_cfg.precond_eps
+            )
 
         lr = schedule(step)
         params, opt_state = opt_update(grads, opt_state, params, lr)
@@ -235,7 +271,7 @@ def make_train_step(
             "density": density,
             "prune_rate": prune_rate,
         }
-        return (params, opt_state, mask_state, key), metrics
+        return (params, opt_state, mask_state, key, ekfac_state), metrics
 
     return train_step
 
@@ -277,11 +313,17 @@ def make_fit_fn(
             mdef, mcfg, coords, target_flat, train_cfg, optim_cfg,
             masking_cfg if sparse else None,
         )
-        carry = (params, opt_state, mask_state, loop_key)
+        if optim_cfg.preconditioner == "ekfac":
+            from implicit_image_tpu.optim.ekfac import ekfac_init
+
+            ekfac_state = ekfac_init(params)
+        else:
+            ekfac_state = ()
+        carry = (params, opt_state, mask_state, loop_key, ekfac_state)
         carry, metrics = jax.lax.scan(
             train_step, carry, jnp.arange(train_cfg.num_steps)
         )
-        params, opt_state, mask_state, _ = carry
+        params, opt_state, mask_state = carry[0], carry[1], carry[2]
         return params, opt_state, mask_state, metrics
 
     return fit_fn

@@ -1,0 +1,103 @@
+"""Checkpoint round trip, run store, R-D curves, sweeper."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from implicit_image_tpu.data import get_grid, synthetic_image
+from implicit_image_tpu.models import build_model
+from implicit_image_tpu.sparsity import MaskingConfig
+from implicit_image_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+
+def test_checkpoint_roundtrip_sparse(tmp_path):
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    mk = MaskingConfig(density=0.5, end_when=30, interval=10)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=40, log_steps=20), OptimConfig(lr=1e-3), mk,
+    )
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(
+        path, res.params, res.opt_state, res.mask_state,
+        key=jax.random.PRNGKey(0), step=40,
+    )
+    ck = load_checkpoint(path)
+    assert ck["step"] == 40
+    for a, b in zip(ck["params"], res.params):
+        for k in b:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    np.testing.assert_array_equal(
+        np.asarray(ck["opt_state"].mu[1]["w"]), np.asarray(res.opt_state.mu[1]["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ck["mask_state"].masks[1]), np.asarray(res.mask_state.masks[1])
+    )
+    # resume capability: masks reconstructible from params via 'resume' init
+    from implicit_image_tpu.sparsity import create_mask_state
+
+    st = create_mask_state(
+        jax.random.PRNGKey(0), ck["params"],
+        MaskingConfig(sparse_init="resume", density=0.5),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st.masks[1]),
+        (np.asarray(ck["params"][1]["w"]) != 0).astype(np.float32),
+    )
+
+
+def test_run_store_and_rd_points(tmp_path):
+    (tmp_path / "runA").mkdir()
+    (tmp_path / "runA" / "summary.json").write_text(
+        json.dumps({"PSNR": 30.0, "Quant PSNR": 28.5, "Compressed Bytes": 2048})
+    )
+    (tmp_path / "runB").mkdir()
+    (tmp_path / "runB" / "summary.json").write_text(json.dumps({"PSNR": 33.0}))
+
+    from implicit_image_tpu.visualize import collect_runs, ours_rate_distortion
+
+    runs = collect_runs(tmp_path)
+    assert len(runs) == 2
+    pts = ours_rate_distortion(tmp_path)
+    assert pts == [(2.0, 28.5)]
+
+
+def test_traditional_rate_distortion_jpeg():
+    from implicit_image_tpu.visualize import traditional_rate_distortion
+
+    img = synthetic_image(64, 64, seed=0)
+    pts = traditional_rate_distortion(img, "jpg")
+    assert len(pts) >= 10
+    kb, psnr = zip(*pts)
+    # higher quality -> larger file; last point beats first on PSNR
+    assert kb[-1] > kb[0] and psnr[-1] > psnr[0]
+
+
+def test_plot_rate_distortion_writes_pdf(tmp_path):
+    from implicit_image_tpu.visualize import plot_rate_distortion
+
+    img = synthetic_image(32, 32, seed=0)
+    out = plot_rate_distortion(img, tmp_path, out_path=str(tmp_path / "rd.pdf"))
+    assert (tmp_path / "rd.pdf").exists()
+
+
+def test_sweep_space_parsing_and_sampling():
+    import random
+
+    from implicit_image_tpu.sweep import parse_space, sample
+
+    fixed, space, params = parse_space(
+        ["n_trials=3", "img=synthetic", "masking.density=uniform(0.1,0.9)",
+         "optim=choice(adam,shampoo)".replace("optim=", "optim.name=")]
+    )
+    assert fixed == ["img=synthetic"]
+    assert params["n_trials"] == 3
+    rng = random.Random(0)
+    s = sample(space, rng)
+    d = float([x for x in s if "density" in x][0].split("=")[1])
+    assert 0.1 <= d <= 0.9

@@ -1,0 +1,110 @@
+"""FLOPs accounting + EKFAC preconditioner tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from implicit_image_tpu.data import get_grid, synthetic_image
+from implicit_image_tpu.models import build_model
+from implicit_image_tpu.sparsity.counting import (
+    dense_flops,
+    inference_flops,
+    layer_flops,
+    sparse_param_bits,
+    xla_cost_analysis,
+)
+
+
+def test_layer_flops_dense():
+    # 4->8 FC, bias, activation: mults = 4*8 + 8(act), adds = 3*8 + 8(bias)
+    mults, adds = layer_flops(4, 8, sparsity=0.0)
+    assert mults == 4 * 8 + 8
+    assert adds == 3 * 8 + 8
+
+
+def test_layer_flops_sparsity_scales_fanin():
+    m_dense, _ = layer_flops(100, 10, 0.0, has_bias=False, activation=False)
+    m_half, _ = layer_flops(100, 10, 0.5, has_bias=False, activation=False)
+    assert m_half == m_dense / 2
+
+
+def test_inference_flops_respects_masks():
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=16)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    full = inference_flops(params)
+    assert full == dense_flops(params)
+    # mask half of layer 1
+    masks = [None] * len(params)
+    m = np.ones(params[1]["w"].shape, np.float32)
+    m[: m.shape[0] // 2] = 0.0
+    masks[1] = jnp.asarray(m)
+    masked_params = list(params)
+    masked_params[1] = {**params[1], "w": params[1]["w"] * masks[1]}
+    sparse = inference_flops(tuple(masked_params), masks)
+    assert sparse < full
+
+
+def test_sparse_param_bits():
+    params = ({"w": jnp.ones((4, 4)), "b": jnp.ones((4,))},)
+    dense_bits = sparse_param_bits(params)
+    assert dense_bits == 20 * 32
+    half = ({"w": jnp.concatenate([jnp.ones((2, 4)), jnp.zeros((2, 4))]),
+             "b": jnp.ones((4,))},)
+    bits = sparse_param_bits(half)
+    assert bits == (8 * 32 + 16) + 4 * 32  # nnz*32 + 1-bit mask + bias
+
+
+def test_xla_cost_analysis_reports_flops():
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    coords = get_grid(8, 8).reshape(-1, 2)
+    ca = xla_cost_analysis(lambda p: mdef.apply_flat(p, coords, mcfg), params)
+    assert ca.get("flops", 0) > 0
+
+
+def test_ekfac_capture_and_precondition_shapes():
+    from implicit_image_tpu.optim.ekfac import (
+        capture_layer_stats,
+        ekfac_init,
+        ekfac_precondition,
+        ekfac_update_stats,
+    )
+
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    coords = get_grid(6, 6).reshape(-1, 2)
+    target = jax.random.uniform(jax.random.PRNGKey(1), (36, 3))
+    acts, grads = capture_layer_stats(mdef, mcfg, params, coords, target)
+    assert len(acts) == 3 and len(grads) == 3
+    assert acts[0].shape == (36, 2) and grads[0].shape == (36, 8)
+
+    # per-sample grads sum to the bias gradient (consistency check)
+    def loss(p):
+        return jnp.mean((mdef.apply_flat(p, coords, mcfg) - target) ** 2)
+
+    g_auto = jax.grad(loss)(params)
+    np.testing.assert_allclose(
+        np.asarray(grads[1].sum(0)), np.asarray(g_auto[1]["b"]), rtol=1e-4, atol=1e-7
+    )
+
+    state = ekfac_init(params)
+    state = ekfac_update_stats(state, acts, grads)
+    pre = ekfac_precondition(state, g_auto)
+    for layer, orig in zip(pre, g_auto):
+        for k in layer:
+            assert layer[k].shape == orig[k].shape
+
+
+def test_ekfac_fit_converges():
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=100, log_steps=50),
+        OptimConfig(lr=1e-3, preconditioner="ekfac", precond_interval=10),
+    )
+    psnr = np.asarray(res.metrics["psnr"])
+    psnr = psnr[~np.isnan(psnr)]
+    assert np.isfinite(psnr).all() and psnr[-1] > 15.0, psnr
