@@ -88,10 +88,32 @@ def linear_state_dict(
     return state
 
 
+def _shuffle_tensor_bytes(arr: np.ndarray) -> bytes:
+    """Byte-plane split: all 0th bytes of every element, then all 1st, …
+
+    Groups the highly-skewed fp16 sign/exponent bytes into one contiguous
+    run and the near-random mantissa bytes into another, which every
+    entropy backend compresses ~5% smaller than element-interleaved bytes
+    (measured in tests/test_coding.py). Identity for 1-byte dtypes.
+    """
+    arr = np.ascontiguousarray(arr).reshape(-1)
+    if arr.dtype.itemsize == 1 or arr.size == 0:
+        return arr.tobytes()
+    return arr.view(np.uint8).reshape(-1, arr.dtype.itemsize).T.tobytes()
+
+
+def _unshuffle_tensor_bytes(buf: bytes, dtype: np.dtype, size: int) -> np.ndarray:
+    if dtype.itemsize == 1 or size == 0:
+        return np.frombuffer(buf, dtype=dtype, count=size)
+    planes = np.frombuffer(buf, dtype=np.uint8, count=size * dtype.itemsize)
+    return planes.reshape(dtype.itemsize, size).T.copy().view(dtype).reshape(size)
+
+
 def compress_state_dict(
     state_dict: Dict[str, np.ndarray],
     dir_name: Union[str, Path],
     stream_name: str = "zstd",
+    shuffle: bool = True,
     **kwargs,
 ) -> int:
     """Write compressed_weights.data + meta_data.json; return payload bytes."""
@@ -104,12 +126,13 @@ def compress_state_dict(
     chunks = []
     for order, (name, arr) in enumerate(state_dict.items()):
         arr = np.ascontiguousarray(arr)
-        chunks.append(arr.tobytes())
-        meta[order] = {
+        chunks.append(_shuffle_tensor_bytes(arr) if shuffle else arr.tobytes())
+        meta[str(order)] = {
             "shape": list(arr.shape),
             "dtype": str(arr.dtype),
             "name": name,
         }
+    meta["__meta__"] = {"format": 2, "shuffle": bool(shuffle)}
 
     payload = encode_stream(stream_name, b"".join(chunks), **kwargs)
     binary_file.write_bytes(payload)
@@ -127,6 +150,8 @@ def decompress_state_dict(
     """
     dir_name = Path(dir_name)
     meta = json.loads((dir_name / "meta_data.json").read_text())
+    fmt = meta.pop("__meta__", {"format": 1, "shuffle": False})
+    shuffle = bool(fmt.get("shuffle", False))
     meta = {int(k): v for k, v in meta.items()}
     dec = decode_stream(
         stream_name, (dir_name / "compressed_weights.data").read_bytes(), **kwargs
@@ -138,9 +163,13 @@ def decompress_state_dict(
         info = meta[order]
         dtype = np.dtype(info["dtype"])
         size = int(np.prod(info["shape"], dtype=np.int64)) if info["shape"] else 1
-        arr = np.frombuffer(dec, dtype=dtype, count=size, offset=offset)
+        nbytes = size * dtype.itemsize
+        if shuffle:
+            arr = _unshuffle_tensor_bytes(dec[offset : offset + nbytes], dtype, size)
+        else:
+            arr = np.frombuffer(dec, dtype=dtype, count=size, offset=offset)
         raw[info["name"]] = arr.reshape(info["shape"])
-        offset += size * dtype.itemsize
+        offset += nbytes
 
     out: Dict[str, np.ndarray] = {}
     for name, arr in raw.items():

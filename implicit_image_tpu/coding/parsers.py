@@ -1,11 +1,18 @@
 """Stream backends for the weight bitstream.
 
 Capability parity with reference `entropy_coding/parsers.py` (NumpyParser,
-LZMAParser) and `get_stream_writer/reader` (__init__.py:44-67): four
-backends {plain, zstd, lzma, huffman}, selected by name. The reference's
-zstd level-22 default comes from conf/entropy_coding/zstd.yaml; its huffman
-backend was an unimplemented stub — here it is real (huffman.py, with a
-native C++ fast path).
+LZMAParser) and `get_stream_writer/reader` (__init__.py:44-67), plus two
+backends the reference lacks:
+
+  * plain   — raw bytes (reference NumpyParser, parsers.py:20-42)
+  * zstd    — level-22 (reference __init__.py:45-46; conf/entropy_coding/
+              zstd.yaml), zlib fallback when zstandard is unavailable
+  * lzma    — (reference LZMAParser, parsers.py:45-63)
+  * huffman — real canonical-Huffman codec (the reference declared this
+              backend but left it a stub, __init__.py:51-52,64-65)
+  * range   — adaptive order-1 binary range coder (native C++); beats
+              zstd-22 on the actual fp16-weight / k-means-label payload
+  * auto    — encodes with every backend, keeps the smallest (1-byte tag)
 
 Functional API instead of the reference's writer/reader classes: the whole
 payload is one buffer (the reference also compresses the concatenated
@@ -18,10 +25,14 @@ import lzma
 import zlib
 
 from implicit_image_tpu.coding.huffman import huffman_decode, huffman_encode
+from implicit_image_tpu.coding.range_coder import range_decode, range_encode
 
 __all__ = ["encode_stream", "decode_stream", "backend_names"]
 
-backend_names = ("plain", "zstd", "lzma", "huffman")
+backend_names = ("plain", "zstd", "lzma", "huffman", "range", "auto")
+
+# Candidate set for the `auto` backend; tag byte = index in this tuple.
+_AUTO_ORDER = ("zstd", "lzma", "huffman", "range", "plain")
 
 
 def encode_stream(name: str, raw: bytes, level: int = 22, **kwargs) -> bytes:
@@ -38,6 +49,15 @@ def encode_stream(name: str, raw: bytes, level: int = 22, **kwargs) -> bytes:
         return lzma.compress(raw)
     if name == "huffman":
         return huffman_encode(raw)
+    if name == "range":
+        return range_encode(raw)
+    if name == "auto":
+        best_tag, best = 0, None
+        for tag, backend in enumerate(_AUTO_ORDER):
+            blob = encode_stream(backend, raw, level=level)
+            if best is None or len(blob) < len(best):
+                best_tag, best = tag, blob
+        return bytes([best_tag]) + best
     raise NotImplementedError(f"stream writer {name} not found.")
 
 
@@ -55,4 +75,8 @@ def decode_stream(name: str, blob: bytes, **kwargs) -> bytes:
         return lzma.decompress(blob)
     if name == "huffman":
         return huffman_decode(blob)
+    if name == "range":
+        return range_decode(blob)
+    if name == "auto":
+        return decode_stream(_AUTO_ORDER[blob[0]], blob[1:])
     raise NotImplementedError(f"stream reader {name} not found.")
