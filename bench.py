@@ -49,8 +49,12 @@ def main() -> None:
         TrainConfig(
             num_steps=steps,
             log_steps=steps // 4,
-            compute_dtype="bfloat16",
-            use_pallas=True,  # fused sine-MLP kernel (ops/sine_mlp.py)
+            # Measured on v5e (benchmarks/fit_speed.py): XLA's lowering of the
+            # fp32 chain with fast_sin is MXU-bound at the K=128 shape ceiling
+            # and beats both the fused Pallas kernel (which pays a remat
+            # forward) and bf16 casting. fast_sine polynomial is on by default.
+            compute_dtype=None,
+            use_pallas=False,
         ),
         OptimConfig(),
     )

@@ -211,6 +211,7 @@ def decode_and_render(
     (SURVEY.md §3.2); this is the canonical one.
     """
     import jax
+    import numpy as np_
 
     from implicit_image_tpu.data import get_grid
 
@@ -220,17 +221,34 @@ def decode_and_render(
     t1 = time.perf_counter()
     grid = get_grid(height, width)
     render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
-    img = render(params)
-    jax.block_until_ready(img)
+    img = np_.asarray(render(params))  # compile + first render + readback
     t2 = time.perf_counter()
-    # steady-state render (compile + first-touch excluded)
-    img = render(params)
-    jax.block_until_ready(img)
+    # Steady-state device rate: K renders inside ONE dispatch (per-dispatch
+    # tunnel latency and block_until_ready are unreliable on remote TPU
+    # runtimes), forced to completion by a host readback of a scalar.
+    reps = 8
+
+    @jax.jit
+    def render_many(p):
+        def body(c, _):
+            # tie the params to the carry so XLA cannot hoist the render
+            # out of the loop (the perturbation is below f32 resolution)
+            pc = jax.tree_util.tree_map(lambda x: x * (1.0 + c * 1e-38), p)
+            out = mdef.apply(pc, grid, mcfg)
+            return c + out[0, 0, 0], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=reps)
+        return acc
+
+    np_.asarray(render_many(params))  # warm-up compile
     t3 = time.perf_counter()
+    np_.asarray(render_many(params))
+    t4 = time.perf_counter()
+    render_s = (t4 - t3) / reps
     stats = {
         "decode_s": t1 - t0,
         "first_render_s": t2 - t1,
-        "render_s": t3 - t2,
-        "mpix_per_s": (height * width) / max(t3 - t2, 1e-9) / 1e6,
+        "render_s": render_s,
+        "mpix_per_s": (height * width) / max(render_s, 1e-9) / 1e6,
     }
     return img, stats

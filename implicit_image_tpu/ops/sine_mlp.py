@@ -1,19 +1,25 @@
 """Fused SIREN forward/backward as Pallas TPU kernels.
 
-Why: at the reference operating point (512² pixels × width 128 × depth 8)
-the XLA path is HBM-bound — every layer round-trips a 262144×128
-activation through HBM (~64 MB each way), capping the matmul chain at
-~28 TFLOPS on v5e. The fused kernel tiles the PIXEL axis: for each tile of
-rows, ALL layers run back-to-back in VMEM (the full weight stack is
-<0.5 MB and stays resident across grid steps), so HBM traffic collapses to
-coords in + prediction out. Sines use the polynomial approximations from
-ops/fast_math.py (~7x XLA's sin on the VPU).
+The fused kernel tiles the PIXEL axis: for each tile of rows, ALL layers
+run back-to-back in VMEM (the weight stack is kept bf16-resident across
+grid steps), so HBM activation traffic collapses to coords in + prediction
+out. Sines use the polynomial approximations from ops/fast_math.py.
 
-Backward uses the rematerialization strategy: each tile re-runs the
-forward, stashing pre-activations in VMEM scratch, then backpropagates,
-accumulating weight/bias gradients across sequential grid steps into
-VMEM-resident output blocks (init at program_id 0). Zero activation HBM
-traffic in either direction.
+Backward rematerializes: each tile re-runs the forward stashing only the
+f32 pre-activations z in VMEM scratch (activations a = sin(ω·z) are
+recomputed on the VPU where needed), then backpropagates with single bf16
+matmuls (f32 accumulation), accumulating weight/bias gradients across
+sequential grid steps into VMEM-resident output blocks (initialized at
+program_id 0).
+
+MEASURED REALITY (TPU v5e, 512² pixels, width 128 / depth 8): XLA's own
+lowering of the same chain is ALREADY MXU-bound at the ~25 TFLOPS rate a
+K=N=128 dot can sustain on one MXU, and XLA overlaps the activation HBM
+traffic behind the matmul chain — so this fused kernel matches but does
+not beat XLA at the reference operating point, and `TrainConfig.use_pallas`
+defaults to False. The kernel remains as the masked/fused building block
+and for shapes where XLA scheduling falls behind; benchmarks/fit_speed.py
+re-measures both paths.
 
 Layout notes (guide: /opt/skills/guides/pallas_guide.md):
   * coords/outputs are padded to 8 lanes (f32 sublane tile) so HBM traffic
@@ -29,7 +35,6 @@ models/siren.py:56-68 / 123-134 (full-grid forward at compress.py:138).
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple
 
 import jax
@@ -58,34 +63,40 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pick_tile(h: int, n: int) -> int:
+    # VMEM budget: bwd scratch is (depth-1)·tile·h·4B (f32 z) plus the bf16
+    # weight stack and f32 grad accumulators; tile chosen to stay <~12 MB.
+    if h <= 128:
+        tile = 1024
+    elif h <= 256:
+        tile = 512
+    else:
+        tile = 256
+    return min(tile, _round_up(n, 8))
+
+
 # ------------------------------------------------------------------ forward
 
 
 def _fwd_kernel(spec: _Spec, x_ref, w0_ref, wm_ref, wl_ref, bs_ref, bl_ref, out_ref):
     bf = jnp.bfloat16
     x = x_ref[:].astype(bf)
-    z = (
-        jnp.dot(x, w0_ref[:].astype(bf), preferred_element_type=jnp.float32)
-        + bs_ref[pl.ds(0, 1), :]
-    )
+    z = jnp.dot(x, w0_ref[:], preferred_element_type=jnp.float32) + bs_ref[
+        pl.ds(0, 1), :
+    ]
     a = fast_sin(spec.omega0 * z).astype(bf)
     for i in range(spec.depth - 2):
-        z = (
-            jnp.dot(a, wm_ref[i].astype(bf), preferred_element_type=jnp.float32)
-            + bs_ref[pl.ds(i + 1, 1), :]
-        )
+        z = jnp.dot(a, wm_ref[i], preferred_element_type=jnp.float32) + bs_ref[
+            pl.ds(i + 1, 1), :
+        ]
         a = fast_sin(spec.omega_h * z).astype(bf)
-    out_ref[:] = (
-        jnp.dot(a, wl_ref[:].astype(bf), preferred_element_type=jnp.float32)
-        + bl_ref[:]
-    )
+    out_ref[:] = jnp.dot(a, wl_ref[:], preferred_element_type=jnp.float32) + bl_ref[:]
 
 
 def _fwd_call(spec: _Spec, coords8, w0, wm, wl, bs, bl):
     n = coords8.shape[0]
     h = spec.hidden
     grid = (spec.n_tiles,)
-    const = lambda *args: tuple(0 for _ in args)  # noqa: E731
     return pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
         out_shape=jax.ShapeDtypeStruct((n, PAD_IO), jnp.float32),
@@ -105,7 +116,7 @@ def _fwd_call(spec: _Spec, coords8, w0, wm, wl, bs, bl):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * (PAD_IO * 2 + h * (spec.depth - 2)),
-            bytes_accessed=n * PAD_IO * 8 + (spec.depth - 2) * h * h * 4,
+            bytes_accessed=n * PAD_IO * 8 + (spec.depth - 2) * h * h * 2,
             transcendentals=n * h * (spec.depth - 1),
         ),
     )(coords8, w0, wm, wl, bs, bl)
@@ -127,7 +138,6 @@ def _bwd_kernel(
     dwl_ref,
     dbs_ref,
     dbl_ref,
-    a_scr,
     z_scr,
 ):
     bf = jnp.bfloat16
@@ -143,64 +153,44 @@ def _bwd_kernel(
         dbs_ref[:] = jnp.zeros(dbs_ref.shape, dbs_ref.dtype)
         dbl_ref[:] = jnp.zeros(dbl_ref.shape, dbl_ref.dtype)
 
-    # --- recompute forward, stashing pre-activations ---
+    # --- recompute forward, stashing pre-activations z (f32) only ---
     x = x_ref[:].astype(bf)
-    z = (
-        jnp.dot(x, w0_ref[:].astype(bf), preferred_element_type=f32)
-        + bs_ref[pl.ds(0, 1), :]
-    )
+    z = jnp.dot(x, w0_ref[:], preferred_element_type=f32) + bs_ref[pl.ds(0, 1), :]
     z_scr[0] = z
     a = fast_sin(spec.omega0 * z).astype(bf)
-    a_scr[0] = a
     for i in range(depth - 2):
-        z = (
-            jnp.dot(a, wm_ref[i].astype(bf), preferred_element_type=f32)
-            + bs_ref[pl.ds(i + 1, 1), :]
-        )
+        z = jnp.dot(a, wm_ref[i], preferred_element_type=f32) + bs_ref[
+            pl.ds(i + 1, 1), :
+        ]
         z_scr[i + 1] = z
         a = fast_sin(spec.omega_h * z).astype(bf)
-        a_scr[i + 1] = a
 
-    # --- backprop ---
-    # Cotangents stay ~f32-accurate on the MXU via a two-term bf16 split:
-    # g = hi + lo with hi = bf16(g); each matmul runs twice in bf16 and the
-    # f32 accumulators recombine the terms (classic compensated product).
-    def split_dot(a, g, dims):
-        hi = g.astype(bf)
-        lo = (g - hi.astype(f32)).astype(bf)
-        return jax.lax.dot_general(
-            a, hi, dims, preferred_element_type=f32
-        ) + jax.lax.dot_general(a, lo, dims, preferred_element_type=f32)
+    def sine_of(i):
+        omega = spec.omega0 if i == 0 else spec.omega_h
+        return fast_sin(omega * z_scr[i]).astype(bf)
 
     dT = (((0,), (0,)), ((), ()))  # contract rows: a^T @ g
     dN = (((1,), (1,)), ((), ()))  # g @ W^T
+
     g = g_ref[:]  # (T, PAD_IO) f32 cotangent of the last linear output
+    gb = g.astype(bf)
     # last linear: out = a_{n_sine-1} @ wl + bl
-    dwl_ref[:] += split_dot(a_scr[n_sine - 1], g, dT)
-    dbl_ref[:] += jnp.sum(g, axis=0, keepdims=True)
-    # g into the last sine activation
-    ga = jax.lax.dot_general(
-        g.astype(bf), wl_ref[:].astype(bf), dN, preferred_element_type=f32
-    ) + jax.lax.dot_general(
-        (g - g.astype(bf).astype(f32)).astype(bf),
-        wl_ref[:].astype(bf),
-        dN,
-        preferred_element_type=f32,
+    dwl_ref[:] += jax.lax.dot_general(
+        sine_of(n_sine - 1), gb, dT, preferred_element_type=f32
     )
+    dbl_ref[:] += jnp.sum(g, axis=0, keepdims=True)
+    ga = jax.lax.dot_general(gb, wl_ref[:], dN, preferred_element_type=f32)
     for i in range(n_sine - 1, 0, -1):
-        omega = spec.omega_h if i > 0 else spec.omega0
-        gz = ga * (omega * fast_cos(omega * z_scr[i]))
-        dwm_ref[i - 1] += split_dot(a_scr[i - 1], gz, dT)
+        gz = ga * (spec.omega_h * fast_cos(spec.omega_h * z_scr[i]))
+        gzb = gz.astype(bf)
+        dwm_ref[i - 1] += jax.lax.dot_general(
+            sine_of(i - 1), gzb, dT, preferred_element_type=f32
+        )
         dbs_ref[pl.ds(i, 1), :] += jnp.sum(gz, axis=0, keepdims=True)
-        gzh = gz.astype(bf)
-        gzl = (gz - gzh.astype(f32)).astype(bf)
-        wmb = wm_ref[i - 1].astype(bf)
-        ga = jax.lax.dot_general(
-            gzh, wmb, dN, preferred_element_type=f32
-        ) + jax.lax.dot_general(gzl, wmb, dN, preferred_element_type=f32)
+        ga = jax.lax.dot_general(gzb, wm_ref[i - 1], dN, preferred_element_type=f32)
     # first sine layer
     gz = ga * (spec.omega0 * fast_cos(spec.omega0 * z_scr[0]))
-    dw0_ref[:] += split_dot(x, gz, dT)
+    dw0_ref[:] += jax.lax.dot_general(x, gz.astype(bf), dT, preferred_element_type=f32)
     dbs_ref[pl.ds(0, 1), :] += jnp.sum(gz, axis=0, keepdims=True)
 
 
@@ -235,13 +225,12 @@ def _bwd_call(spec: _Spec, coords8, g8, w0, wm, wl, bs):
             pl.BlockSpec((1, PAD_IO), const2, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((depth - 1, spec.tile, h), jnp.bfloat16),  # a_scr
             pltpu.VMEM((depth - 1, spec.tile, h), jnp.float32),  # z_scr
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * spec.n_tiles * spec.tile * h * h * (depth - 2),
             bytes_accessed=spec.n_tiles * spec.tile * PAD_IO * 12,
-            transcendentals=2 * spec.n_tiles * spec.tile * h * (depth - 1),
+            transcendentals=3 * spec.n_tiles * spec.tile * h * (depth - 1),
         ),
     )(coords8, g8, w0, wm, wl, bs)
 
@@ -276,6 +265,8 @@ def siren_apply_flat_pallas(params, coords: jnp.ndarray, cfg) -> jnp.ndarray:
 
     Requires outermost_linear=True (the reference's only configuration,
     conf/mlp/siren.yaml) and input_size<=PAD_IO, output_size<=PAD_IO.
+    Weights enter VMEM as bf16 (the MXU input type); gradients flow back
+    to the original f32 leaves through the bf16 cast.
     """
     assert cfg.outermost_linear, "fused kernel assumes a linear last layer"
     depth = cfg.depth
@@ -284,7 +275,7 @@ def siren_apply_flat_pallas(params, coords: jnp.ndarray, cfg) -> jnp.ndarray:
     hidden = params[0]["w"].shape[1]
     h = _round_up(hidden, LANE)
     n = coords.shape[0]
-    tile = 512 if h <= 128 else 256
+    tile = _pick_tile(h, n)
     n_pad = _round_up(n, tile)
     spec = _Spec(
         depth=depth,
@@ -299,14 +290,16 @@ def siren_apply_flat_pallas(params, coords: jnp.ndarray, cfg) -> jnp.ndarray:
     coords8 = jnp.zeros((n_pad, PAD_IO), jnp.float32)
     coords8 = coords8.at[:n, :in_sz].set(x)
 
+    bf = jnp.bfloat16
+
     def pad2(a, r, c):
         return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
 
-    w0 = pad2(params[0]["w"], PAD_IO, h)
+    w0 = pad2(params[0]["w"], PAD_IO, h).astype(bf)
     wm = jnp.stack(
         [pad2(params[i]["w"], h, h) for i in range(1, depth - 1)]
-    )
-    wl = pad2(params[depth - 1]["w"], h, PAD_IO)
+    ).astype(bf)
+    wl = pad2(params[depth - 1]["w"], h, PAD_IO).astype(bf)
     bs = jnp.stack(
         [jnp.pad(params[i]["b"], (0, h - params[i]["b"].shape[0])) for i in range(depth - 1)]
     )

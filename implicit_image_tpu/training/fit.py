@@ -74,6 +74,18 @@ class TrainConfig:
     multiplier: int = 1
     save_weights: bool = True
     use_pallas: bool = False  # fused sine-MLP Pallas kernel (siren only)
+    # jax.checkpoint the forward (saves forward-pass residency only; the
+    # backward recompute still materializes all activations, so this does
+    # NOT reduce peak memory — pixel_chunks does).
+    remat: bool = False
+    # Gradient accumulation over the pixel axis: the full-grid loss/grad is
+    # computed as a lax.scan over `pixel_chunks` equal coordinate chunks,
+    # bounding activation memory at (batch · HW/pixel_chunks · width) per
+    # layer. Required for large vmapped batches — 64 concurrent 256² fits
+    # store ~15 GB of backward activations unchunked, exceeding v5e HBM.
+    # The accumulated gradient is bit-equivalent to the full-batch gradient
+    # (MSE over equal chunks averages exactly).
+    pixel_chunks: int = 1
 
 
 @dataclass(frozen=True)
@@ -120,7 +132,15 @@ def _compute_dtype(train_cfg: TrainConfig):
     return jnp.dtype(train_cfg.compute_dtype)
 
 
-def make_loss_fn(mdef: ModelDef, mcfg, coords, target_flat, compute_dtype, use_pallas=False):
+def make_loss_fn(
+    mdef: ModelDef,
+    mcfg,
+    coords,
+    target_flat,
+    compute_dtype,
+    use_pallas=False,
+    remat=False,
+):
     apply_flat = mdef.apply_flat
     if use_pallas and mdef.name == "siren":
         from implicit_image_tpu.ops.sine_mlp import siren_apply_flat_pallas
@@ -131,6 +151,8 @@ def make_loss_fn(mdef: ModelDef, mcfg, coords, target_flat, compute_dtype, use_p
         pred = apply_flat(params, coords, mcfg, compute_dtype)
         return mse(pred, target_flat)
 
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
     return loss_fn
 
 
@@ -146,12 +168,53 @@ def make_train_step(
     """Build the pure (carry, step) -> (carry, metrics) scan body."""
     compute_dtype = _compute_dtype(train_cfg)
     loss_fn = make_loss_fn(
-        mdef, mcfg, coords, target_flat, compute_dtype, train_cfg.use_pallas
+        mdef,
+        mcfg,
+        coords,
+        target_flat,
+        compute_dtype,
+        train_cfg.use_pallas,
+        train_cfg.remat,
     )
     schedule = step_lr(optim_cfg.lr, optim_cfg.lr_step_size, optim_cfg.lr_gamma)
     sparse = masking_cfg is not None and not masking_cfg.dense
     decay_fn = build_decay(masking_cfg) if sparse else None
-    grad_fn = jax.value_and_grad(loss_fn)
+
+    if train_cfg.pixel_chunks > 1:
+        n = coords.shape[0]
+        k = train_cfg.pixel_chunks
+        if n % k:
+            raise ValueError(f"pixel_chunks={k} must divide pixel count {n}")
+        coords_c = coords.reshape(k, n // k, coords.shape[-1])
+        target_c = target_flat.reshape(k, n // k, target_flat.shape[-1])
+
+        def grad_fn(params):
+            def chunk_loss(p, c, t):
+                return make_loss_fn(
+                    mdef, mcfg, c, t, compute_dtype,
+                    train_cfg.use_pallas, train_cfg.remat,
+                )(p)
+
+            def body(acc, ct):
+                c, t = ct
+                l, g = jax.value_and_grad(chunk_loss)(params, c, t)
+                acc_l, acc_g = acc
+                return (
+                    acc_l + l,
+                    jax.tree_util.tree_map(jnp.add, acc_g, g),
+                ), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero_g), (coords_c, target_c)
+            )
+            inv = 1.0 / k
+            return loss_sum * inv, jax.tree_util.tree_map(
+                lambda g: g * inv, grad_sum
+            )
+
+    else:
+        grad_fn = jax.value_and_grad(loss_fn)
 
     def opt_update(grads, opt_state, params, lr):
         if optim_cfg.name == "adam":

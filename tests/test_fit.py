@@ -121,3 +121,28 @@ def test_fourier_fit(small_problem):
     )
     losses = np.asarray(res.metrics["loss"])
     assert losses[-1] < losses[0] * 0.5
+
+
+def test_pixel_chunks_matches_full_batch(small_problem):
+    """Gradient accumulation over pixel chunks is numerically equivalent to
+    the full-grid gradient (MSE over equal chunks averages exactly)."""
+    grid, img, mdef, mcfg = small_problem
+    kwargs = dict(num_steps=20, log_steps=10)
+    r1 = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+             TrainConfig(**kwargs), OptimConfig())
+    r2 = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+             TrainConfig(**kwargs, pixel_chunks=4), OptimConfig())
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pixel_chunks_must_divide():
+    from implicit_image_tpu.data import get_grid, synthetic_image
+
+    grid = get_grid(10, 10)
+    img = synthetic_image(10, 10, seed=0)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    with pytest.raises(ValueError, match="pixel_chunks"):
+        fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+            TrainConfig(num_steps=2, log_steps=1, pixel_chunks=3), OptimConfig())
