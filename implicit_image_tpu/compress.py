@@ -125,10 +125,11 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     train_cfg = TrainConfig(
         num_steps=num_steps,
         log_steps=int(cfg.train.log_steps),
-        compute_dtype="bfloat16" if cfg.train.get("mixed_precision", True) else None,
+        compute_dtype="bfloat16" if cfg.train.get("mixed_precision", False) else None,
         multiplier=mult,
         save_weights=cfg.train.get("save_weights", True),
         use_pallas=bool(cfg.train.get("use_pallas", False)) and cfg.mlp.name == "siren",
+        pixel_chunks=int(cfg.train.get("pixel_chunks", 1)),
     )
     # PyYAML parses bare "3e-4" as a string; coerce numeric optim fields
     optim_kwargs = {}
@@ -143,7 +144,16 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         cfg.mlp.name, cfg.img.name, h, w, num_steps,
         masking_cfg_raw.get("name") if masking_cfg_raw else "none",
     )
-    res = fit(key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking)
+    if cfg.get("profile", False):
+        # jax.profiler device trace of the whole fit (view with TensorBoard/
+        # xprof) — the TPU-native replacement for the reference's
+        # nvidia-smi polling (SURVEY.md §5)
+        from implicit_image_tpu.utils import trace
+
+        with trace(str(Path(run_dir) / "profile")):
+            res = fit(key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking)
+    else:
+        res = fit(key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking)
 
     # post-hoc logging at the reference cadence (metrics were computed
     # in-program at (i+1) % log_steps == 0, compress.py:146)
