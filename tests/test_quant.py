@@ -144,3 +144,61 @@ def test_quant_finetune_end_to_end():
     for i, book in enumerate(qres.codebooks):
         if book is not None:
             assert len(np.unique(qres.params[i]["w"])) <= 2**8
+
+
+def test_codebook_finetune_improves_over_post_training():
+    """KMeans finetune trains the codebook (labels frozen) and must BEAT
+    pure post-training clustering — the projected-Adam scheme the reference
+    uses measurably loses dB instead (quant_phase.py docstring)."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.ops.metrics import psnr
+    from implicit_image_tpu.quant import quantize_weight
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(32, 32, seed=0)
+    grid = get_grid(32, 32)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=32)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=300, log_steps=100), OptimConfig(lr=1e-3),
+    )
+
+    # post-training clustering only (4-bit so the gap is visible)
+    snapped = list(res.params)
+    for i in (1, 2):
+        w, _ = quantize_weight(snapped[i]["w"], bits=4)
+        snapped[i] = dict(snapped[i], w=w)
+    post = float(psnr(mdef.apply(tuple(snapped), grid, mcfg), img))
+
+    qres = quant_finetune(
+        res.params, img, mdef, mcfg, grid,
+        QuantConfig(bits=4, num_steps=100), OptimConfig(lr=1e-3),
+    )
+    qpsnr = float(np.asarray(qres.metrics["quant_psnr"]))
+    assert qpsnr > post, (qpsnr, post)
+    # pruning compatibility: frozen zero centroid stays exactly zero
+    assert float(np.asarray(qres.codebooks[1].centroids)[0]) == 0.0
+
+
+def test_qat_uniform_finetune_end_to_end():
+    """Uniform fake-quant QAT (fbgemm stand-in) round-trips the phase."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(24, 24, seed=0)
+    grid = get_grid(24, 24)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=16)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=150, log_steps=50), OptimConfig(lr=1e-3),
+    )
+    qres = quant_finetune(
+        res.params, img, mdef, mcfg, grid,
+        QuantConfig(name="QAT", bits=8, num_steps=30), OptimConfig(lr=1e-4),
+    )
+    assert np.isfinite(float(np.asarray(qres.metrics["quant_psnr"])))
+    assert qres.codebooks[1] is not None
