@@ -78,5 +78,10 @@ def decode_stream(name: str, blob: bytes, **kwargs) -> bytes:
     if name == "range":
         return range_decode(blob)
     if name == "auto":
-        return decode_stream(_AUTO_ORDER[blob[0]], blob[1:])
+        if not blob:
+            raise ValueError("empty auto-coded stream")
+        tag = blob[0]
+        if tag >= len(_AUTO_ORDER):
+            raise ValueError(f"corrupt auto-coded stream: unknown backend tag {tag}")
+        return decode_stream(_AUTO_ORDER[tag], blob[1:])
     raise NotImplementedError(f"stream reader {name} not found.")

@@ -197,16 +197,32 @@ def range_encode(data: bytes) -> bytes:
     return out.raw[:n]
 
 
+def _validate_header(blob: bytes) -> int:
+    """Check magic and return the declared raw size, bounding it against
+    the body length (the coder never expands 8:1, so a huge declared size
+    with a tiny body means corruption — fail cleanly instead of trying to
+    allocate the attacker-controlled size)."""
+    if len(blob) < 12:
+        raise ValueError("truncated range-coder stream (no header)")
+    magic, raw = struct.unpack_from("<IQ", blob, 0)
+    if magic != _MAGIC:
+        raise ValueError("bad range-coder magic")
+    body = len(blob) - 12
+    # max legitimate expansion: saturated probs cost ~0.011 bit/bit ->
+    # ~92x; 256x bounds the allocation while never rejecting a real stream
+    if raw > 0 and (body == 0 or raw > body * 256 + 64):
+        raise ValueError(
+            f"corrupt range-coder stream: declares {raw} bytes, body is {body}"
+        )
+    return raw
+
+
 def range_decode(blob: bytes) -> bytes:
+    raw = _validate_header(blob)
+    if raw == 0:
+        return b""
     lib = _load_native()
     if lib is None:
-        return _py_decode(blob)
-    raw = lib.iirange_decode(blob, len(blob), None, 0)
-    if raw == 0:
-        if len(blob) >= 12:
-            (declared,) = struct.unpack_from("<Q", blob, 4)
-            if declared == 0:
-                return b""
         return _py_decode(blob)
     out = ctypes.create_string_buffer(raw)
     got = lib.iirange_decode(blob, len(blob), out, raw)

@@ -12,8 +12,10 @@ Update rule matches torch.optim.Adam exactly:
     nu  <- b2*nu + (1-b2)*g^2
     p   <- p - lr * (mu/(1-b1^t)) / (sqrt(nu/(1-b2^t)) + eps)
 
-Frozen leaves: any param dict leaf not stored under key "w" or "b"
-(e.g. the Fourier encoding matrix "B") receives no update.
+Frozen leaves: any param dict leaf not stored under a TRAINABLE_KEYS key
+(e.g. the Fourier encoding matrix "B") receives no update. "centroids" is
+trainable for the quant phase's codebook finetune
+(training/quant_phase.py), where the k-means codebook replaces "w".
 """
 from __future__ import annotations
 
@@ -24,7 +26,7 @@ import jax.numpy as jnp
 
 __all__ = ["AdamState", "adam_init", "adam_update", "adam_momentum"]
 
-TRAINABLE_KEYS = ("w", "b")
+TRAINABLE_KEYS = ("w", "b", "centroids")
 
 
 class AdamState(NamedTuple):

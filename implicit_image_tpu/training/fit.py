@@ -34,14 +34,7 @@ import jax.numpy as jnp
 
 from implicit_image_tpu.models import ModelDef
 from implicit_image_tpu.ops.metrics import mse, psnr_8bit
-from implicit_image_tpu.optim import (
-    adam_init,
-    adam_momentum,
-    adam_update,
-    shampoo_init,
-    shampoo_update,
-    step_lr,
-)
+from implicit_image_tpu.optim import adam_momentum, opt_init, opt_update, step_lr
 from implicit_image_tpu.sparsity import (
     MaskState,
     MaskingConfig,
@@ -216,21 +209,11 @@ def make_train_step(
     else:
         grad_fn = jax.value_and_grad(loss_fn)
 
-    def opt_update(grads, opt_state, params, lr):
-        if optim_cfg.name == "adam":
-            return adam_update(grads, opt_state, params, lr)
-        if optim_cfg.name == "shampoo":
-            return shampoo_update(
-                grads,
-                opt_state,
-                params,
-                lr,
-                momentum=optim_cfg.momentum,
-                weight_decay=optim_cfg.weight_decay,
-            )
-        raise KeyError(optim_cfg.name)
-
     use_ekfac = optim_cfg.preconditioner == "ekfac"
+    if use_ekfac and train_cfg.pixel_chunks > 1:
+        # capture_layer_stats runs over the full grid, re-materializing the
+        # activations pixel_chunks exists to bound — refuse the silent OOM
+        raise ValueError("preconditioner='ekfac' is incompatible with pixel_chunks>1")
 
     def train_step(carry, step):
         params, opt_state, mask_state, key, ekfac_state = carry
@@ -268,7 +251,7 @@ def make_train_step(
             )
 
         lr = schedule(step)
-        params, opt_state = opt_update(grads, opt_state, params, lr)
+        params, opt_state = opt_update(grads, opt_state, params, lr, optim_cfg)
 
         prune_rate = jnp.zeros((), jnp.float32)
         density = jnp.ones((), jnp.float32)
@@ -361,10 +344,7 @@ def make_fit_fn(
         key, init_key, mask_key, loop_key = jax.random.split(key, 4)
         params = mdef.init(init_key, mcfg)
 
-        if optim_cfg.name == "adam":
-            opt_state = adam_init(params)
-        else:
-            opt_state = shampoo_init(params, optim_cfg.epsilon)
+        opt_state = opt_init(params, optim_cfg)
 
         if sparse:
             mask_state = create_mask_state(mask_key, params, masking_cfg)

@@ -41,13 +41,7 @@ import jax.numpy as jnp
 
 from implicit_image_tpu.models import ModelDef
 from implicit_image_tpu.ops.metrics import mse, psnr_8bit
-from implicit_image_tpu.optim import (
-    adam_init,
-    adam_update,
-    shampoo_init,
-    shampoo_update,
-    step_lr,
-)
+from implicit_image_tpu.optim import opt_init, opt_update, step_lr
 from implicit_image_tpu.quant import (
     LayerCodebook,
     QuantConfig,
@@ -67,25 +61,6 @@ class QuantResult(NamedTuple):
     codebooks: Any  # per-layer LayerCodebook or None
     metrics: Dict[str, jnp.ndarray]
     wall_seconds: float
-
-
-def _opt_init(params, optim_cfg: OptimConfig):
-    if optim_cfg.name == "adam":
-        return adam_init(params)
-    return shampoo_init(params, optim_cfg.epsilon)
-
-
-def _opt_update(grads, opt_state, params, lr, optim_cfg: OptimConfig):
-    if optim_cfg.name == "adam":
-        return adam_update(grads, opt_state, params, lr)
-    return shampoo_update(
-        grads,
-        opt_state,
-        params,
-        lr,
-        momentum=optim_cfg.momentum,
-        weight_decay=optim_cfg.weight_decay,
-    )
 
 
 def make_quant_fit_fn(
@@ -157,7 +132,7 @@ def make_quant_fit_fn(
             return mse(pred, target_flat)
 
         grad_fn = jax.value_and_grad(loss_fn)
-        opt_state = _opt_init(state, optim_cfg)
+        opt_state = opt_init(state, optim_cfg)
 
         def step_fn(carry, step):
             st, opt_state = carry
@@ -169,7 +144,7 @@ def make_quant_fit_fn(
                 else layer
                 for i, layer in enumerate(grads)
             )
-            st, opt_state = _opt_update(
+            st, opt_state = opt_update(
                 grads, opt_state, st, schedule(step), optim_cfg
             )
             return (st, opt_state), {"loss": loss}
@@ -204,14 +179,14 @@ def make_quant_fit_fn(
             return mse(pred, target_flat)
 
         grad_fn = jax.value_and_grad(loss_fn)
-        opt_state = _opt_init(params, optim_cfg)
+        opt_state = opt_init(params, optim_cfg)
 
         def step_fn(carry, step):
             latent, opt_state = carry
             loss, grads = grad_fn(latent)
             if masks is not None:
                 grads = mask_grads(grads, masks)
-            latent, opt_state = _opt_update(
+            latent, opt_state = opt_update(
                 grads, opt_state, latent, schedule(step), optim_cfg
             )
             if masks is not None:

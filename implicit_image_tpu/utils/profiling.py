@@ -22,24 +22,21 @@ from __future__ import annotations
 
 import contextlib
 import logging
-import time
 from typing import Any, Dict, Optional
 
 import jax
+
+from implicit_image_tpu.utils.timer import catchtime
 
 log = logging.getLogger("implicit_image_tpu")
 
 __all__ = ["trace", "annotate", "cost_analysis", "wall"]
 
 
-@contextlib.contextmanager
 def trace(log_dir: str, create_perfetto_link: bool = False):
-    """Capture a jax.profiler device trace into `log_dir`."""
-    jax.profiler.start_trace(log_dir, create_perfetto_link=create_perfetto_link)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
+    """Capture a jax.profiler device trace into `log_dir` (thin alias so
+    framework code has one import point for observability)."""
+    return jax.profiler.trace(log_dir, create_perfetto_link=create_perfetto_link)
 
 
 def annotate(name: str):
@@ -65,9 +62,9 @@ def cost_analysis(fn, *args, **kwargs) -> Optional[Dict[str, Any]]:
 
 @contextlib.contextmanager
 def wall(label: str):
-    """perf_counter span -> logger (the reference's catchtime)."""
-    t0 = time.perf_counter()
-    try:
-        yield
-    finally:
-        log.info("%s: %.3f s", label, time.perf_counter() - t0)
+    """Labeled catchtime span that reports to the module logger."""
+    with catchtime() as elapsed:
+        try:
+            yield
+        finally:
+            log.info("%s: %.3f s", label, elapsed())
