@@ -7,13 +7,17 @@ PY ?= python
 IMG ?= synthetic
 DENSITIES ?= 0.01,0.02,0.05,0.1,0.2,0.3,0.4,0.5,0.75,0.95
 
-.PHONY: test bench siren prune sweep vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.%
+.PHONY: test bench siren prune sweep decode vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.%
 
 test:
 	$(PY) -m pytest tests/ -q
 
 bench:
 	$(PY) bench.py
+
+# decode a compressed run dir back to an image (RUN=outputs/<img>/<exp>)
+decode:
+	$(PY) -m implicit_image_tpu.decompress $(RUN)
 
 # dense SIREN fit (reference `make siren`)
 siren:

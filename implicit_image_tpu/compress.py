@@ -87,6 +87,12 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     run_dir = run_dir or cfg.get("output_dir", "outputs/run")
     Path(run_dir).mkdir(parents=True, exist_ok=True)
     logger = MetricsLogger(run_dir, use=cfg.get("logging", {}).get("use", True))
+    # persist the composed config so the run dir is self-contained — the
+    # decode CLI (decompress.py) and the visualize run-store reader
+    # (visualize/runs.py) rebuild the model from it
+    import json as _json
+
+    (Path(run_dir) / "config.json").write_text(_json.dumps(cfg, indent=2, default=str))
 
     img = _load_image(cfg.img)
     h, w = img.shape[:2]

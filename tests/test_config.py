@@ -90,6 +90,16 @@ def test_cli_end_to_end(tmp_path):
     state = decompress_state_dict(tmp_path / "model_quantized", "zstd")
     assert any("weight" in k for k in state)
 
+    # the run dir is self-contained: the decode CLI rebuilds the model
+    # from config.json, renders, and writes the image
+    assert (tmp_path / "config.json").exists()
+    from implicit_image_tpu.decompress import decode_run
+
+    img, stats = decode_run(tmp_path)
+    assert img.shape == (24, 24, 3)
+    assert (tmp_path / "decoded.png").exists()
+    assert stats["mpix_per_s"] > 0
+
 
 def test_cli_dense_no_quant_no_coding(tmp_path):
     from implicit_image_tpu.compress import main
