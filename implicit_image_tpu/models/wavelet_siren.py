@@ -129,11 +129,12 @@ def init_wavelet_siren(key: jax.Array, cfg: WaveletSirenConfig, dtype=jnp.float3
 
 
 def _grid_flat(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
-    ch = jnp.linspace(0.0, 1.0, h, dtype=dtype)
-    cw = jnp.linspace(0.0, 1.0, w, dtype=dtype)
-    gh = jnp.broadcast_to(ch[:, None], (h, w)).reshape(-1)
-    gw = jnp.broadcast_to(cw[None, :], (h, w)).reshape(-1)
-    return jnp.stack([gh, gw], axis=-1)
+    """The training grid convention (data.get_grid), flattened — the LF/HF
+    sub-SIRENs regenerate their own grids at DWT resolutions, like the
+    reference does via get_grid (wavelet_siren.py:76-79)."""
+    from implicit_image_tpu.data import get_grid
+
+    return get_grid(h, w, dtype=dtype).reshape(h * w, 2)
 
 
 def wavelet_siren_apply(

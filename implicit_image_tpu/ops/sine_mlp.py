@@ -133,6 +133,7 @@ def _bwd_kernel(
     wm_ref,
     wl_ref,
     bs_ref,
+    dx_ref,
     dw0_ref,
     dwm_ref,
     dwl_ref,
@@ -190,8 +191,12 @@ def _bwd_kernel(
         ga = jax.lax.dot_general(gzb, wm_ref[i - 1], dN, preferred_element_type=f32)
     # first sine layer
     gz = ga * (spec.omega0 * fast_cos(spec.omega0 * z_scr[0]))
-    dw0_ref[:] += jax.lax.dot_general(x, gz.astype(bf), dT, preferred_element_type=f32)
+    gzb = gz.astype(bf)
+    dw0_ref[:] += jax.lax.dot_general(x, gzb, dT, preferred_element_type=f32)
     dbs_ref[pl.ds(0, 1), :] += jnp.sum(gz, axis=0, keepdims=True)
+    # coordinate cotangent: dx = gz @ w0^T (the XLA path returns this too;
+    # zeros here would silently break coord-gradient uses like SDF normals)
+    dx_ref[:] = jax.lax.dot_general(gzb, w0_ref[:], dN, preferred_element_type=f32)
 
 
 def _bwd_call(spec: _Spec, coords8, g8, w0, wm, wl, bs):
@@ -202,6 +207,7 @@ def _bwd_call(spec: _Spec, coords8, g8, w0, wm, wl, bs):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, spec),
         out_shape=(
+            jax.ShapeDtypeStruct((coords8.shape[0], PAD_IO), jnp.float32),  # dx
             jax.ShapeDtypeStruct((PAD_IO, h), jnp.float32),  # dw0
             jax.ShapeDtypeStruct((depth - 2, h, h), jnp.float32),  # dwm
             jax.ShapeDtypeStruct((h, PAD_IO), jnp.float32),  # dwl
@@ -218,6 +224,7 @@ def _bwd_call(spec: _Spec, coords8, g8, w0, wm, wl, bs):
             pl.BlockSpec((depth - 1, h), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=(
+            pl.BlockSpec((spec.tile, PAD_IO), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((PAD_IO, h), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((depth - 2, h, h), const3, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, PAD_IO), const2, memory_space=pltpu.VMEM),
@@ -250,8 +257,8 @@ def _fused_fwd(spec, coords8, w0, wm, wl, bs, bl):
 
 def _fused_bwd(spec, res, g):
     coords8, w0, wm, wl, bs = res
-    dw0, dwm, dwl, dbs, dbl = _bwd_call(spec, coords8, g, w0, wm, wl, bs)
-    return (jnp.zeros_like(coords8), dw0, dwm, dwl, dbs, dbl)
+    dx, dw0, dwm, dwl, dbs, dbl = _bwd_call(spec, coords8, g, w0, wm, wl, bs)
+    return (dx, dw0, dwm, dwl, dbs, dbl)
 
 
 _fused_siren.defvjp(_fused_fwd, _fused_bwd)

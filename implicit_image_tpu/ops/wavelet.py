@@ -40,9 +40,10 @@ DB3_DEC_LO = np.array(
 
 def _filters():
     dec_lo = DB3_DEC_LO
-    # QMF relation: dec_hi[n] = (-1)^n * dec_lo[L-1-n]
+    # QMF relation, PyWavelets sign convention (pywt.Wavelet('db3').dec_hi):
+    # dec_hi[n] = (-1)^(n+1) * dec_lo[L-1-n]
     dec_hi = np.array(
-        [((-1.0) ** n) * dec_lo[len(dec_lo) - 1 - n] for n in range(len(dec_lo))]
+        [((-1.0) ** (n + 1)) * dec_lo[len(dec_lo) - 1 - n] for n in range(len(dec_lo))]
     )
     rec_lo = dec_lo[::-1].copy()
     rec_hi = dec_hi[::-1].copy()

@@ -92,8 +92,13 @@ def adam_update(
     return new_params, AdamState(mu=mu, nu=nu, count=count)
 
 
-def adam_momentum(state: AdamState, layer: int, key: str = "w") -> jnp.ndarray:
-    """Reference `get_momentum_for_weight` for Adam (core.py:481-487)."""
-    mu = state.mu[layer][key]
-    nu = state.nu[layer][key]
-    return mu / (jnp.sqrt(nu) + 1e-8)
+def adam_momentum(state, layer: int, key: str = "w") -> jnp.ndarray:
+    """Reference `get_momentum_for_weight` (core.py:474-493): Adam's
+    exp_avg/sqrt(exp_avg_sq) for AdamState, the raw momentum buffer for
+    SGD-like optimizers (Shampoo here)."""
+    if isinstance(state, AdamState):
+        mu = state.mu[layer][key]
+        nu = state.nu[layer][key]
+        return mu / (jnp.sqrt(nu) + 1e-8)
+    # ShampooState (momentum_buf mirrors torch SGD's momentum_buffer)
+    return state.momentum_buf[layer][key]

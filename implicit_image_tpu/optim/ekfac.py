@@ -87,9 +87,7 @@ def capture_layer_stats(
     perturbs = [
         jnp.zeros((n, layer["w"].shape[1]), jnp.float32) for layer in lin_layers
     ]
-    fwd = _perturbed_forward(
-        [l for l in params], coords, mcfg, mdef.name.replace("feather_", "")
-    )
+    fwd = _perturbed_forward([l for l in params], coords, mcfg, mdef.name)
 
     def loss_fn(perturbs):
         out, acts = fwd(perturbs)
@@ -123,13 +121,19 @@ def ekfac_update_stats(
     for ua, ug, m2, a, g in zip(state.ua, state.ug, state.m2, acts, grads):
         n = a.shape[0]
         a1 = jnp.concatenate([a, jnp.ones((n, 1), a.dtype)], axis=1)
+        # the captured per-sample grads carry the mean-loss 1/n factor;
+        # true per-sample grads are n x larger (torch hooks see grad_output
+        # of the SUM; the reference rescales the same way) — without this
+        # m2 is ~n^2 too small and eps swamps it, degenerating the
+        # preconditioner to uniform grads/eps scaling
+        gs = g * n
         A = (a1.T @ a1) / n
-        G = (g.T @ g) / n * n  # torch sums per-sample grads; scale-free in KFE
+        G = (gs.T @ gs) / n
         if recompute_eigs:
             _, ua = jnp.linalg.eigh(A)
             _, ug = jnp.linalg.eigh(G)
         # project per-sample stats into the KFE: m2 = E[(ugᵀ g)(a ᵀ ua)²]
-        ga = (g @ ug).T  # (fo, n)
+        ga = (gs @ ug).T  # (fo, n)
         aa = (a1 @ ua).T  # (fi+1, n)
         m2_batch = (ga**2) @ (aa**2).T / n
         m2 = alpha * m2 + (1 - alpha) * m2_batch

@@ -145,10 +145,17 @@ def mask_grads(grads, masks):
 
 
 def mask_momentum(opt_state, masks):
-    """Mask Adam's moment buffers (core.py:630-651)."""
-    mu = apply_masks(opt_state.mu, masks)
-    nu = apply_masks(opt_state.nu, masks)
-    return opt_state._replace(mu=mu, nu=nu)
+    """Mask the optimizer's momentum buffers (core.py:630-651): Adam's
+    exp_avg/exp_avg_sq, or Shampoo's SGD-style momentum buffer."""
+    if hasattr(opt_state, "mu"):  # AdamState
+        mu = apply_masks(opt_state.mu, masks)
+        nu = apply_masks(opt_state.nu, masks)
+        return opt_state._replace(mu=mu, nu=nu)
+    if hasattr(opt_state, "momentum_buf"):  # ShampooState
+        return opt_state._replace(
+            momentum_buf=apply_masks(opt_state.momentum_buf, masks)
+        )
+    raise TypeError(f"unknown optimizer state {type(opt_state).__name__}")
 
 
 def total_density(state: MaskState) -> jnp.ndarray:
@@ -172,11 +179,14 @@ def _calc_redistributed(
     init_prop = jnp.round(variance * (total_removed + adjusted_growth))
 
     def cond(carry):
-        _, _, _, residual, i = carry
-        return (residual > 0) & (i < 1000)
+        _, _, _, residual, prev_residual, i = carry
+        # stop on convergence OR no progress (all layers capped: the same
+        # residual would recirculate forever — the reference's Python loop
+        # has the same fixed point, reached when demand exceeds capacity)
+        return (residual > 0) & (residual < prev_residual) & (i < 1000)
 
     def body(carry):
-        regrowth, has, mean_res, _, i = carry
+        regrowth, has, mean_res, residual, _, i = carry
         prop = jnp.where(has, regrowth, init_prop) + mean_res
         over = prop > cap
         new_regrowth = jnp.where(over, cap, prop)
@@ -186,6 +196,7 @@ def _calc_redistributed(
             jnp.ones_like(has),
             new_residual / n_layers,
             new_residual,
+            residual,
             i + 1,
         )
 
@@ -194,6 +205,7 @@ def _calc_redistributed(
         jnp.zeros((n_layers,), bool),
         jnp.zeros((), jnp.float32),
         jnp.full((), 9999.0, jnp.float32),
+        jnp.full((), jnp.inf, jnp.float32),
         jnp.zeros((), jnp.int32),
     )
     regrowth, *_ = jax.lax.while_loop(cond, body, carry0)

@@ -214,6 +214,10 @@ def make_train_step(
         # capture_layer_stats runs over the full grid, re-materializing the
         # activations pixel_chunks exists to bound — refuse the silent OOM
         raise ValueError("preconditioner='ekfac' is incompatible with pixel_chunks>1")
+    if use_ekfac and mdef.name.startswith("feather"):
+        # Feathermap params are (V1, V2, scalers), not layer weights; the
+        # EKFAC capture needs materialized per-layer (a, g)
+        raise ValueError("preconditioner='ekfac' does not support Feathermap models")
 
     def train_step(carry, step):
         params, opt_state, mask_state, key, ekfac_state = carry

@@ -108,3 +108,28 @@ def test_ekfac_fit_converges():
     psnr = np.asarray(res.metrics["psnr"])
     psnr = psnr[~np.isnan(psnr)]
     assert np.isfinite(psnr).all() and psnr[-1] > 15.0, psnr
+
+
+def test_ekfac_m2_scale_comparable_to_eps():
+    """The KFE second moments must carry the true per-sample gradient scale
+    (grads x batch) — otherwise eps dominates and the preconditioner
+    silently degenerates to uniform grads/eps scaling."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.optim.ekfac import (
+        capture_layer_stats,
+        ekfac_init,
+        ekfac_update_stats,
+    )
+
+    img = synthetic_image(32, 32, seed=0).reshape(-1, 3)
+    grid = get_grid(32, 32).reshape(-1, 2)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=32)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    acts, grads = capture_layer_stats(mdef, mcfg, params, grid, img)
+    st = ekfac_init(params)
+    for _ in range(8):
+        st = ekfac_update_stats(st, acts, grads, alpha=0.5)
+    # with the batch rescale, m2 is within a few orders of eps=0.1 and the
+    # division is no longer a uniform 1/eps
+    assert max(float(m.max()) for m in st.m2) > 1e-3

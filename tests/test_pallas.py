@@ -87,3 +87,32 @@ def test_fused_fit_converges():
         psnr = np.asarray(metrics["psnr"])
     psnr = psnr[~np.isnan(psnr)]
     assert psnr[-1] > 15.0, psnr
+
+
+def test_fused_coordinate_gradient_matches_xla():
+    """grad wrt COORDS must match the XLA path (used for SDF normals /
+    coordinate jitter); the kernel computes dx = gz @ w0^T per tile."""
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=32)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    coords = get_grid(12, 12).reshape(-1, 2)
+
+    def loss_p(c):
+        return jnp.sum(siren_apply_flat_pallas(params, c, mcfg) ** 2)
+
+    def loss_x(c):
+        return jnp.sum(mdef.apply_flat(params, c, mcfg, compute_dtype=jnp.bfloat16) ** 2)
+
+    def loss_f32(c):
+        return jnp.sum(mdef.apply_flat(params, c, mcfg, None) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p)(coords)
+    gx = jax.grad(loss_x)(coords)
+    gf = jax.grad(loss_f32)(coords)
+    assert float(jnp.abs(gp).max()) > 0.0  # not silently zero
+    # ω₀·cos amplifies bf16 rounding in coordinate grads; require the fused
+    # kernel's error vs exact f32 to be comparable to XLA-bf16's own error
+    scale = float(jnp.abs(gf).max()) + 1e-12
+    err_p = float(jnp.abs(gp - gf).max()) / scale
+    err_x = float(jnp.abs(gx - gf).max()) / scale
+    assert err_p < max(2.5 * err_x, 0.02), (err_p, err_x)

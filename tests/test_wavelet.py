@@ -73,3 +73,23 @@ def test_wavelet_siren_fits_an_image():
 def test_wavelet_siren_rejects_multi_level():
     with pytest.raises(AssertionError):
         build_model("wavelet_siren", wavelet_levels=2)
+
+
+def test_db3_filters_match_pywavelets_convention():
+    """dec_hi must equal pywt.Wavelet('db3').dec_hi exactly (sign included);
+    the dwt<->idwt round trip cannot catch a global sign flip because the
+    two flips cancel."""
+    from implicit_image_tpu.ops.wavelet import _filters
+
+    dec_lo, dec_hi, rec_lo, rec_hi = _filters()
+    pywt_dec_hi = [
+        -0.3326705529509569,
+        0.8068915093133388,
+        -0.4598775021193313,
+        -0.13501102001039084,
+        0.08544127388224149,
+        0.035226291882100656,
+    ]
+    np.testing.assert_allclose(dec_hi, pywt_dec_hi, atol=1e-15)
+    # pywt rec_hi is dec_hi reversed
+    np.testing.assert_allclose(rec_hi, pywt_dec_hi[::-1], atol=1e-15)
