@@ -13,18 +13,16 @@ from __future__ import annotations
 
 import ctypes
 import heapq
-import os
 import struct
-import subprocess
 from typing import Dict, List, Optional
+
+from implicit_image_tpu.coding.native_loader import codec_protos, load_or_build
 
 __all__ = ["huffman_encode", "huffman_decode", "native_available"]
 
 _MAGIC = 0x46484949  # "IIHF"
 _HEADER = 4 + 8 + 256
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libiihuff.so")
 _lib: Optional[ctypes.CDLL] = None
 _native_failed = False
 
@@ -33,36 +31,8 @@ def _load_native() -> Optional[ctypes.CDLL]:
     global _lib, _native_failed
     if _lib is not None or _native_failed:
         return _lib
-    try:
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "huffman.cpp")
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", _SO_PATH],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.iihuff_bound.restype = ctypes.c_uint64
-        lib.iihuff_bound.argtypes = [ctypes.c_uint64]
-        lib.iihuff_encode.restype = ctypes.c_uint64
-        lib.iihuff_encode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-        ]
-        lib.iihuff_decode.restype = ctypes.c_uint64
-        lib.iihuff_decode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-        ]
-        _lib = lib
-    except Exception:
-        _native_failed = True
-        _lib = None
+    _lib = load_or_build("libiihuff.so", "huffman.cpp", codec_protos("iihuff"))
+    _native_failed = _lib is None
     return _lib
 
 
@@ -128,6 +98,7 @@ def _py_encode(data: bytes) -> bytes:
         while bitcnt >= 8:
             out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
             bitcnt -= 8
+        bitbuf &= (1 << bitcnt) - 1  # keep the int small (O(N) encode)
     if bitcnt:
         out.append((bitbuf << (8 - bitcnt)) & 0xFF)
     return bytes(out)

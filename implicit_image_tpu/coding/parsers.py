@@ -65,12 +65,20 @@ def decode_stream(name: str, blob: bytes, **kwargs) -> bytes:
     if name == "plain":
         return blob
     if name == "zstd":
-        try:
-            import zstandard
-
+        # pick the codec by stream CONTENT, not by local import
+        # availability — a stream zlib-encoded on a machine without
+        # zstandard must still decode on one that has it (and vice versa)
+        is_zstd = blob[:4] == b"\x28\xb5\x2f\xfd"
+        if is_zstd:
+            try:
+                import zstandard
+            except ImportError as e:
+                raise RuntimeError(
+                    "stream is zstd-compressed but the zstandard package "
+                    "is unavailable in this environment"
+                ) from e
             return zstandard.ZstdDecompressor().decompress(blob)
-        except ImportError:
-            return zlib.decompress(blob)
+        return zlib.decompress(blob)
     if name == "lzma":
         return lzma.decompress(blob)
     if name == "huffman":

@@ -14,10 +14,10 @@ fallback emits the bit-identical container:
 from __future__ import annotations
 
 import ctypes
-import os
 import struct
-import subprocess
 from typing import Optional
+
+from implicit_image_tpu.coding.native_loader import codec_protos, load_or_build
 
 __all__ = ["range_encode", "range_decode", "native_available"]
 
@@ -28,8 +28,6 @@ _PROB_INIT = 1 << (_PROB_BITS - 1)
 _ADAPT = 5
 _MASK32 = 0xFFFFFFFF
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libiirange.so")
 _lib: Optional[ctypes.CDLL] = None
 _native_failed = False
 
@@ -38,36 +36,8 @@ def _load_native() -> Optional[ctypes.CDLL]:
     global _lib, _native_failed
     if _lib is not None or _native_failed:
         return _lib
-    try:
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "range_coder.cpp")
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", _SO_PATH],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        lib = ctypes.CDLL(_SO_PATH)
-        lib.iirange_bound.restype = ctypes.c_uint64
-        lib.iirange_bound.argtypes = [ctypes.c_uint64]
-        lib.iirange_encode.restype = ctypes.c_uint64
-        lib.iirange_encode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-        ]
-        lib.iirange_decode.restype = ctypes.c_uint64
-        lib.iirange_decode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-            ctypes.c_char_p,
-            ctypes.c_uint64,
-        ]
-        _lib = lib
-    except Exception:
-        _native_failed = True
-        _lib = None
+    _lib = load_or_build("libiirange.so", "range_coder.cpp", codec_protos("iirange"))
+    _native_failed = _lib is None
     return _lib
 
 

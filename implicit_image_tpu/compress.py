@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from implicit_image_tpu.coding import compress_state_dict, linear_state_dict
 from implicit_image_tpu.config import DotDict, compose, expand_multirun
-from implicit_image_tpu.data import get_grid, load_img, save_img, synthetic_image
+from implicit_image_tpu.data import get_grid, load_img, save_img, stable_seed, synthetic_image
 from implicit_image_tpu.feathermap import build_feather_model
 from implicit_image_tpu.models import build_model
 from implicit_image_tpu.quant import QuantConfig
@@ -77,7 +77,7 @@ def _load_image(img_cfg) -> np.ndarray:
         )
     if path:
         log.warning("image %s not found; using synthetic stand-in", path)
-    seed = abs(hash(img_cfg.get("name", "synthetic"))) % (2**31)
+    seed = stable_seed(img_cfg.get("name", "synthetic"))
     return synthetic_image(img_cfg.height, img_cfg.width, seed=seed)
 
 
@@ -137,11 +137,15 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         use_pallas=bool(cfg.train.get("use_pallas", False)) and cfg.mlp.name == "siren",
         pixel_chunks=int(cfg.train.get("pixel_chunks", 1)),
     )
-    # PyYAML parses bare "3e-4" as a string; coerce numeric optim fields
+    # PyYAML parses bare "3e-4" as a string; coerce fields that LOOK
+    # numeric, leave real strings (e.g. preconditioner="ekfac") alone
     optim_kwargs = {}
     for k, v in cfg.optim.items():
         if k != "name" and isinstance(v, str):
-            v = float(v)
+            try:
+                v = float(v)
+            except ValueError:
+                pass
         optim_kwargs[k] = v
     optim_cfg = OptimConfig(**optim_kwargs)
 
@@ -164,19 +168,22 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     # post-hoc logging at the reference cadence (metrics were computed
     # in-program at (i+1) % log_steps == 0, compress.py:146)
     psnr_arr = np.asarray(res.metrics["psnr"])
+    loss_arr = np.asarray(res.metrics["test_loss"])
+    psnr8_arr = np.asarray(res.metrics["psnr_8bit"])
+    prune_arr = np.asarray(res.metrics["prune_rate"]) if masking is not None else None
+    density_arr = np.asarray(res.metrics["density"]) if masking is not None else None
     test_psnr = float("nan")
     for i in range(num_steps):
-        if (i + 1) % train_cfg.log_steps == 0:
+        # the fit also evals the final step so short runs report a PSNR
+        if (i + 1) % train_cfg.log_steps == 0 or i == num_steps - 1:
             entry = {
-                "loss": float(np.asarray(res.metrics["test_loss"])[i]),
+                "loss": float(loss_arr[i]),
                 "PSNR": float(psnr_arr[i]),
-                "PSNR_8bit": float(np.asarray(res.metrics["psnr_8bit"])[i]),
+                "PSNR_8bit": float(psnr8_arr[i]),
             }
             if masking is not None:
-                entry["Prune Rate"] = float(
-                    np.asarray(res.metrics["prune_rate"])[i]
-                )
-                entry["Density"] = float(np.asarray(res.metrics["density"])[i])
+                entry["Prune Rate"] = float(prune_arr[i])
+                entry["Density"] = float(density_arr[i])
             logger.log(i + 1, entry)
             test_psnr = entry["PSNR"]
     logger.summary({"PSNR": test_psnr, "fit_wall_s": res.wall_seconds})

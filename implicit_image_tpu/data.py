@@ -30,6 +30,7 @@ __all__ = [
     "get_grid",
     "pixel_batches",
     "synthetic_image",
+    "stable_seed",
     "save_img",
 ]
 
@@ -81,6 +82,18 @@ def _read_ppm(path: str) -> np.ndarray:
     return arr.reshape(h, w, 3).astype(np.uint16 if maxval > 255 else np.uint8)
 
 
+def stable_seed(name: str) -> int:
+    """Deterministic 31-bit seed from a name — built-in hash() is salted
+    per process (PYTHONHASHSEED), which would make the synthetic stand-in
+    image differ between the fit and the visualize/JPEG-comparator
+    processes."""
+    import hashlib
+
+    return int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "little") % (
+        2**31
+    )
+
+
 def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Bilinear resize with half-pixel centers (align_corners=False)."""
     try:
@@ -119,10 +132,11 @@ def load_img(
     img = _read_image(path).astype(np.float32) / float(2**bits - 1)
 
     if crop_mode == "resize-crop":
-        smaller_target = min(height, width)
         h, w = img.shape[:2]
-        scale = smaller_target / min(h, w)
-        new_h, new_w = round(h * scale), round(w * scale)
+        # scale so BOTH dims cover the target (center-crop never pads)
+        scale = max(height / h, width / w)
+        new_h = max(round(h * scale), height)
+        new_w = max(round(w * scale), width)
         img = _resize_bilinear(img, new_h, new_w)
 
     img = _center_crop(img, height, width)

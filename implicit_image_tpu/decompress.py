@@ -41,6 +41,12 @@ def decode_run(run_dir, out_path=None):
     masking = cfg.get("masking") or {}
     small = float(masking.get("density", 1.0)) if masking.get("name") == "Small_Dense" else 1.0
     mdef, mcfg = build_model(name, small_dense_density=small, **mlp)
+    if masking.get("name") == "Feathermap":
+        # the bitstream holds the (V1, V2, scalers) feather params — rebuild
+        # the same wrap compress.py used so apply() materializes the layers
+        from implicit_image_tpu.feathermap import build_feather_model
+
+        mdef = build_feather_model(mdef, mcfg, compress=float(masking["density"]))
     h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
 
     img, stats = decode_and_render(

@@ -293,8 +293,12 @@ def make_train_step(
             )
             density = total_density(mask_state)
 
-        # eval at the log cadence: (i+1) % log_steps == 0 (compress.py:146)
-        should_log = (step + 1) % train_cfg.log_steps == 0
+        # eval at the log cadence: (i+1) % log_steps == 0 (compress.py:146),
+        # plus the final step so short runs (num_steps < log_steps) still
+        # report a PSNR instead of NaN
+        should_log = ((step + 1) % train_cfg.log_steps == 0) | (
+            step == train_cfg.num_steps - 1
+        )
 
         def eval_branch(params):
             pred = mdef.apply_flat(params, coords, mcfg, compute_dtype)

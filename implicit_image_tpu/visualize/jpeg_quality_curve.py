@@ -57,10 +57,10 @@ def plot(images: dict, out_path="outputs/plots/jpeg_quality.pdf"):
 
 if __name__ == "__main__":
     logging.basicConfig(level=logging.INFO)
-    from implicit_image_tpu.data import synthetic_image
+    from implicit_image_tpu.data import stable_seed, synthetic_image
 
     names = sys.argv[1:] or ["flower_foveon", "big_building", "bridge"]
     images = {
-        n: synthetic_image(512, 512, seed=abs(hash(n)) % (2**31)) for n in names
+        n: synthetic_image(512, 512, seed=stable_seed(n)) for n in names
     }
     print("wrote", plot(images))

@@ -124,9 +124,9 @@ def main(argv=None):
     args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
     img_name = args.get("img", "synthetic")
     root = args.get("outputs_root", "outputs")
-    from implicit_image_tpu.data import synthetic_image
+    from implicit_image_tpu.data import stable_seed, synthetic_image
 
-    img = synthetic_image(512, 512, seed=abs(hash(img_name)) % (2**31))
+    img = synthetic_image(512, 512, seed=stable_seed(img_name))
     out = plot_rate_distortion(
         img, root, img_name, args.get("out", f"outputs/plots/{img_name}_rate_distortion.pdf")
     )

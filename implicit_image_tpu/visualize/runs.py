@@ -26,6 +26,9 @@ def load_run(run_dir) -> Dict:
         out["history"] = [
             json.loads(line) for line in metrics.read_text().splitlines() if line
         ]
+    config = run_dir / "config.json"
+    if config.exists():
+        out["config"] = json.loads(config.read_text())
     return out
 
 

@@ -21,19 +21,35 @@ _METHOD = re.compile(r"masking=(\w+)")
 _DENSITY = re.compile(r"density=([\d.]+)")
 
 
+def _classify(run):
+    """(method, density) for a run — from the persisted config.json when
+    present (authoritative: a `-m masking.density=...` multirun dir carries
+    no `masking=<name>` token, and the composed default there is RigL),
+    falling back to dir-name regexes for pre-config.json runs."""
+    masking = (run.get("config") or {}).get("masking")
+    if masking is not None:
+        if not masking or masking.get("name") in (None, "none") or masking.get("dense"):
+            return "none", None
+        return masking.get("name"), masking.get("density")
+    d = run["dir"]
+    m = _METHOD.search(d)
+    if m is None or m.group(1) == "none":
+        return "none", None
+    dens = _DENSITY.search(d)
+    return m.group(1), float(dens.group(1)) if dens else None
+
+
 def gather(outputs_root="outputs"):
     table = defaultdict(list)
     dense_psnr = None
     for run in collect_runs(outputs_root, require=["PSNR"]):
-        d = run["dir"]
-        m = _METHOD.search(d)
         psnr = float(run.get("Quant PSNR", run["PSNR"]))
-        if m is None or m.group(1) == "none":
+        method, density = _classify(run)
+        if method == "none":
             dense_psnr = psnr
             continue
-        dens = _DENSITY.search(d)
-        if dens:
-            table[m.group(1)].append((float(dens.group(1)), psnr))
+        if density is not None:
+            table[method].append((float(density), psnr))
     return table, dense_psnr
 
 

@@ -156,3 +156,76 @@ def test_cli_multiplier_semantics(tmp_path):
     ]
     # logged at step 20 and 40 -> 40 total steps means multiplier applied
     assert {l["step"] for l in lines if l["prefix"] == "Train"} == {20, 40}
+
+
+def test_cli_feathermap_run_is_decodable(tmp_path):
+    """Feathermap bitstreams must decode through the CLI path (the decoder
+    re-applies the feather wrap recorded in config.json)."""
+    from implicit_image_tpu.compress import main
+    from implicit_image_tpu.decompress import decode_run
+
+    cfg = compose(
+        [
+            "img=synthetic",
+            "img.height=16",
+            "img.width=16",
+            "mlp.depth=3",
+            "mlp.hidden_size=16",
+            "train.num_steps=30",
+            "train.log_steps=10",
+            "masking=Feathermap",
+            "masking.density=0.5",
+            "quant=none",
+            "entropy_coding=zstd",
+        ]
+    )
+    psnr, nbytes = main(cfg, run_dir=str(tmp_path))
+    assert nbytes > 0
+    img, stats = decode_run(tmp_path)
+    assert img.shape == (16, 16, 3)
+
+
+def test_short_run_reports_final_psnr(tmp_path):
+    """num_steps < log_steps must still produce a non-NaN summary PSNR
+    (the fit evals the last step regardless of cadence)."""
+    from implicit_image_tpu.compress import main
+
+    cfg = compose(
+        [
+            "img=synthetic",
+            "img.height=16",
+            "img.width=16",
+            "mlp.depth=3",
+            "mlp.hidden_size=16",
+            "train.num_steps=40",
+            "train.log_steps=1000",
+            "masking=none",
+            "quant=none",
+            "entropy_coding=none",
+        ]
+    )
+    psnr, _ = main(cfg, run_dir=str(tmp_path))
+    assert np.isfinite(psnr)
+
+
+def test_optim_string_fields_survive_coercion(tmp_path):
+    """optim.preconditioner=ekfac must reach OptimConfig as a string."""
+    from implicit_image_tpu.compress import main
+
+    cfg = compose(
+        [
+            "img=synthetic",
+            "img.height=16",
+            "img.width=16",
+            "mlp.depth=3",
+            "mlp.hidden_size=16",
+            "train.num_steps=20",
+            "train.log_steps=10",
+            "masking=none",
+            "quant=none",
+            "entropy_coding=none",
+            "optim.preconditioner=ekfac",
+        ]
+    )
+    psnr, _ = main(cfg, run_dir=str(tmp_path))
+    assert np.isfinite(psnr)
