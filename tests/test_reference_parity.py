@@ -159,3 +159,196 @@ def test_training_psnr_parity_band():
 
     # different RNG streams: allow a band, but require the same regime
     assert abs(psnr_ours - psnr_ref) < 2.5, (psnr_ours, psnr_ref)
+
+
+# --------------------------------------------------------------- sparsity
+
+
+def _load_ref_module(rel_path, name="ref_mod"):
+    spec = importlib.util.spec_from_file_location(
+        name, f"/root/reference/implicit_image/{rel_path}"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_decay_schedules_match_reference():
+    """Cosine / Linear / Zhu-Gupta prune-rate sequences match the
+    reference's Decay classes step-for-step."""
+    pytest.importorskip("torch")
+    ref = _load_ref_module("pipeline/masking/funcs/decay.py")
+    from implicit_image_tpu.sparsity.decay import (
+        cosine_decay,
+        linear_decay,
+        magnitude_prune_decay,
+    )
+
+    rc = ref.CosineDecay(prune_rate=0.3, T_max=100)
+    ours_c = cosine_decay(0.3, T_max=100)
+    rl = ref.LinearDecay(prune_rate=0.3, T_max=100)
+    ours_l = linear_decay(0.3, T_max=100)
+    rm = ref.MagnitudePruneDecay(
+        initial_sparsity=0.0, final_sparsity=0.5, T_max=80, T_start=5, interval=10
+    )
+    ours_m = magnitude_prune_decay(
+        final_sparsity=0.5, T_max=80, T_start=5, interval=10
+    )
+    for step in range(0, 120):
+        np.testing.assert_allclose(
+            float(ours_c(step)), rc.get_dr(), atol=1e-6, err_msg=f"cosine @{step}"
+        )
+        rc.step()
+        np.testing.assert_allclose(
+            float(ours_l(step)), rl.get_dr(), atol=1e-6, err_msg=f"linear @{step}"
+        )
+        rl.step()
+        rm.step(step)  # reference computes rate for `step` on .step(step)
+        np.testing.assert_allclose(
+            float(ours_m(step)), rm.get_dr(), atol=1e-6, err_msg=f"zhu-gupta @{step}"
+        )
+
+
+def test_magnitude_prune_matches_reference():
+    torch = pytest.importorskip("torch")
+    from types import SimpleNamespace
+
+    ref = _load_ref_module("pipeline/masking/funcs/prune.py")
+    from implicit_image_tpu.sparsity.prune import magnitude_prune
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((24, 16)).astype(np.float32)
+    mask = (rng.random((24, 16)) < 0.6).astype(np.float32)
+    w = w * mask  # reference invariant: masked weights are exactly 0
+    nonzeros = float(mask.sum())
+    rate = 0.3
+
+    stub = SimpleNamespace(
+        name2prune_rate={"w": rate},
+        stats=SimpleNamespace(
+            nonzeros_dict={"w": int(nonzeros)},
+            zeros_dict={"w": int(mask.size - nonzeros)},
+        ),
+    )
+    ref_mask = ref.magnitude_prune(
+        stub, torch.from_numpy(mask.copy()), torch.from_numpy(w.copy()), "w"
+    ).numpy()
+
+    ours = np.asarray(
+        magnitude_prune(jnp.asarray(mask), jnp.asarray(w), rate, nonzeros)
+    )
+    np.testing.assert_array_equal(ours, ref_mask)
+
+
+def test_abs_grad_growth_matches_reference():
+    torch = pytest.importorskip("torch")
+    from types import SimpleNamespace
+
+    ref = _load_ref_module("pipeline/masking/funcs/grow.py")
+    from implicit_image_tpu.sparsity.grow import abs_grad_growth
+
+    rng = np.random.default_rng(1)
+    mask = (rng.random((24, 16)) < 0.4).astype(np.float32)
+    w = rng.standard_normal((24, 16)).astype(np.float32) * mask
+    grad = rng.standard_normal((24, 16)).astype(np.float32)
+    num_grow = 37
+
+    wt = torch.from_numpy(w.copy())
+    wt.grad = torch.from_numpy(grad.copy())
+    stub = SimpleNamespace(mask_dict={"w": torch.from_numpy(mask.copy())})
+    ref_mask = ref.abs_grad_growth(stub, "w", num_grow, wt).numpy().astype(np.float32)
+
+    new_mask, new_w = abs_grad_growth(
+        jnp.asarray(mask), jnp.asarray(w), jnp.asarray(grad), num_grow
+    )
+    np.testing.assert_array_equal(np.asarray(new_mask), ref_mask)
+    # regrown weights init to 0 in both
+    grown = (ref_mask > 0) & (mask == 0)
+    np.testing.assert_array_equal(np.asarray(new_w)[grown], 0.0)
+
+
+def test_erk_distribution_matches_reference():
+    """ERK epsilon solver: per-layer densities equal the reference's
+    get_erdos_renyi_dist (incl. dense-layer overflow handling)."""
+    torch = pytest.importorskip("torch")
+    import sys
+    import types
+    from types import SimpleNamespace
+
+    # shim the reference's relative import `from ..utils.ops import random_perm`
+    pkg = types.ModuleType("refmask")
+    pkg.__path__ = []
+    utils_pkg = types.ModuleType("refmask.utils")
+    utils_pkg.__path__ = []
+    ops_spec = importlib.util.spec_from_file_location(
+        "refmask.utils.ops",
+        "/root/reference/implicit_image/pipeline/masking/utils/ops.py",
+    )
+    ops_mod = importlib.util.module_from_spec(ops_spec)
+    sys.modules["refmask"] = pkg
+    sys.modules["refmask.utils"] = utils_pkg
+    sys.modules["refmask.utils.ops"] = ops_mod
+    ops_spec.loader.exec_module(ops_mod)
+    init_spec = importlib.util.spec_from_file_location(
+        "refmask.funcs.init_scheme",
+        "/root/reference/implicit_image/pipeline/masking/funcs/init_scheme.py",
+    )
+    init_mod = importlib.util.module_from_spec(init_spec)
+    init_mod.__package__ = "refmask.funcs"
+    funcs_pkg = types.ModuleType("refmask.funcs")
+    funcs_pkg.__path__ = []
+    sys.modules["refmask.funcs"] = funcs_pkg
+    sys.modules["refmask.funcs.init_scheme"] = init_mod
+    init_spec.loader.exec_module(init_mod)
+
+    from implicit_image_tpu.sparsity.init_scheme import erdos_renyi_probs
+
+    # the d8/w128 SIREN weight stack — extreme (2,128) first layer triggers
+    # the dense-layer overflow path at low density
+    shapes = [(2, 128)] + [(128, 128)] * 6 + [(128, 3)]
+    for density in (0.05, 0.2, 0.5):
+        masks = {
+            f"layers.{i}.w": torch.ones(s) for i, s in enumerate(shapes)
+        }
+
+        class _Mod:
+            def named_parameters(self):
+                return [(k, torch.zeros(v.shape)) for k, v in masks.items()]
+
+        stub = SimpleNamespace(mask_dict=masks, density=density, module=_Mod())
+        ref_probs = init_mod.get_erdos_renyi_dist(stub, is_kernel=True)
+        ours = erdos_renyi_probs(shapes, density, is_kernel=True)
+        for i in range(len(shapes)):
+            np.testing.assert_allclose(
+                float(ours[i]),
+                ref_probs[f"layers.{i}.w"],
+                rtol=1e-6,
+                err_msg=f"density={density} layer={i}",
+            )
+
+
+def test_fourier_forward_matches_reference():
+    torch = pytest.importorskip("torch")
+    ref = _load_ref_module("models/fourier.py")
+    m = ref.FourierNet(
+        input_size=2, output_size=3, depth=4, hidden_size=32,
+        map_size=16, map_scale=4.0,
+    )
+    mdef, mcfg = build_model(
+        "fourier", depth=4, hidden_size=32, map_size=16, map_scale=4.0
+    )
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    # transplant: encoding B + linear stack (torch (out,in) -> ours (in,out))
+    b_key = [k for k in sd if k.endswith("B") or "encoding" in k.lower()]
+    lin_w = sorted(k for k in sd if k.endswith(".weight"))
+    lin_b = sorted(k for k in sd if k.endswith(".bias"))
+    params = [{"B": jnp.asarray(sd[b_key[0]])}]
+    for wk, bk in zip(lin_w, lin_b):
+        params.append({"w": jnp.asarray(sd[wk].T), "b": jnp.asarray(sd[bk])})
+    params = tuple(params)
+
+    grid_np = np.asarray(get_grid(9, 11))
+    with torch.no_grad():
+        ref_out = m(torch.from_numpy(grid_np)).numpy()
+    ours = np.asarray(mdef.apply(params, jnp.asarray(grid_np), mcfg))
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5)
