@@ -132,7 +132,11 @@ def compress_state_dict(
             "dtype": str(arr.dtype),
             "name": name,
         }
-    meta["__meta__"] = {"format": 2, "shuffle": bool(shuffle)}
+    if shuffle:
+        # format-2 marker; omitted for shuffle=False so the archive stays
+        # byte-level readable by the REFERENCE's decompress_state_dict
+        # (its reader does int(k) over all meta keys, __init__.py:138)
+        meta["__meta__"] = {"format": 2, "shuffle": True}
 
     payload = encode_stream(stream_name, b"".join(chunks), **kwargs)
     binary_file.write_bytes(payload)

@@ -77,7 +77,10 @@ def decode_stream(name: str, blob: bytes, **kwargs) -> bytes:
                     "stream is zstd-compressed but the zstandard package "
                     "is unavailable in this environment"
                 ) from e
-            return zstandard.ZstdDecompressor().decompress(blob)
+            # decompressobj handles frames without a content-size header
+            # (the reference's stream_writer API emits those,
+            # entropy_coding/__init__.py:97-116) as well as one-shot frames
+            return zstandard.ZstdDecompressor().decompressobj().decompress(blob)
         return zlib.decompress(blob)
     if name == "lzma":
         return lzma.decompress(blob)

@@ -352,3 +352,74 @@ def test_fourier_forward_matches_reference():
         ref_out = m(torch.from_numpy(grid_np)).numpy()
     ours = np.asarray(mdef.apply(params, jnp.asarray(grid_np), mcfg))
     np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+# ----------------------------------------------------------- bitstream interop
+
+
+def _load_ref_entropy_coding():
+    import sys
+    import types
+
+    root = "/root/reference/implicit_image/pipeline/entropy_coding"
+    for name in ("implicit_image", "implicit_image.pipeline"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    pkg = types.ModuleType("implicit_image.pipeline.entropy_coding")
+    pkg.__path__ = [root]
+    sys.modules["implicit_image.pipeline.entropy_coding"] = pkg
+    for sub in ("utils", "parsers"):
+        spec = importlib.util.spec_from_file_location(
+            f"implicit_image.pipeline.entropy_coding.{sub}", f"{root}/{sub}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+    spec = importlib.util.spec_from_file_location(
+        "implicit_image.pipeline.entropy_coding", f"{root}/__init__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bitstream_interop_with_reference(tmp_path):
+    """Bidirectional container compatibility: our decoder reads archives
+    written by the REFERENCE's compress_state_dict, and the reference's
+    decoder reads ours (shuffle=False) — byte-level format parity
+    (reference entropy_coding/__init__.py:70-186)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("zstandard")
+    ref_ec = _load_ref_entropy_coding()
+    ref_siren = _load_ref_siren()
+
+    from implicit_image_tpu.coding import (
+        compress_state_dict as our_compress,
+        decompress_state_dict as our_decompress,
+    )
+
+    m = ref_siren.Siren(
+        input_size=2, output_size=3, depth=3, hidden_size=8,
+        first_omega_0=50.0, hidden_omega_0=30.0, outermost_linear=True,
+    )
+
+    # reference writes -> we read
+    ref_dir = tmp_path / "ref_written"
+    ref_ec.compress_state_dict(m, str(ref_dir), "zstd", level=22)
+    ours = our_decompress(ref_dir, "zstd")
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    for name, arr in sd.items():
+        np.testing.assert_allclose(ours[name], arr, atol=0)
+
+    # we write (format-1 layout: shuffle=False) -> reference reads
+    our_dir = tmp_path / "our_written"
+    state = {k: v.numpy() for k, v in m.state_dict().items()}
+    our_compress(state, our_dir, "zstd", shuffle=False)
+    ref_read = ref_ec.decompress_state_dict(str(our_dir), "zstd")
+    for name, arr in state.items():
+        got = ref_read[name]
+        got = got.numpy() if hasattr(got, "numpy") else np.asarray(got)
+        np.testing.assert_allclose(got, arr, atol=0)
