@@ -423,3 +423,49 @@ def test_bitstream_interop_with_reference(tmp_path):
         got = ref_read[name]
         got = got.numpy() if hasattr(got, "numpy") else np.asarray(got)
         np.testing.assert_allclose(got, arr, atol=0)
+
+
+def test_feathermap_plan_matches_reference():
+    """V1/V2 plan parity: n = ceil(sqrt(#W&B params)), m = ceil(c*n/2), and
+    the same sqrt(12)/2 * m^(-1/4) init bound (reference feathernet.py
+    :168-171, :286-292)."""
+    torch = pytest.importorskip("torch")
+    import math
+    import sys
+    import types
+
+    root = "/root/reference/implicit_image/pipeline/feathermap"
+    for name in ("implicit_image", "implicit_image.pipeline"):
+        if name not in sys.modules:
+            m_ = types.ModuleType(name)
+            m_.__path__ = []
+            sys.modules[name] = m_
+    pkg = types.ModuleType("implicit_image.pipeline.feathermap")
+    pkg.__path__ = [root]
+    sys.modules["implicit_image.pipeline.feathermap"] = pkg
+    for sub in ("utils", "feathernet"):
+        spec = importlib.util.spec_from_file_location(
+            f"implicit_image.pipeline.feathermap.{sub}", f"{root}/{sub}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+    feathernet = sys.modules["implicit_image.pipeline.feathermap.feathernet"]
+
+    ref_siren = _load_ref_siren()
+    from implicit_image_tpu.feathermap import _plan
+
+    for compress in (0.1, 0.25, 0.5):
+        m = ref_siren.Siren(
+            input_size=2, output_size=3, depth=4, hidden_size=32,
+            first_omega_0=50.0, hidden_omega_0=30.0, outermost_linear=True,
+        )
+        fm = feathernet.FeatherNet(m, compress=compress)
+        mdef, mcfg = build_model("siren", depth=4, hidden_size=32)
+        params = mdef.init(jax.random.PRNGKey(0), mcfg)
+        spec = _plan(params, compress)
+        assert spec.size_n == fm._size_n, compress
+        assert spec.size_m == fm._size_m, compress
+        ref_bound = math.sqrt(12) / 2 * (fm._size_m ** (-1 / 4))
+        our_bound = math.sqrt(12.0) / 2.0 * spec.size_m ** (-0.25)
+        assert abs(ref_bound - our_bound) < 1e-12
