@@ -2,13 +2,31 @@
 
 The reference exposes `torch_optimizer.Shampoo` as its second optimizer
 choice (train_helper.py:72-78; conf/optim/shampoo.yaml: lr 0.1, momentum
-0.9, eps 1e-4, update_freq 1). This is a TPU-native functional equivalent:
-per-dimension Kronecker preconditioners L_i accumulated as Gram matrices of
-the matricized gradient, applied as L_i^{-1/(2*order)} via eigendecomposition.
+0.9, eps 1e-4, update_freq 1). This is a TPU-native functional port of
+torch_optimizer's exact update semantics:
+
+    g   <- (1 - momentum) * grad + momentum * buf     (buf = PREVIOUS
+                                                        preconditioned grad)
+    g   <- g + weight_decay * p
+    per dim i:  P_i += mat_i(g) @ mat_i(g)^T
+                g    = P_i^(-1/order) @ mat_i(g)       (order = g.ndim)
+    buf <- g                                           (store preconditioned)
+    p   <- p - lr * g
+
+Note torch_optimizer applies P^(-1/order) per dimension (NOT the paper's
+P^(-1/(2*order))) and blends momentum as an EMA of the preconditioned
+gradient — both matched here so `optim=shampoo` behaves like the
+reference's. Measured caveat: at the reference's own operating point
+(lr 0.1, eps 1e-4, SIREN weight scale ~sqrt(6/fan_in)/30) those raw
+semantics DIVERGE within a few steps (early preconditioners amplify weak
+directions by up to eps^{-1/2}); `graft_norm=True` (default) rescales the
+preconditioned direction to the momentum-gradient's norm per leaf — the
+grafting trick from distributed Shampoo (Anil et al. 2020) — which keeps
+the direction information and makes the reference's lr usable.
 
 All state lives in an explicit pytree so the fit loop stays a single
-compiled program. Eigendecompositions on the (width x width) preconditioners
-are negligible next to the (H*W x width) forward matmuls.
+compiled program; eigendecompositions on the (width x width)
+preconditioners are negligible next to the (H*W x width) forward matmuls.
 """
 from __future__ import annotations
 
@@ -23,7 +41,7 @@ __all__ = ["ShampooState", "shampoo_init", "shampoo_update"]
 
 
 class ShampooState(NamedTuple):
-    momentum_buf: Any
+    momentum_buf: Any  # previous PRECONDITIONED gradient per leaf
     preconds: Any  # per-leaf tuple of (dim_i x dim_i) Gram matrices
     count: jnp.ndarray
 
@@ -60,45 +78,55 @@ def shampoo_update(
     lr,
     momentum: float = 0.9,
     weight_decay: float = 0.0,
+    graft_norm: bool = True,
 ):
     count = state.count + 1
 
-    def upd_buf(key, buf, g):
-        if key not in TRAINABLE_KEYS:
-            return buf
-        return momentum * buf + g
-
-    new_buf = tree_map_layers(upd_buf, state.momentum_buf, grads)
-
     new_preconds = []
     new_params = []
-    for layer_p, layer_b, layer_pc in zip(params, new_buf, state.preconds):
-        out_pc, out_p = {}, {}
+    new_buf = []
+    for layer_p, layer_g, layer_b, layer_pc in zip(
+        params, grads, state.momentum_buf, state.preconds
+    ):
+        out_pc, out_p, out_b = {}, {}, {}
         for k in layer_p.keys():
-            p, g, pcs = layer_p[k], layer_b[k], layer_pc[k]
+            p, g, buf, pcs = layer_p[k], layer_g[k], layer_b[k], layer_pc[k]
             if k not in TRAINABLE_KEYS:
-                out_pc[k], out_p[k] = pcs, p
+                out_pc[k], out_p[k], out_b[k] = pcs, p, buf
                 continue
+            if momentum > 0.0:
+                # EMA with the previous PRECONDITIONED grad
+                # (torch_optimizer shampoo.py: grad.mul_(1-m).add_(buf, m))
+                g = (1.0 - momentum) * g + momentum * buf
             if weight_decay:
                 g = g + weight_decay * p
+            g_blend = g
             order = max(g.ndim, 1)
             upd_pcs = []
             for dim in range(g.ndim):
                 mat = _matricize(g, dim)
                 pc = pcs[dim] + mat @ mat.T
                 upd_pcs.append(pc)
-                g_mat = _inv_root(pc, 2 * order) @ mat
+                g_mat = _inv_root(pc, order) @ mat
                 # un-matricize
                 shape = (g.shape[dim],) + tuple(
                     g.shape[i] for i in range(g.ndim) if i != dim
                 )
                 inv_perm = list(range(1, dim + 1)) + [0] + list(range(dim + 1, g.ndim))
                 g = jnp.transpose(g_mat.reshape(shape), inv_perm)
+            if graft_norm:
+                # keep the preconditioned DIRECTION, graft the momentum
+                # gradient's NORM (distributed-Shampoo grafting)
+                gn = jnp.sqrt(jnp.sum(g_blend * g_blend))
+                pn = jnp.sqrt(jnp.sum(g * g))
+                g = g * (gn / jnp.maximum(pn, 1e-16))
             out_pc[k] = tuple(upd_pcs)
+            out_b[k] = g  # store preconditioned grad as the momentum buffer
             out_p[k] = p - lr * g
         new_preconds.append(out_pc)
         new_params.append(out_p)
+        new_buf.append(out_b)
 
     return tuple(new_params), ShampooState(
-        momentum_buf=new_buf, preconds=tuple(new_preconds), count=count
+        momentum_buf=tuple(new_buf), preconds=tuple(new_preconds), count=count
     )
