@@ -221,7 +221,8 @@ def decode_and_render(
 
     t0 = time.perf_counter()
     state = decompress_state_dict(dir_name, stream_name, **kwargs)
-    params = params_from_state_dict(state)
+    t0b = time.perf_counter()
+    params = params_from_state_dict(state)  # host->device upload
     t1 = time.perf_counter()
     grid = get_grid(height, width)
     render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
@@ -250,7 +251,8 @@ def decode_and_render(
     t4 = time.perf_counter()
     render_s = (t4 - t3) / reps
     stats = {
-        "decode_s": t1 - t0,
+        "decode_s": t0b - t0,  # host entropy decode only
+        "upload_s": t1 - t0b,  # host->device param transfer
         "first_render_s": t2 - t1,
         "render_s": render_s,
         "mpix_per_s": (height * width) / max(render_s, 1e-9) / 1e6,

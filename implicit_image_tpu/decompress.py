@@ -72,9 +72,10 @@ def cli(argv=None) -> None:
         raise SystemExit(2)
     _, stats = decode_run(argv[0], out)
     log.info(
-        "decoded %s: host %.1f ms, render %.2f ms (%.0f Mpix/s) -> %s",
+        "decoded %s: host %.1f ms + upload %.1f ms, render %.2f ms (%.0f Mpix/s) -> %s",
         argv[0],
         stats["decode_s"] * 1e3,
+        stats["upload_s"] * 1e3,
         stats["render_s"] * 1e3,
         stats["mpix_per_s"],
         stats["out"],
