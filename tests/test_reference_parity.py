@@ -469,3 +469,30 @@ def test_feathermap_plan_matches_reference():
         ref_bound = math.sqrt(12) / 2 * (fm._size_m ** (-1 / 4))
         our_bound = math.sqrt(12.0) / 2.0 * spec.size_m ** (-0.25)
         assert abs(ref_bound - our_bound) < 1e-12
+
+
+def test_flops_counting_matches_micronet_reference():
+    """layer_flops (mults, adds) must equal the reference's MicroNet
+    count_ops for FullyConnected at arbitrary sparsity (counting/
+    micronet_challenge.py:161-285)."""
+    mc = _load_ref_module("pipeline/masking/counting/micronet_challenge.py")
+    from implicit_image_tpu.sparsity.counting import layer_flops
+
+    for fan_in, fan_out, sparsity, act in [
+        (2, 128, 0.0, "relu"),
+        (128, 128, 0.5, "relu"),
+        (128, 128, 0.937, "relu"),
+        (128, 3, 0.25, None),
+    ]:
+        op = mc.FullyConnected(
+            kernel_shape=[fan_in, fan_out], use_bias=True, activation=act
+        )
+        _, ref_mults, ref_adds = mc.count_ops(op, sparsity, param_bits=32)
+        mults, adds = layer_flops(
+            fan_in, fan_out, sparsity=sparsity, has_bias=True,
+            activation=act is not None,
+        )
+        np.testing.assert_allclose(mults, ref_mults, rtol=1e-9,
+                                   err_msg=f"{fan_in}x{fan_out}@{sparsity}")
+        np.testing.assert_allclose(adds, ref_adds, rtol=1e-9,
+                                   err_msg=f"{fan_in}x{fan_out}@{sparsity}")
