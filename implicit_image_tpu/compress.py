@@ -18,8 +18,8 @@ Multirun jobs write to per-job output dirs outputs/<img>/<exp>/<overrides>
 """
 from __future__ import annotations
 
+import json
 import logging
-import math
 import os
 import sys
 from pathlib import Path
@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from implicit_image_tpu.coding import compress_state_dict, linear_state_dict
 from implicit_image_tpu.config import DotDict, compose, expand_multirun
-from implicit_image_tpu.data import get_grid, load_img, save_img, stable_seed, synthetic_image
+from implicit_image_tpu.data import get_grid, load_img, stable_seed, synthetic_image
 from implicit_image_tpu.feathermap import build_feather_model
 from implicit_image_tpu.models import build_model
 from implicit_image_tpu.quant import QuantConfig
@@ -90,9 +90,7 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     # persist the composed config so the run dir is self-contained — the
     # decode CLI (decompress.py) and the visualize run-store reader
     # (visualize/runs.py) rebuild the model from it
-    import json as _json
-
-    (Path(run_dir) / "config.json").write_text(_json.dumps(cfg, indent=2, default=str))
+    (Path(run_dir) / "config.json").write_text(json.dumps(cfg, indent=2, default=str))
 
     img = _load_image(cfg.img)
     h, w = img.shape[:2]

@@ -19,7 +19,7 @@ forward is jit/vmap/shard_map-compatible (pure, static shapes).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence, Tuple
 
 import jax

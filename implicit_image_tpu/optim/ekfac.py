@@ -22,7 +22,7 @@ interval (reference ra/update_freq semantics).
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -97,7 +97,7 @@ def capture_layer_stats(
     return acts, grads
 
 
-def ekfac_init(params, coords_dim_samples: int = 1) -> EkfacState:
+def ekfac_init(params) -> EkfacState:
     ua, ug, m2 = [], [], []
     for layer in params:
         if "w" not in layer:

@@ -17,8 +17,6 @@ per-step metrics stay replicated scalars.
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

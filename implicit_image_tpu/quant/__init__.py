@@ -15,7 +15,7 @@ params -> a QuantizedParams pytree consumed by the entropy coder
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ e.g. the first layer under `random` init or the Fourier encoding matrix.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ the arrays are tiny (an INR is the compressed artifact itself).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 
