@@ -29,11 +29,16 @@ def make_mesh(
     pixel: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ("image", "pixel") mesh over the available devices."""
+    """Build a ("image", "pixel") mesh over the first image*pixel devices.
+
+    Using a prefix of the available devices lets callers build small test
+    meshes (e.g. a 2x1 mesh on an 8-device virtual CPU host).
+    """
     devices = list(devices if devices is not None else jax.devices())
-    if image * pixel != len(devices):
+    need = image * pixel
+    if need > len(devices):
         raise ValueError(
-            f"mesh {image}x{pixel} != {len(devices)} devices"
+            f"mesh {image}x{pixel} needs {need} devices, have {len(devices)}"
         )
-    arr = np.asarray(devices).reshape(image, pixel)
+    arr = np.asarray(devices[:need]).reshape(image, pixel)
     return Mesh(arr, axis_names=("image", "pixel"))
