@@ -23,8 +23,11 @@ def _imgs(b, n=16):
 def test_make_mesh_shapes():
     mesh = make_mesh(image=4, pixel=2)
     assert mesh.shape == {"image": 4, "pixel": 2}
+    # sub-count meshes use a device prefix
+    small = make_mesh(image=3, pixel=2)
+    assert small.shape == {"image": 3, "pixel": 2}
     with pytest.raises(ValueError):
-        make_mesh(image=3, pixel=2)
+        make_mesh(image=5, pixel=2)  # 10 > 8 virtual devices
 
 
 def test_batched_fit_matches_single():
