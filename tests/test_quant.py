@@ -202,3 +202,34 @@ def test_qat_uniform_finetune_end_to_end():
     )
     assert np.isfinite(float(np.asarray(qres.metrics["quant_psnr"])))
     assert qres.codebooks[1] is not None
+
+
+def test_9bit_quant_uint16_labels_roundtrip(tmp_path):
+    """The finals protocol uses 9-bit quant for building/bridge
+    (slurm_scripts/finals.sh): >255 clusters must flow through uint16
+    labels and the bitstream."""
+    from implicit_image_tpu.coding import (
+        compress_state_dict,
+        decompress_state_dict,
+        linear_state_dict,
+    )
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(24, 24, seed=1)
+    grid = get_grid(24, 24)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=32)
+    res = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+              TrainConfig(num_steps=80, log_steps=40), OptimConfig(lr=1e-3))
+    q = quant_finetune(res.params, img, mdef, mcfg, grid,
+                       QuantConfig(bits=9, num_steps=10), OptimConfig(lr=1e-3))
+    state = linear_state_dict(q.params, q.codebooks, half=True)
+    lab = state["layers.1.labeled_weight"]
+    assert lab.dtype == np.uint16 and int(lab.max()) > 255
+    assert state["layers.1.centroids"].shape == (512,)
+    compress_state_dict(state, tmp_path, "auto")
+    dec = decompress_state_dict(tmp_path, "auto")
+    expect = state["layers.1.centroids"][lab].astype(np.float32)
+    np.testing.assert_array_equal(dec["layers.1.weight"], expect)
