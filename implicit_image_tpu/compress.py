@@ -86,7 +86,13 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     key = jax.random.PRNGKey(int(cfg.seed))
     run_dir = run_dir or cfg.get("output_dir", "outputs/run")
     Path(run_dir).mkdir(parents=True, exist_ok=True)
-    logger = MetricsLogger(run_dir, use=cfg.get("logging", {}).get("use", True))
+    log_cfg = cfg.get("logging", {})
+    logger = MetricsLogger(
+        run_dir,
+        use=log_cfg.get("use", True),
+        wandb_project=log_cfg.get("wandb_project"),
+        wandb_name=log_cfg.get("name"),
+    )
     # persist the composed config so the run dir is self-contained — the
     # decode CLI (decompress.py) and the visualize run-store reader
     # (visualize/runs.py) rebuild the model from it

@@ -19,13 +19,33 @@ log = logging.getLogger("implicit_image_tpu")
 
 
 class MetricsLogger:
-    def __init__(self, run_dir: Optional[str] = None, use: bool = True):
+    """Sinks: python logging line + metrics.jsonl (+ optional W&B when the
+    package is importable and `wandb_project` is set — the reference's
+    third sink, compress.py:89-101)."""
+
+    def __init__(
+        self,
+        run_dir: Optional[str] = None,
+        use: bool = True,
+        wandb_project: Optional[str] = None,
+        wandb_name: Optional[str] = None,
+    ):
         self.use = use
         self.run_dir = Path(run_dir) if run_dir else None
         self._fh = None
+        self._wandb = None
         if use and self.run_dir is not None:
             self.run_dir.mkdir(parents=True, exist_ok=True)
             self._fh = open(self.run_dir / "metrics.jsonl", "a")
+        if use and wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project, name=wandb_name, dir=str(self.run_dir)
+                )
+            except Exception as e:  # package absent / offline / no API key
+                log.warning("wandb sink disabled: %s", e)
 
     def log(self, step: int, metrics: dict, prefix: str = "Train"):
         if not self.use:
@@ -40,6 +60,8 @@ class MetricsLogger:
         if self._fh is not None:
             self._fh.write(json.dumps({"step": step, "prefix": prefix, **clean}) + "\n")
             self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(clean, step=step)
 
     def summary(self, metrics: dict):
         if not self.use or self.run_dir is None:
@@ -57,3 +79,6 @@ class MetricsLogger:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+        if self._wandb is not None:
+            self._wandb.finish()
+            self._wandb = None

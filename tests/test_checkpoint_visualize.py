@@ -67,11 +67,18 @@ def test_run_store_and_rd_points(tmp_path):
     assert pts == [(2.0, 28.5)]
 
 
-def test_traditional_rate_distortion_jpeg():
+import pytest
+
+
+@pytest.mark.parametrize("ext", ["jpg", "jp2", "webp"])
+def test_traditional_rate_distortion_codecs(ext):
     from implicit_image_tpu.visualize import traditional_rate_distortion
 
     img = synthetic_image(64, 64, seed=0)
-    pts = traditional_rate_distortion(img, "jpg")
+    try:
+        pts = traditional_rate_distortion(img, ext)
+    except Exception:
+        pytest.skip(f"{ext} codec unavailable in this environment")
     assert len(pts) >= 10
     kb, psnr = zip(*pts)
     # higher quality -> larger file; last point beats first on PSNR
