@@ -496,3 +496,37 @@ def test_flops_counting_matches_micronet_reference():
                                    err_msg=f"{fan_in}x{fan_out}@{sparsity}")
         np.testing.assert_allclose(adds, ref_adds, rtol=1e-9,
                                    err_msg=f"{fan_in}x{fan_out}@{sparsity}")
+
+
+def test_redistribution_stats_match_reference():
+    """grad / momentum / nonzero per-layer redistribution statistics equal
+    the reference's (funcs/redistribute.py:19-86)."""
+    torch = pytest.importorskip("torch")
+    from types import SimpleNamespace
+
+    ref = _load_ref_module("pipeline/masking/funcs/redistribute.py")
+    from implicit_image_tpu.sparsity import redistribute as ours
+
+    rng = np.random.default_rng(5)
+    mask = (rng.random((16, 24)) < 0.5).astype(np.float32)
+    w = rng.standard_normal((16, 24)).astype(np.float32) * mask
+    grad = rng.standard_normal((16, 24)).astype(np.float32)
+    mom = rng.standard_normal((16, 24)).astype(np.float32)
+
+    wt = torch.from_numpy(w.copy())
+    wt.grad = torch.from_numpy(grad.copy())
+    stub = SimpleNamespace(get_momentum_for_weight=lambda _: torch.from_numpy(mom))
+    mt = torch.from_numpy(mask)
+
+    np.testing.assert_allclose(
+        float(ours.grad_redistribution(jnp.asarray(mask), jnp.asarray(w),
+                                       jnp.asarray(grad), jnp.asarray(mom))),
+        ref.grad_redistribution(stub, "w", wt, mt), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(ours.momentum_redistribution(jnp.asarray(mask), jnp.asarray(w),
+                                           jnp.asarray(grad), jnp.asarray(mom))),
+        ref.momentum_redistribution(stub, "w", wt, mt), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(ours.nonzero_redistribution(jnp.asarray(mask), jnp.asarray(w),
+                                          jnp.asarray(grad), jnp.asarray(mom))),
+        ref.nonzero_redistribution(stub, "w", wt, mt), rtol=1e-6)
