@@ -25,6 +25,7 @@ bfloat16 via TrainConfig.compute_dtype (no loss scaling needed on TPU).
 """
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional
@@ -52,6 +53,7 @@ __all__ = [
     "OptimConfig",
     "FitResult",
     "make_train_step",
+    "make_fit_segments",
     "make_fit_fn",
     "fit",
 ]
@@ -79,6 +81,12 @@ class TrainConfig:
     # The accumulated gradient is bit-equivalent to the full-batch gradient
     # (MSE over equal chunks averages exactly).
     pixel_chunks: int = 1
+    # Longest scan executed as ONE device program. Runs with more steps are
+    # chained as several executions of the same compiled segment (identical
+    # math — the step index is global). Needed because the axon TPU tunnel
+    # kills single executions around ~60 s wall (2000 steps ≈ 14 s at the
+    # w128 operating point leaves ample margin; lower it for wide models).
+    segment_steps: int = 2000
 
 
 @dataclass(frozen=True)
@@ -330,6 +338,56 @@ def make_train_step(
     return train_step
 
 
+def make_fit_segments(
+    mdef: ModelDef,
+    mcfg,
+    grid,
+    train_cfg: TrainConfig,
+    optim_cfg: OptimConfig,
+    masking_cfg: Optional[MaskingConfig] = None,
+):
+    """Build (init_fn, segment_fn) for segmented execution.
+
+    init_fn(key, img) -> carry; segment_fn(carry, img, start, length) scans
+    `length` (static) train steps whose GLOBAL step indices begin at `start`
+    (traced), returning (carry, metrics). Splitting a long fit into several
+    compiled executions of the same segment program is required on runtimes
+    that bound single-execution wall time (the axon tunnel kills executions
+    around ~60 s; a 5x-multiplier finals fit runs ~71 s monolithic).
+    """
+    h, w, c = grid.shape
+    coords = grid.reshape(h * w, c)
+    sparse = masking_cfg is not None and not masking_cfg.dense
+
+    def init_fn(key, img):
+        key, init_key, mask_key, loop_key = jax.random.split(key, 4)
+        params = mdef.init(init_key, mcfg)
+        opt_state = opt_init(params, optim_cfg)
+        if sparse:
+            mask_state = create_mask_state(mask_key, params, masking_cfg)
+            params = apply_masks(params, mask_state.masks)
+        else:
+            mask_state = _dummy_mask_state(params)
+        if optim_cfg.preconditioner == "ekfac":
+            from implicit_image_tpu.optim.ekfac import ekfac_init
+
+            ekfac_state = ekfac_init(params)
+        else:
+            ekfac_state = ()
+        return (params, opt_state, mask_state, loop_key, ekfac_state)
+
+    def segment_fn(carry, img, start, length: int):
+        target_flat = img.reshape(h * w, -1)
+        train_step = make_train_step(
+            mdef, mcfg, coords, target_flat, train_cfg, optim_cfg,
+            masking_cfg if sparse else None,
+        )
+        steps = jnp.asarray(start, jnp.int32) + jnp.arange(length)
+        return jax.lax.scan(train_step, carry, steps)
+
+    return init_fn, segment_fn
+
+
 def make_fit_fn(
     mdef: ModelDef,
     mcfg,
@@ -341,39 +399,17 @@ def make_fit_fn(
     """Build fit(key, img) -> (params, opt_state, mask_state, metrics).
 
     Pure in (key, img): jit it once, vmap it over images, or shard the pixel
-    axis — see parallel/.
+    axis — see parallel/. Runs the whole fit as ONE scan; for runs longer
+    than the runtime's per-execution wall-time budget use the segmented
+    driver (`fit`, which chains make_fit_segments executions).
     """
-    h, w, c = grid.shape
-    coords = grid.reshape(h * w, c)
-    sparse = masking_cfg is not None and not masking_cfg.dense
+    init_fn, segment_fn = make_fit_segments(
+        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+    )
 
     def fit_fn(key, img):
-        target_flat = img.reshape(h * w, -1)
-        key, init_key, mask_key, loop_key = jax.random.split(key, 4)
-        params = mdef.init(init_key, mcfg)
-
-        opt_state = opt_init(params, optim_cfg)
-
-        if sparse:
-            mask_state = create_mask_state(mask_key, params, masking_cfg)
-            params = apply_masks(params, mask_state.masks)
-        else:
-            mask_state = _dummy_mask_state(params)
-
-        train_step = make_train_step(
-            mdef, mcfg, coords, target_flat, train_cfg, optim_cfg,
-            masking_cfg if sparse else None,
-        )
-        if optim_cfg.preconditioner == "ekfac":
-            from implicit_image_tpu.optim.ekfac import ekfac_init
-
-            ekfac_state = ekfac_init(params)
-        else:
-            ekfac_state = ()
-        carry = (params, opt_state, mask_state, loop_key, ekfac_state)
-        carry, metrics = jax.lax.scan(
-            train_step, carry, jnp.arange(train_cfg.num_steps)
-        )
+        carry = init_fn(key, img)
+        carry, metrics = segment_fn(carry, img, 0, train_cfg.num_steps)
         params, opt_state, mask_state = carry[0], carry[1], carry[2]
         return params, opt_state, mask_state, metrics
 
@@ -402,22 +438,69 @@ def fit(
     optim_cfg: OptimConfig,
     masking_cfg: Optional[MaskingConfig] = None,
 ) -> FitResult:
-    """Compile + run one fit; returns final params and per-step metric arrays."""
-    fit_fn = jax.jit(
-        make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg)
-    )
-    img = jnp.asarray(img)
-    # warm-up compile outside the timed region
-    compiled = fit_fn.lower(key, img).compile()
-    t0 = time.perf_counter()
-    params, opt_state, mask_state, metrics = compiled(key, img)
-    # force a value to host: block_until_ready alone can return before
-    # remote execution finishes on tunneled TPU runtimes
+    """Compile + run one fit; returns final params and per-step metric arrays.
+
+    Fits longer than train_cfg.segment_steps are chained as repeated
+    executions of one compiled segment (plus one remainder program) —
+    identical math, but each device execution stays inside the runtime's
+    wall-time budget.
+    """
     import numpy as _np
 
+    img = jnp.asarray(img)
+    sparse = masking_cfg is not None and not masking_cfg.dense
+    n = train_cfg.num_steps
+    seg = max(1, train_cfg.segment_steps)
+
+    if n <= seg:
+        fit_fn = jax.jit(
+            make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg)
+        )
+        # warm-up compile outside the timed region
+        compiled = fit_fn.lower(key, img).compile()
+        t0 = time.perf_counter()
+        params, opt_state, mask_state, metrics = compiled(key, img)
+        # force a value to host: block_until_ready alone can return before
+        # remote execution finishes on tunneled TPU runtimes
+        _np.asarray(jnp.ravel(metrics["loss"])[-1])
+        wall = time.perf_counter() - t0
+        return FitResult(
+            params=params,
+            mask_state=mask_state if sparse else None,
+            opt_state=opt_state,
+            metrics=metrics,
+            wall_seconds=wall,
+        )
+
+    init_fn, segment_fn = make_fit_segments(
+        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+    )
+    jinit = jax.jit(init_fn)
+    jseg = {
+        length: jax.jit(functools.partial(segment_fn, length=length))
+        for length in {seg, n % seg or seg}
+    }
+    # warm-up compiles
+    carry = jinit(key, img)
+    for f in jseg.values():
+        f.lower(carry, img, jnp.int32(0)).compile()
+
+    t0 = time.perf_counter()
+    carry = jinit(key, img)
+    metric_chunks = []
+    start = 0
+    while start < n:
+        length = min(seg, n - start)
+        carry, m = jseg[length](carry, img, jnp.int32(start))
+        metric_chunks.append(m)
+        start += length
+    params, opt_state, mask_state = carry[0], carry[1], carry[2]
+    metrics = {
+        k: jnp.concatenate([c[k] for c in metric_chunks])
+        for k in metric_chunks[0]
+    }
     _np.asarray(jnp.ravel(metrics["loss"])[-1])
     wall = time.perf_counter() - t0
-    sparse = masking_cfg is not None and not masking_cfg.dense
     return FitResult(
         params=params,
         mask_state=mask_state if sparse else None,

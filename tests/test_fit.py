@@ -146,3 +146,25 @@ def test_pixel_chunks_must_divide():
     with pytest.raises(ValueError, match="pixel_chunks"):
         fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
             TrainConfig(num_steps=2, log_steps=1, pixel_chunks=3), OptimConfig())
+
+
+def test_segmented_fit_matches_monolithic(small_problem):
+    """Chained segment executions (the per-execution wall-time workaround,
+    TrainConfig.segment_steps) are mathematically identical to one scan:
+    params bit-equal, metrics equal up to compile-level reduction order."""
+    grid, img, mdef, mcfg = small_problem
+    mk = MaskingConfig(density=0.5, end_when=90, interval=10)
+    r1 = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+             TrainConfig(num_steps=100, log_steps=25, segment_steps=1000),
+             OptimConfig(lr=1e-3), mk)
+    r2 = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+             TrainConfig(num_steps=100, log_steps=25, segment_steps=30),
+             OptimConfig(lr=1e-3), mk)
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in r1.metrics:
+        np.testing.assert_allclose(
+            np.asarray(r1.metrics[k]), np.asarray(r2.metrics[k]),
+            rtol=1e-6, atol=1e-7, err_msg=k,
+        )
