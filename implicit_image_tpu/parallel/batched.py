@@ -74,20 +74,84 @@ def batched_fit(
 
     imgs: (B, H, W, C). Each image gets an independent PRNG fold of `key`.
     """
+    import numpy as _np
+
     imgs = jnp.asarray(imgs)
     b = imgs.shape[0]
     keys = jax.random.split(key, b)
-    fn = make_batched_fit_fn(
-        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, mesh
-    )
-    compiled = fn.lower(keys, imgs).compile()
-    t0 = time.perf_counter()
-    params, opt_state, mask_state, metrics = compiled(keys, imgs)
-    import numpy as _np
-
-    _np.asarray(jnp.ravel(metrics["loss"])[-1])  # force completion (see fit.py)
-    wall = time.perf_counter() - t0
     sparse = masking_cfg is not None and not masking_cfg.dense
+
+    # Per-execution wall budget is shared by the whole batch (the runtime
+    # kills executions ~60 s, see fit.py): shrink the per-segment step
+    # count by the batch size.
+    n = train_cfg.num_steps
+    seg = max(1, train_cfg.segment_steps // max(1, b))
+
+    if n <= seg:
+        fn = make_batched_fit_fn(
+            mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, mesh
+        )
+        compiled = fn.lower(keys, imgs).compile()
+        t0 = time.perf_counter()
+        params, opt_state, mask_state, metrics = compiled(keys, imgs)
+        _np.asarray(jnp.ravel(metrics["loss"])[-1])  # force completion (fit.py)
+        wall = time.perf_counter() - t0
+        return FitResult(
+            params=params,
+            mask_state=mask_state if sparse else None,
+            opt_state=opt_state,
+            metrics=metrics,
+            wall_seconds=wall,
+        )
+
+    from implicit_image_tpu.training.fit import make_fit_segments
+
+    init_fn, segment_fn = make_fit_segments(
+        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+    )
+    shard = NamedSharding(mesh, P("image")) if mesh is not None else None
+
+    vinit = (
+        jax.jit(jax.vmap(init_fn))
+        if shard is None
+        else jax.jit(
+            jax.vmap(init_fn), in_shardings=(shard, shard), out_shardings=shard
+        )
+    )
+    lengths = {seg, n % seg or seg}
+    vsegs = {}
+    for length in lengths:
+        vf = jax.vmap(
+            lambda c, im, s, _l=length: segment_fn(c, im, s, _l),
+            in_axes=(0, 0, None),
+        )
+        vsegs[length] = (
+            jax.jit(vf)
+            if shard is None
+            else jax.jit(
+                vf, in_shardings=(shard, shard, None), out_shardings=shard
+            )
+        )
+
+    carry0 = vinit(keys, imgs)
+    for f in vsegs.values():
+        f.lower(carry0, imgs, jnp.int32(0)).compile()
+
+    t0 = time.perf_counter()
+    carry = vinit(keys, imgs)
+    chunks = []
+    start = 0
+    while start < n:
+        length = min(seg, n - start)
+        carry, m = vsegs[length](carry, imgs, jnp.int32(start))
+        chunks.append(m)
+        start += length
+    params, opt_state, mask_state = carry[0], carry[1], carry[2]
+    metrics = {
+        k: jnp.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]
+    }
+    _np.asarray(jnp.ravel(metrics["loss"])[-1])
+    wall = time.perf_counter() - t0
     return FitResult(
         params=params,
         mask_state=mask_state if sparse else None,

@@ -146,3 +146,21 @@ def test_2d_mesh_batched_and_sharded():
     loss = np.asarray(metrics["loss"])
     assert loss.shape == (4, 30)
     assert np.all(loss[:, -1] < loss[:, 0])
+
+
+def test_batched_segmented_matches_monolithic():
+    """batched_fit's segmented execution (per-execution wall budget shared
+    by the batch) is bit-equal to the monolithic scan."""
+    imgs = np.stack([synthetic_image(16, 16, seed=s) for s in range(4)])
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    r1 = batched_fit(jax.random.PRNGKey(0), mdef, mcfg, grid, imgs,
+                     TrainConfig(num_steps=60, log_steps=20, segment_steps=40),
+                     OptimConfig(lr=1e-3))
+    r2 = batched_fit(jax.random.PRNGKey(0), mdef, mcfg, grid, imgs,
+                     TrainConfig(num_steps=60, log_steps=20, segment_steps=10**6),
+                     OptimConfig(lr=1e-3))
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(r1.metrics["loss"]).shape == (4, 60)
