@@ -16,6 +16,7 @@ per-step metrics stay replicated scalars.
 """
 from __future__ import annotations
 
+import functools
 import time
 import jax
 import jax.numpy as jnp
@@ -70,19 +71,73 @@ def sharded_fit(
     optim_cfg: OptimConfig,
     masking_cfg=None,
 ) -> FitResult:
-    """Compile + run one pixel-sharded fit."""
-    fn = make_sharded_fit_fn(
-        mesh, mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
-    )
-    img = jnp.asarray(img)
-    compiled = fn.lower(key, img).compile()
-    t0 = time.perf_counter()
-    params, opt_state, mask_state, metrics = compiled(key, img)
+    """Compile + run one pixel-sharded fit.
+
+    Segmented like fit()/batched_fit(): runs longer than
+    train_cfg.segment_steps chain executions of one compiled segment so no
+    single device execution exceeds the runtime's wall-time budget.
+    """
     import numpy as _np
 
-    _np.asarray(jnp.ravel(metrics["loss"])[-1])  # force completion (see fit.py)
-    wall = time.perf_counter() - t0
+    from implicit_image_tpu.training.fit import make_fit_segments
+
+    img = jnp.asarray(img)
     sparse = masking_cfg is not None and not masking_cfg.dense
+    n = train_cfg.num_steps
+    seg = max(1, train_cfg.segment_steps)
+
+    if n <= seg:
+        fn = make_sharded_fit_fn(
+            mesh, mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+        )
+        compiled = fn.lower(key, img).compile()
+        t0 = time.perf_counter()
+        params, opt_state, mask_state, metrics = compiled(key, img)
+        _np.asarray(jnp.ravel(metrics["loss"])[-1])  # force completion (fit.py)
+        wall = time.perf_counter() - t0
+        return FitResult(
+            params=params,
+            mask_state=mask_state if sparse else None,
+            opt_state=opt_state,
+            metrics=metrics,
+            wall_seconds=wall,
+        )
+
+    h = grid.shape[0]
+    n_pixel = mesh.shape["pixel"]
+    assert h % n_pixel == 0, f"H={h} not divisible by pixel axis {n_pixel}"
+    init_fn, segment_fn = make_fit_segments(
+        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+    )
+    rep = NamedSharding(mesh, P())
+    img_shard = NamedSharding(mesh, P("pixel"))
+    jinit = jax.jit(init_fn, in_shardings=(rep, img_shard))
+    jseg = {
+        length: jax.jit(
+            functools.partial(segment_fn, length=length),
+            in_shardings=(None, img_shard, None),
+        )
+        for length in {seg, n % seg or seg}
+    }
+    carry = jinit(key, img)
+    for f in jseg.values():
+        f.lower(carry, img, jnp.int32(0)).compile()
+
+    t0 = time.perf_counter()
+    carry = jinit(key, img)
+    chunks = []
+    start = 0
+    while start < n:
+        length = min(seg, n - start)
+        carry, m = jseg[length](carry, img, jnp.int32(start))
+        chunks.append(m)
+        start += length
+    params, opt_state, mask_state = carry[0], carry[1], carry[2]
+    metrics = {
+        k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]
+    }
+    _np.asarray(jnp.ravel(metrics["loss"])[-1])
+    wall = time.perf_counter() - t0
     return FitResult(
         params=params,
         mask_state=mask_state if sparse else None,

@@ -164,3 +164,21 @@ def test_batched_segmented_matches_monolithic():
                     jax.tree_util.tree_leaves(r2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.asarray(r1.metrics["loss"]).shape == (4, 60)
+
+
+def test_sharded_segmented_matches_monolithic():
+    """sharded_fit's segmented path == monolithic on the virtual mesh."""
+    mesh = make_mesh(image=1, pixel=8)
+    grid = get_grid(32, 32)
+    img = synthetic_image(32, 32, seed=0)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    key = jax.random.PRNGKey(1)
+    r1 = sharded_fit(key, mesh, mdef, mcfg, grid, img,
+                     TrainConfig(num_steps=60, log_steps=30, segment_steps=25),
+                     OptimConfig(lr=1e-3))
+    r2 = sharded_fit(key, mesh, mdef, mcfg, grid, img,
+                     TrainConfig(num_steps=60, log_steps=30, segment_steps=10**6),
+                     OptimConfig(lr=1e-3))
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
