@@ -140,6 +140,7 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         save_weights=cfg.train.get("save_weights", True),
         use_pallas=bool(cfg.train.get("use_pallas", False)) and cfg.mlp.name == "siren",
         pixel_chunks=int(cfg.train.get("pixel_chunks", 1)),
+        segment_steps=int(cfg.train.get("segment_steps", 2000)),
     )
     # PyYAML parses bare "3e-4" as a string; coerce fields that LOOK
     # numeric, leave real strings (e.g. preconditioner="ekfac") alone
