@@ -33,8 +33,7 @@ import jax.numpy as jnp
 from implicit_image_tpu.coding import compress_state_dict, linear_state_dict
 from implicit_image_tpu.config import DotDict, compose, expand_multirun
 from implicit_image_tpu.data import get_grid, load_img, stable_seed, synthetic_image
-from implicit_image_tpu.feathermap import build_feather_model
-from implicit_image_tpu.models import build_model
+from implicit_image_tpu.models import build_model_from_config
 from implicit_image_tpu.quant import QuantConfig
 from implicit_image_tpu.sparsity import MaskingConfig
 from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
@@ -102,20 +101,10 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     h, w = img.shape[:2]
     grid = get_grid(h, w)
 
-    # Small-Dense width compensation (compress.py:74-77)
-    small_density = 1.0
     masking_cfg_raw = cfg.get("masking")
-    if masking_cfg_raw and masking_cfg_raw.get("name") == "Small_Dense":
-        small_density = float(masking_cfg_raw.density)
-
-    mlp_kwargs = {k: v for k, v in cfg.mlp.items() if k != "name"}
-    mdef, mcfg = build_model(
-        cfg.mlp.name, small_dense_density=small_density, **mlp_kwargs
-    )
-
-    # Feathermap wrap (compress.py:80-81)
-    if masking_cfg_raw and masking_cfg_raw.get("name") == "Feathermap":
-        mdef = build_feather_model(mdef, mcfg, compress=float(masking_cfg_raw.density))
+    # Small-Dense width compensation + Feathermap wrap (compress.py:74-81),
+    # via the SAME builder the decoder uses (models.build_model_from_config)
+    mdef, mcfg = build_model_from_config(cfg)
 
     # training multiplier semantics (compress.py:110-120)
     mult = int(cfg.train.get("multiplier", 1))

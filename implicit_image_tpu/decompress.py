@@ -23,7 +23,7 @@ import numpy as np
 
 from implicit_image_tpu.coding import decode_and_render
 from implicit_image_tpu.data import save_img
-from implicit_image_tpu.models import build_model
+from implicit_image_tpu.models import build_model_from_config
 from implicit_image_tpu.utils import catch_error_decorator
 
 log = logging.getLogger("implicit_image_tpu")
@@ -36,17 +36,7 @@ def decode_run(run_dir, out_path=None):
     stream = cfg.get("entropy_coding", {}).get("stream_name", "zstd")
     if stream == "none":
         raise ValueError(f"{run_dir} was produced without entropy coding")
-    mlp = dict(cfg["mlp"])
-    name = mlp.pop("name")
-    masking = cfg.get("masking") or {}
-    small = float(masking.get("density", 1.0)) if masking.get("name") == "Small_Dense" else 1.0
-    mdef, mcfg = build_model(name, small_dense_density=small, **mlp)
-    if masking.get("name") == "Feathermap":
-        # the bitstream holds the (V1, V2, scalers) feather params — rebuild
-        # the same wrap compress.py used so apply() materializes the layers
-        from implicit_image_tpu.feathermap import build_feather_model
-
-        mdef = build_feather_model(mdef, mcfg, compress=float(masking["density"]))
+    mdef, mcfg = build_model_from_config(cfg)
     h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
 
     img, stats = decode_and_render(
@@ -65,6 +55,9 @@ def cli(argv=None) -> None:
     out = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print(__doc__)
+            raise SystemExit(2)
         out = argv[i + 1]
         del argv[i : i + 2]
     if len(argv) != 1:

@@ -10,7 +10,7 @@ import dataclasses
 from dataclasses import dataclass
 from typing import Any, Callable, Tuple
 
-__all__ = ["ModelDef", "registry", "build_model"]
+__all__ = ["ModelDef", "registry", "build_model", "build_model_from_config"]
 
 
 @dataclass(frozen=True)
@@ -84,3 +84,27 @@ def build_model(model_name: str, **cfg_kwargs) -> Tuple[ModelDef, Any]:
     fields = {f.name for f in dataclasses.fields(mdef.config_cls)}
     cfg = mdef.config_cls(**{k: v for k, v in cfg_kwargs.items() if k in fields})
     return mdef, cfg
+
+
+def build_model_from_config(cfg) -> Tuple[ModelDef, Any]:
+    """(mdef, mcfg) from a composed run config — THE single mapping from
+    cfg.mlp + cfg.masking to an architecture, shared by the encoder
+    (compress.py) and the decoder (decompress.py) so the two can never
+    disagree about what the bitstream's params mean.
+
+    Applies Small-Dense width compensation (reference compress.py:74-77)
+    and the Feathermap wrap (reference compress.py:80-81).
+    """
+    mlp = dict(cfg["mlp"])
+    name = mlp.pop("name")
+    masking = cfg.get("masking") or {}
+    small = 1.0
+    if masking.get("name") == "Small_Dense":
+        small = float(masking["density"])
+    mdef, mcfg = build_model(name, small_dense_density=small, **mlp)
+    if masking.get("name") == "Feathermap":
+        # local import: feathermap imports models at module level
+        from implicit_image_tpu.feathermap import build_feather_model
+
+        mdef = build_feather_model(mdef, mcfg, compress=float(masking["density"]))
+    return mdef, mcfg

@@ -27,6 +27,7 @@ def opt_update(grads, opt_state, params, lr, optim_cfg):
             lr,
             momentum=optim_cfg.momentum,
             weight_decay=optim_cfg.weight_decay,
+            graft_norm=getattr(optim_cfg, "graft_norm", True),
         )
     raise KeyError(optim_cfg.name)
 

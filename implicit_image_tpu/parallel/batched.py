@@ -133,25 +133,12 @@ def batched_fit(
             )
         )
 
-    carry0 = vinit(keys, imgs)
-    for f in vsegs.values():
-        f.lower(carry0, imgs, jnp.int32(0)).compile()
+    from implicit_image_tpu.training.fit import run_segment_chain
 
-    t0 = time.perf_counter()
-    carry = vinit(keys, imgs)
-    chunks = []
-    start = 0
-    while start < n:
-        length = min(seg, n - start)
-        carry, m = vsegs[length](carry, imgs, jnp.int32(start))
-        chunks.append(m)
-        start += length
+    carry, metrics, wall = run_segment_chain(
+        vinit, vsegs, (keys, imgs), (imgs,), n, seg, concat_axis=1
+    )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
-    metrics = {
-        k: jnp.concatenate([c[k] for c in chunks], axis=1) for k in chunks[0]
-    }
-    _np.asarray(jnp.ravel(metrics["loss"])[-1])
-    wall = time.perf_counter() - t0
     return FitResult(
         params=params,
         mask_state=mask_state if sparse else None,

@@ -119,25 +119,12 @@ def sharded_fit(
         )
         for length in {seg, n % seg or seg}
     }
-    carry = jinit(key, img)
-    for f in jseg.values():
-        f.lower(carry, img, jnp.int32(0)).compile()
+    from implicit_image_tpu.training.fit import run_segment_chain
 
-    t0 = time.perf_counter()
-    carry = jinit(key, img)
-    chunks = []
-    start = 0
-    while start < n:
-        length = min(seg, n - start)
-        carry, m = jseg[length](carry, img, jnp.int32(start))
-        chunks.append(m)
-        start += length
+    carry, metrics, wall = run_segment_chain(
+        jinit, jseg, (key, img), (img,), n, seg
+    )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
-    metrics = {
-        k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]
-    }
-    _np.asarray(jnp.ravel(metrics["loss"])[-1])
-    wall = time.perf_counter() - t0
     return FitResult(
         params=params,
         mask_state=mask_state if sparse else None,

@@ -54,6 +54,7 @@ __all__ = [
     "FitResult",
     "make_train_step",
     "make_fit_segments",
+    "run_segment_chain",
     "make_fit_fn",
     "fit",
 ]
@@ -105,6 +106,10 @@ class OptimConfig:
     preconditioner: Optional[str] = None
     precond_eps: float = 0.1
     precond_interval: int = 10
+    # Shampoo: rescale the preconditioned direction to the momentum-grad
+    # norm (distributed-Shampoo grafting; raw torch_optimizer semantics
+    # diverge at the reference's lr - see optim/shampoo.py)
+    graft_norm: bool = True
     # StepLR params (train_helper.py:81-84)
     lr_step_size: int = 2000
     lr_gamma: float = 0.5
@@ -388,6 +393,36 @@ def make_fit_segments(
     return init_fn, segment_fn
 
 
+def run_segment_chain(jinit, jsegs, init_args, seg_args, n, seg, concat_axis=0):
+    """Warm-compile then chain jitted segment executions.
+
+    jsegs: {length: jitted (carry, *seg_args, start) -> (carry, metrics)}.
+    Returns (final carry, concatenated metrics, wall_seconds) — the shared
+    driver for fit/batched_fit/sharded_fit's runtime-watchdog workaround.
+    """
+    import numpy as _np
+
+    carry0 = jinit(*init_args)
+    for f in jsegs.values():
+        f.lower(carry0, *seg_args, jnp.int32(0)).compile()
+
+    t0 = time.perf_counter()
+    carry = jinit(*init_args)
+    chunks = []
+    start = 0
+    while start < n:
+        length = min(seg, n - start)
+        carry, m = jsegs[length](carry, *seg_args, jnp.int32(start))
+        chunks.append(m)
+        start += length
+    metrics = {
+        k: jnp.concatenate([c[k] for c in chunks], axis=concat_axis)
+        for k in chunks[0]
+    }
+    _np.asarray(jnp.ravel(metrics["loss"])[-1])  # force completion
+    return carry, metrics, time.perf_counter() - t0
+
+
 def make_fit_fn(
     mdef: ModelDef,
     mcfg,
@@ -480,27 +515,10 @@ def fit(
         length: jax.jit(functools.partial(segment_fn, length=length))
         for length in {seg, n % seg or seg}
     }
-    # warm-up compiles
-    carry = jinit(key, img)
-    for f in jseg.values():
-        f.lower(carry, img, jnp.int32(0)).compile()
-
-    t0 = time.perf_counter()
-    carry = jinit(key, img)
-    metric_chunks = []
-    start = 0
-    while start < n:
-        length = min(seg, n - start)
-        carry, m = jseg[length](carry, img, jnp.int32(start))
-        metric_chunks.append(m)
-        start += length
+    carry, metrics, wall = run_segment_chain(
+        jinit, jseg, (key, img), (img,), n, seg
+    )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
-    metrics = {
-        k: jnp.concatenate([c[k] for c in metric_chunks])
-        for k in metric_chunks[0]
-    }
-    _np.asarray(jnp.ravel(metrics["loss"])[-1])
-    wall = time.perf_counter() - t0
     return FitResult(
         params=params,
         mask_state=mask_state if sparse else None,

@@ -41,9 +41,10 @@ class MetricsLogger:
             try:
                 import wandb
 
-                self._wandb = wandb.init(
-                    project=wandb_project, name=wandb_name, dir=str(self.run_dir)
-                )
+                kwargs = {"project": wandb_project, "name": wandb_name}
+                if self.run_dir is not None:
+                    kwargs["dir"] = str(self.run_dir)
+                self._wandb = wandb.init(**kwargs)
             except Exception as e:  # package absent / offline / no API key
                 log.warning("wandb sink disabled: %s", e)
 
@@ -64,7 +65,17 @@ class MetricsLogger:
             self._wandb.log(clean, step=step)
 
     def summary(self, metrics: dict):
-        if not self.use or self.run_dir is None:
+        if not self.use:
+            return
+        clean = {
+            k: (float(v) if hasattr(v, "__float__") else v)
+            for k, v in metrics.items()
+        }
+        if self._wandb is not None:
+            # the reference logs the rate/final metrics to W&B too
+            # (compress.py:212-216,260-263)
+            self._wandb.summary.update(clean)
+        if self.run_dir is None:
             return
         path = self.run_dir / "summary.json"
         existing = {}

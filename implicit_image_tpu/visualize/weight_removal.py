@@ -28,7 +28,9 @@ def _classify(run):
     falling back to dir-name regexes for pre-config.json runs."""
     masking = (run.get("config") or {}).get("masking")
     if masking is not None:
-        if not masking or masking.get("name") in (None, "none") or masking.get("dense"):
+        # classify by NAME: Small_Dense/Feathermap set dense:True yet belong
+        # on the method curves (they compress via width/hashing, not masks)
+        if not masking or masking.get("name") in (None, "none"):
             return "none", None
         return masking.get("name"), masking.get("density")
     d = run["dir"]
