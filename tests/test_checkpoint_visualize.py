@@ -108,3 +108,28 @@ def test_sweep_space_parsing_and_sampling():
     s = sample(space, rng)
     d = float([x for x in s if "density" in x][0].split("=")[1])
     assert 0.1 <= d <= 0.9
+
+
+def test_weight_removal_classifier_handles_dense_true_methods(tmp_path):
+    """Small_Dense/Feathermap set dense:True in their config groups but are
+    METHODS on the sparsity-comparison plot, not the dense baseline."""
+    import json
+
+    from implicit_image_tpu.visualize.weight_removal import gather
+
+    def run(name, cfg_masking, psnr):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "summary.json").write_text(json.dumps({"PSNR": psnr}))
+        (d / "config.json").write_text(json.dumps({"masking": cfg_masking}))
+
+    run("dense", {"name": "none", "dense": True}, 50.0)
+    run("sd", {"name": "Small_Dense", "dense": True, "density": 0.25}, 30.0)
+    run("fm", {"name": "Feathermap", "dense": True, "density": 0.25}, 28.0)
+    run("rigl", {"name": "RigL", "density": 0.25}, 40.0)
+
+    table, dense_psnr = gather(tmp_path)
+    assert dense_psnr == 50.0
+    assert table["Small_Dense"] == [(0.25, 30.0)]
+    assert table["Feathermap"] == [(0.25, 28.0)]
+    assert table["RigL"] == [(0.25, 40.0)]
