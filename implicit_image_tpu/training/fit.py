@@ -393,28 +393,46 @@ def make_fit_segments(
     return init_fn, segment_fn
 
 
-def run_segment_chain(jinit, jsegs, init_args, seg_args, n, seg, concat_axis=0):
+def run_segment_chain(
+    jinit,
+    jsegs,
+    init_args,
+    seg_args,
+    n,
+    seg,
+    concat_axis=0,
+    start0: int = 0,
+    carry_override=None,
+    on_segment=None,
+):
     """Warm-compile then chain jitted segment executions.
 
     jsegs: {length: jitted (carry, *seg_args, start) -> (carry, metrics)}.
     Returns (final carry, concatenated metrics, wall_seconds) — the shared
     driver for fit/batched_fit/sharded_fit's runtime-watchdog workaround.
+    `start0`/`carry_override` resume from a checkpointed state (metrics
+    then cover steps [start0, n)); `on_segment(carry, next_step)` fires at
+    every segment boundary (mid-run checkpointing).
     """
     import numpy as _np
 
-    carry0 = jinit(*init_args)
+    carry0 = carry_override if carry_override is not None else jinit(*init_args)
     for f in jsegs.values():
         f.lower(carry0, *seg_args, jnp.int32(0)).compile()
 
     t0 = time.perf_counter()
-    carry = jinit(*init_args)
+    carry = (
+        carry_override if carry_override is not None else jinit(*init_args)
+    )
     chunks = []
-    start = 0
+    start = start0
     while start < n:
         length = min(seg, n - start)
         carry, m = jsegs[length](carry, *seg_args, jnp.int32(start))
         chunks.append(m)
         start += length
+        if on_segment is not None:
+            on_segment(carry, start)
     metrics = {
         k: jnp.concatenate([c[k] for c in chunks], axis=concat_axis)
         for k in chunks[0]
@@ -472,6 +490,8 @@ def fit(
     train_cfg: TrainConfig,
     optim_cfg: OptimConfig,
     masking_cfg: Optional[MaskingConfig] = None,
+    checkpoint_path=None,
+    resume_from=None,
 ) -> FitResult:
     """Compile + run one fit; returns final params and per-step metric arrays.
 
@@ -486,6 +506,19 @@ def fit(
     sparse = masking_cfg is not None and not masking_cfg.dense
     n = train_cfg.num_steps
     seg = max(1, train_cfg.segment_steps)
+
+    if checkpoint_path is not None or resume_from is not None:
+        # mid-run checkpoint/resume rides the segment boundaries (the scan
+        # carry IS the training state); adam-only, no EKFAC state in the
+        # checkpoint format (training/checkpoint.py)
+        if optim_cfg.name != "adam" or optim_cfg.preconditioner:
+            raise ValueError(
+                "checkpoint/resume supports plain adam fits"
+            )
+        return _fit_segmented(
+            key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
+            checkpoint_path, resume_from,
+        )
 
     if n <= seg:
         fit_fn = jax.jit(
@@ -507,16 +540,68 @@ def fit(
             wall_seconds=wall,
         )
 
+    return _fit_segmented(
+        key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
+        None, None,
+    )
+
+
+def _fit_segmented(
+    key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
+    checkpoint_path, resume_from,
+):
+    sparse = masking_cfg is not None and not masking_cfg.dense
+    n = train_cfg.num_steps
+    seg = max(1, train_cfg.segment_steps)
     init_fn, segment_fn = make_fit_segments(
         mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
     )
     jinit = jax.jit(init_fn)
+    lengths = set()
+    start_probe = 0
+    if resume_from is not None:
+        from implicit_image_tpu.training.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(resume_from)
+        start_probe = ck["step"]
+    s = start_probe
+    while s < n:
+        lengths.add(min(seg, n - s))
+        s += min(seg, n - s)
     jseg = {
         length: jax.jit(functools.partial(segment_fn, length=length))
-        for length in {seg, n % seg or seg}
+        for length in (lengths or {min(seg, n)})
     }
+
+    carry_override = None
+    start0 = 0
+    if resume_from is not None:
+        mask_state = ck.get("mask_state")
+        if mask_state is None:
+            mask_state = _dummy_mask_state(ck["params"])
+        carry_override = (
+            ck["params"], ck["opt_state"], mask_state, ck["key"], (),
+        )
+        start0 = ck["step"]
+
+    on_segment = None
+    if checkpoint_path is not None:
+        from implicit_image_tpu.training.checkpoint import save_checkpoint
+
+        def on_segment(carry, next_step):
+            params, opt_state, mask_state = carry[0], carry[1], carry[2]
+            save_checkpoint(
+                checkpoint_path,
+                params,
+                opt_state=opt_state,
+                mask_state=mask_state if sparse else None,
+                key=carry[3],
+                step=next_step,
+            )
+
     carry, metrics, wall = run_segment_chain(
-        jinit, jseg, (key, img), (img,), n, seg
+        jinit, jseg, (key, img), (img,), n, seg,
+        start0=start0, carry_override=carry_override, on_segment=on_segment,
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
     return FitResult(

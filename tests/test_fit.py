@@ -168,3 +168,38 @@ def test_segmented_fit_matches_monolithic(small_problem):
             np.asarray(r1.metrics[k]), np.asarray(r2.metrics[k]),
             rtol=1e-6, atol=1e-7, err_msg=k,
         )
+
+
+def test_checkpoint_resume_bit_exact(tmp_path, small_problem):
+    """Kill-and-resume at a segment boundary reproduces the uninterrupted
+    fit bit-exactly (the carry IS the training state; the PRNG key is
+    checkpointed with it)."""
+    grid, img, mdef, mcfg = small_problem
+    ck = tmp_path / "ckpt.npz"
+    mk = MaskingConfig(density=0.5, end_when=90, interval=10)
+
+    # uninterrupted
+    full = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+               TrainConfig(num_steps=100, log_steps=25, segment_steps=40),
+               OptimConfig(lr=1e-3), mk)
+    # first 40 steps with checkpointing...
+    fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=40, log_steps=25, segment_steps=40),
+        OptimConfig(lr=1e-3), mk, checkpoint_path=ck)
+    # ...then resume to 100
+    resumed = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+                  TrainConfig(num_steps=100, log_steps=25, segment_steps=40),
+                  OptimConfig(lr=1e-3), mk, resume_from=ck)
+    for a, b in zip(jax.tree_util.tree_leaves(full.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed metrics cover steps [40, 100)
+    assert np.asarray(resumed.metrics["loss"]).shape == (60,)
+
+
+def test_checkpoint_resume_rejects_unsupported_optim(small_problem, tmp_path):
+    grid, img, mdef, mcfg = small_problem
+    with pytest.raises(ValueError, match="adam"):
+        fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+            TrainConfig(num_steps=10, log_steps=5),
+            OptimConfig(name="shampoo"), checkpoint_path=tmp_path / "c.npz")
