@@ -148,6 +148,12 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         cfg.mlp.name, cfg.img.name, h, w, num_steps,
         masking_cfg_raw.get("name") if masking_cfg_raw else "none",
     )
+    ck_path = None
+    if cfg.train.get("checkpoint", False):
+        ck_path = Path(run_dir) / "checkpoint.npz"
+    resume_from = cfg.train.get("resume") or None
+    fit_kwargs = dict(checkpoint_path=ck_path, resume_from=resume_from)
+
     if cfg.get("profile", False):
         # jax.profiler device trace of the whole fit (view with TensorBoard/
         # xprof) — the TPU-native replacement for the reference's
@@ -155,9 +161,11 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         from implicit_image_tpu.utils import trace
 
         with trace(str(Path(run_dir) / "profile")):
-            res = fit(key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking)
+            res = fit(key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking,
+                      **fit_kwargs)
     else:
-        res = fit(key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking)
+        res = fit(key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking,
+                  **fit_kwargs)
 
     # post-hoc logging at the reference cadence (metrics were computed
     # in-program at (i+1) % log_steps == 0, compress.py:146)
@@ -167,17 +175,18 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     prune_arr = np.asarray(res.metrics["prune_rate"]) if masking is not None else None
     density_arr = np.asarray(res.metrics["density"]) if masking is not None else None
     test_psnr = float("nan")
-    for i in range(num_steps):
+    first_step = num_steps - len(psnr_arr)  # >0 when resumed mid-run
+    for i in range(first_step, num_steps):
         # the fit also evals the final step so short runs report a PSNR
         if (i + 1) % train_cfg.log_steps == 0 or i == num_steps - 1:
             entry = {
-                "loss": float(loss_arr[i]),
-                "PSNR": float(psnr_arr[i]),
-                "PSNR_8bit": float(psnr8_arr[i]),
+                "loss": float(loss_arr[i - first_step]),
+                "PSNR": float(psnr_arr[i - first_step]),
+                "PSNR_8bit": float(psnr8_arr[i - first_step]),
             }
             if masking is not None:
-                entry["Prune Rate"] = float(prune_arr[i])
-                entry["Density"] = float(density_arr[i])
+                entry["Prune Rate"] = float(prune_arr[i - first_step])
+                entry["Density"] = float(density_arr[i - first_step])
             logger.log(i + 1, entry)
             test_psnr = entry["PSNR"]
     logger.summary({"PSNR": test_psnr, "fit_wall_s": res.wall_seconds})

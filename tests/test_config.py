@@ -229,3 +229,33 @@ def test_optim_string_fields_survive_coercion(tmp_path):
     )
     psnr, _ = main(cfg, run_dir=str(tmp_path))
     assert np.isfinite(psnr)
+
+
+def test_cli_checkpoint_and_resume(tmp_path):
+    """train.checkpoint saves a resumable snapshot; train.resume continues
+    the fit and reports final metrics at the global step numbering."""
+    import json
+
+    from implicit_image_tpu.compress import main
+
+    base = [
+        "img=synthetic", "img.height=16", "img.width=16",
+        "mlp.depth=3", "mlp.hidden_size=16",
+        "train.log_steps=20", "train.segment_steps=20",
+        "masking=none", "quant=none", "entropy_coding=none",
+    ]
+    d1 = tmp_path / "first"
+    main(compose(base + ["train.num_steps=20", "train.checkpoint=True"]),
+         run_dir=str(d1))
+    ck = d1 / "checkpoint.npz"
+    assert ck.exists()
+
+    d2 = tmp_path / "resumed"
+    psnr, _ = main(
+        compose(base + ["train.num_steps=60", f"train.resume={ck}"]),
+        run_dir=str(d2),
+    )
+    assert np.isfinite(psnr)
+    lines = [json.loads(l) for l in (d2 / "metrics.jsonl").read_text().splitlines()]
+    steps = {l["step"] for l in lines if l["prefix"] == "Train"}
+    assert steps == {40, 60}  # resumed run logs global steps 40 and 60
