@@ -564,6 +564,11 @@ def _fit_segmented(
 
         ck = load_checkpoint(resume_from)
         start_probe = ck["step"]
+        if start_probe >= n:
+            raise ValueError(
+                f"checkpoint is at step {start_probe} >= num_steps {n}; "
+                "nothing to resume"
+            )
     s = start_probe
     while s < n:
         lengths.add(min(seg, n - s))

@@ -203,3 +203,15 @@ def test_checkpoint_resume_rejects_unsupported_optim(small_problem, tmp_path):
         fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
             TrainConfig(num_steps=10, log_steps=5),
             OptimConfig(name="shampoo"), checkpoint_path=tmp_path / "c.npz")
+
+
+def test_resume_past_end_raises(tmp_path, small_problem):
+    grid, img, mdef, mcfg = small_problem
+    ck = tmp_path / "c.npz"
+    fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=20, log_steps=10, segment_steps=20),
+        OptimConfig(lr=1e-3), checkpoint_path=ck)
+    with pytest.raises(ValueError, match="nothing to resume"):
+        fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+            TrainConfig(num_steps=20, log_steps=10, segment_steps=20),
+            OptimConfig(lr=1e-3), resume_from=ck)
