@@ -80,6 +80,19 @@ def _load_image(img_cfg) -> np.ndarray:
     return synthetic_image(img_cfg.height, img_cfg.width, seed=seed)
 
 
+def _auto_segment_steps(cfg) -> int:
+    """Per-step cost grows ~quadratically with hidden width (the matmul
+    chain is K=width-bound, BASELINE.md shape ceiling); scale the default
+    2000-step segment so one execution stays well under the runtime's
+    ~60 s wall budget at any width. An explicit train.segment_steps wins."""
+    explicit = cfg.train.get("segment_steps")
+    if explicit is not None:
+        return int(explicit)
+    width = int(cfg.mlp.get("hidden_size", 128))
+    scale = min(1.0, (128.0 / max(width, 1)) ** 2)
+    return max(100, int(2000 * scale))
+
+
 def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     """Run the full compress pipeline; returns (test_PSNR, compressed_bytes)."""
     key = jax.random.PRNGKey(int(cfg.seed))
@@ -129,7 +142,7 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         save_weights=cfg.train.get("save_weights", True),
         use_pallas=bool(cfg.train.get("use_pallas", False)) and cfg.mlp.name == "siren",
         pixel_chunks=int(cfg.train.get("pixel_chunks", 1)),
-        segment_steps=int(cfg.train.get("segment_steps", 2000)),
+        segment_steps=_auto_segment_steps(cfg),
     )
     # PyYAML parses bare "3e-4" as a string; coerce fields that LOOK
     # numeric, leave real strings (e.g. preconditioner="ekfac") alone
