@@ -223,6 +223,9 @@ def decode_and_render(
     state = decompress_state_dict(dir_name, stream_name, **kwargs)
     t0b = time.perf_counter()
     params = params_from_state_dict(state)  # host->device upload
+    if isinstance(params[-1], dict):
+        # force the async transfer to finish (fetch one scalar back)
+        np_.asarray(jnp.ravel(next(iter(params[-1].values())))[0])
     t1 = time.perf_counter()
     grid = get_grid(height, width)
     render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))

@@ -90,7 +90,7 @@ def _auto_segment_steps(cfg) -> int:
         return int(explicit)
     width = int(cfg.mlp.get("hidden_size", 128))
     scale = min(1.0, (128.0 / max(width, 1)) ** 2)
-    return max(100, int(2000 * scale))
+    return max(25, int(2000 * scale))
 
 
 def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:

@@ -100,11 +100,13 @@ def build_model_from_config(cfg) -> Tuple[ModelDef, Any]:
     masking = cfg.get("masking") or {}
     small = 1.0
     if masking.get("name") == "Small_Dense":
-        small = float(masking["density"])
+        small = float(masking.get("density", 1.0))
     mdef, mcfg = build_model(name, small_dense_density=small, **mlp)
     if masking.get("name") == "Feathermap":
         # local import: feathermap imports models at module level
         from implicit_image_tpu.feathermap import build_feather_model
 
-        mdef = build_feather_model(mdef, mcfg, compress=float(masking["density"]))
+        mdef = build_feather_model(
+            mdef, mcfg, compress=float(masking.get("density", 1.0))
+        )
     return mdef, mcfg

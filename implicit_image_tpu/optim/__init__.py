@@ -28,6 +28,7 @@ def opt_update(grads, opt_state, params, lr, optim_cfg):
             momentum=optim_cfg.momentum,
             weight_decay=optim_cfg.weight_decay,
             graft_norm=getattr(optim_cfg, "graft_norm", True),
+            update_freq=getattr(optim_cfg, "update_freq", 1),
         )
     raise KeyError(optim_cfg.name)
 

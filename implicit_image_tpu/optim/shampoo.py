@@ -43,6 +43,7 @@ __all__ = ["ShampooState", "shampoo_init", "shampoo_update"]
 class ShampooState(NamedTuple):
     momentum_buf: Any  # previous PRECONDITIONED gradient per leaf
     preconds: Any  # per-leaf tuple of (dim_i x dim_i) Gram matrices
+    inv_preconds: Any  # cached P^(-1/order), refreshed every update_freq steps
     count: jnp.ndarray
 
 
@@ -55,7 +56,18 @@ def _init_preconds(key, p, eps):
 def shampoo_init(params, epsilon: float = 1e-4) -> ShampooState:
     zeros = jax.tree.map(jnp.zeros_like, params)
     preconds = tree_map_layers(lambda k, p: _init_preconds(k, p, epsilon), params)
-    return ShampooState(momentum_buf=zeros, preconds=preconds, count=jnp.zeros((), jnp.int32))
+    inv = tree_map_layers(
+        lambda k, p: tuple(jnp.eye(d, dtype=jnp.float32) for d in p.shape)
+        if k in TRAINABLE_KEYS
+        else (),
+        params,
+    )
+    return ShampooState(
+        momentum_buf=zeros,
+        preconds=preconds,
+        inv_preconds=inv,
+        count=jnp.zeros((), jnp.int32),
+    )
 
 
 def _matricize(x: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -79,35 +91,51 @@ def shampoo_update(
     momentum: float = 0.9,
     weight_decay: float = 0.0,
     graft_norm: bool = True,
+    update_freq: int = 1,
 ):
     count = state.count + 1
+    # torch_optimizer refreshes inv_precond when step % update_freq == 0
+    # (step counts from 0, so the first step always refreshes)
+    refresh = (state.count % max(1, int(update_freq))) == 0
 
     new_preconds = []
     new_params = []
     new_buf = []
-    for layer_p, layer_g, layer_b, layer_pc in zip(
-        params, grads, state.momentum_buf, state.preconds
+    new_inv = []
+    for layer_p, layer_g, layer_b, layer_pc, layer_inv in zip(
+        params, grads, state.momentum_buf, state.preconds, state.inv_preconds
     ):
-        out_pc, out_p, out_b = {}, {}, {}
+        out_pc, out_p, out_b, out_inv = {}, {}, {}, {}
         for k in layer_p.keys():
             p, g, buf, pcs = layer_p[k], layer_g[k], layer_b[k], layer_pc[k]
+            invs = layer_inv[k]
             if k not in TRAINABLE_KEYS:
-                out_pc[k], out_p[k], out_b[k] = pcs, p, buf
+                out_pc[k], out_p[k], out_b[k], out_inv[k] = pcs, p, buf, invs
                 continue
             if momentum > 0.0:
                 # EMA with the previous PRECONDITIONED grad
-                # (torch_optimizer shampoo.py: grad.mul_(1-m).add_(buf, m))
-                g = (1.0 - momentum) * g + momentum * buf
+                # (torch_optimizer shampoo.py: grad.mul_(1-m).add_(buf, m));
+                # torch initializes momentum_buffer = grad.clone() on first
+                # touch, so step 0's blend is just g
+                blended = (1.0 - momentum) * g + momentum * buf
+                g = jnp.where(state.count == 0, g, blended)
             if weight_decay:
                 g = g + weight_decay * p
             g_blend = g
             order = max(g.ndim, 1)
             upd_pcs = []
+            upd_invs = []
             for dim in range(g.ndim):
                 mat = _matricize(g, dim)
                 pc = pcs[dim] + mat @ mat.T
                 upd_pcs.append(pc)
-                g_mat = _inv_root(pc, order) @ mat
+                inv = jax.lax.cond(
+                    refresh,
+                    lambda pc=pc: _inv_root(pc, order),
+                    lambda dim=dim: invs[dim],
+                )
+                upd_invs.append(inv)
+                g_mat = inv @ mat
                 # un-matricize
                 shape = (g.shape[dim],) + tuple(
                     g.shape[i] for i in range(g.ndim) if i != dim
@@ -121,12 +149,17 @@ def shampoo_update(
                 pn = jnp.sqrt(jnp.sum(g * g))
                 g = g * (gn / jnp.maximum(pn, 1e-16))
             out_pc[k] = tuple(upd_pcs)
+            out_inv[k] = tuple(upd_invs)
             out_b[k] = g  # store preconditioned grad as the momentum buffer
             out_p[k] = p - lr * g
         new_preconds.append(out_pc)
         new_params.append(out_p)
         new_buf.append(out_b)
+        new_inv.append(out_inv)
 
     return tuple(new_params), ShampooState(
-        momentum_buf=tuple(new_buf), preconds=tuple(new_preconds), count=count
+        momentum_buf=tuple(new_buf),
+        preconds=tuple(new_preconds),
+        inv_preconds=tuple(new_inv),
+        count=count,
     )

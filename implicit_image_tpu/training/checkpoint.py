@@ -74,8 +74,21 @@ def save_checkpoint(
         out["mask.adjusted_growth"] = np.asarray(mask_state.adjusted_growth)
         out["mask.adj_sum"] = np.asarray(mask_state.adj_sum)
         out["mask.adj_count"] = np.asarray(mask_state.adj_count)
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **out)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    # atomic replace: a crash mid-write must not destroy the previous good
+    # checkpoint (kill-and-resume is the feature's whole point)
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".npz", dir=str(path.parent))
+    os.close(fd)
+    try:
+        np.savez(tmp, **out)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_checkpoint(path) -> Dict[str, Any]:

@@ -76,3 +76,30 @@ def test_frozen_leaf_not_updated():
     new_params, _ = adam_update(grads, state, params, 0.1)
     np.testing.assert_array_equal(np.asarray(new_params[0]["B"]), np.ones((2, 2)))
     assert not np.allclose(np.asarray(new_params[0]["w"]), np.ones((2, 2)))
+
+
+def test_shampoo_update_freq_caches_inverse():
+    """update_freq > 1 reuses the cached P^(-1/order) between refreshes
+    (torch_optimizer semantics) and still converges."""
+    from implicit_image_tpu.optim import opt_init, opt_update
+    from implicit_image_tpu.training.fit import OptimConfig
+
+    key = jax.random.PRNGKey(0)
+    params = ({"w": jax.random.normal(key, (8, 4)) * 0.1, "b": jnp.zeros(4)},)
+    cfg = OptimConfig(name="shampoo", lr=0.05, momentum=0.9, update_freq=3)
+    st = opt_init(params, cfg)
+
+    def grad_at(p):
+        return ({"w": p[0]["w"] * 2.0, "b": p[0]["b"] * 2.0},)  # d/dp ||p||^2
+
+    p = params
+    inv_hist = []
+    for _ in range(4):
+        p, st = opt_update(grad_at(p), st, p, 0.05, cfg)
+        inv_hist.append(np.asarray(st.inv_preconds[0]["w"][0]))
+    # steps 0,1,2 share the step-0 inverse; step 3 refreshes it
+    np.testing.assert_array_equal(inv_hist[0], inv_hist[1])
+    np.testing.assert_array_equal(inv_hist[1], inv_hist[2])
+    assert not np.array_equal(inv_hist[2], inv_hist[3])
+    # loss decreased
+    assert float(jnp.sum(p[0]["w"] ** 2)) < float(jnp.sum(params[0]["w"] ** 2))
