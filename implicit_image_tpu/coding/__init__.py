@@ -55,7 +55,7 @@ def sparsity(arr) -> float:
 def linear_state_dict(
     params,
     codebooks=None,
-    half: bool = True,
+    half: Union[bool, str] = True,
 ) -> "OrderedDict[str, np.ndarray]":
     """Flatten a params pytree to an ordered name->array dict.
 
@@ -63,10 +63,21 @@ def linear_state_dict(
     plus any frozen extras under their own key (e.g. Fourier `layers.0.B`).
     Quantized layers (codebooks[i] is not None) store labels + centroids;
     labels are uint8 when they fit, else uint16 (reference :33-38).
-    `half=True` stores floats as fp16 — the reference calls model.half()
-    before compressing (compress.py:250).
+
+    `half`:
+      * True   — all floats fp16, the reference protocol (it calls
+        model.half() before compressing, compress.py:250). Measured to
+        cost ~1 dB decoded PSNR at the d8/w128 operating point, almost
+        entirely from the ω₀=50 first layer (phase error 50·x·Δw).
+      * "auto" — mixed precision (default pipeline policy): UNquantized
+        tensors (first/last weights, biases, frozen extras) stay fp32,
+        centroids fp16. Recovers decoded PSNR to within 0.01 dB of the
+        quant PSNR for ~3% more rate; the per-tensor dtype manifest
+        already round-trips mixed dtypes, no format change needed.
+      * False  — all floats fp32.
     """
-    fdtype = np.float16 if half else np.float32
+    fdtype = np.float16 if half is True else np.float32
+    cdtype = np.float32 if half is False else np.float16
     state: "OrderedDict[str, np.ndarray]" = OrderedDict()
     for i, layer in enumerate(params):
         book = codebooks[i] if codebooks is not None else None
@@ -77,7 +88,7 @@ def linear_state_dict(
                 dtype = np.uint8 if labels.max(initial=0) < 256 else np.uint16
                 state[f"layers.{i}.labeled_weight"] = labels.astype(dtype)
                 state[f"layers.{i}.centroids"] = np.asarray(book.centroids).astype(
-                    fdtype
+                    cdtype
                 )
             elif key == "w":
                 state[f"layers.{i}.weight"] = arr.astype(fdtype)
@@ -206,6 +217,7 @@ def decode_and_render(
     mcfg,
     height: int,
     width: int,
+    benchmark: bool = True,
     **kwargs,
 ):
     """Full decoder: bitstream -> params -> rendered (H, W, 3) image.
@@ -213,6 +225,10 @@ def decode_and_render(
     Returns (image, stats) where stats has host decode and device render
     wall-clock plus Mpix/s. The reference has no decode entry point
     (SURVEY.md §3.2); this is the canonical one.
+
+    benchmark=False skips the steady-state render-rate measurement (a
+    compiled 8-rep scan) — used by the orchestrator's per-run decoded-PSNR
+    check, where only the decoded image matters.
     """
     import jax
     import numpy as np_
@@ -231,6 +247,12 @@ def decode_and_render(
     render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
     img = np_.asarray(render(params))  # compile + first render + readback
     t2 = time.perf_counter()
+    if not benchmark:
+        return img, {
+            "decode_s": t0b - t0,
+            "upload_s": t1 - t0b,
+            "first_render_s": t2 - t1,
+        }
     # Steady-state device rate: K renders inside ONE dispatch (per-dispatch
     # tunnel latency and block_until_ready are unreliable on remote TPU
     # runtimes), forced to completion by a host readback of a scalar.

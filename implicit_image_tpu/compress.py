@@ -30,7 +30,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from implicit_image_tpu.coding import compress_state_dict, linear_state_dict
+from implicit_image_tpu.coding import (
+    compress_state_dict,
+    decode_and_render,
+    linear_state_dict,
+)
 from implicit_image_tpu.config import DotDict, compose, expand_multirun
 from implicit_image_tpu.data import get_grid, load_img, stable_seed, synthetic_image
 from implicit_image_tpu.models import build_model_from_config
@@ -253,17 +257,45 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     ec = cfg.get("entropy_coding")
     if ec and ec.get("stream_name", "none") != "none":
         source = qres if qres is not None else None
+        # dtype policy: "auto" (default) keeps UNquantized tensors fp32
+        # (+~3% rate, recovers the ~1 dB the reference's blanket
+        # model.half() costs at ω₀=50); half=true is strict parity
+        half = ec.get("half", "auto")
+        half = {"auto": "auto", True: True, False: False,
+                "true": True, "false": False}[half]
         state = linear_state_dict(
             source.params if source else params,
             source.codebooks if source else None,
-            half=True,
+            half=half,
         )
-        kwargs = {k: v for k, v in ec.items() if k != "stream_name"}
+        kwargs = {k: v for k, v in ec.items() if k not in ("stream_name", "half")}
         compressed_bytes = compress_state_dict(
             state, Path(run_dir) / "model_quantized", ec.stream_name, **kwargs
         )
         log.info("Compressed bytes %d", compressed_bytes)
         logger.summary({"Compressed Bytes": compressed_bytes})
+
+        # ---- decoded PSNR: render from the written bitstream ----
+        # The rate metric must pair with the distortion a DECODER sees,
+        # not the pre-container quant PSNR (the reference never decodes;
+        # we built the decoder, so close the loop every run).
+        dec_img, _ = decode_and_render(
+            Path(run_dir) / "model_quantized", ec.stream_name,
+            mdef, mcfg, h, w, benchmark=False, **kwargs,
+        )
+        dec_mse = float(np.mean((np.asarray(dec_img, np.float64) - img) ** 2))
+        decoded_psnr = float(10.0 * np.log10(1.0 / max(dec_mse, 1e-12)))
+        q8 = np.asarray(dec_img, np.float64) * 255.0
+        t8 = np.asarray(img, np.float64) * 255.0
+        mse8 = float(np.mean((np.trunc(q8) - np.trunc(t8)) ** 2))
+        decoded_psnr8 = float(10.0 * np.log10(255.0**2 / max(mse8, 1e-12)))
+        logger.log(
+            num_steps,
+            {"Decoded PSNR": decoded_psnr, "Decoded PSNR_8bit": decoded_psnr8},
+            prefix="Decoded",
+        )
+        logger.summary({"Decoded PSNR": decoded_psnr})
+        test_psnr = decoded_psnr
 
     logger.close()
     return test_psnr, compressed_bytes

@@ -70,13 +70,15 @@ def ours_rate_distortion(
 ) -> List[Tuple[float, float]]:
     """(kilobytes, PSNR) from local runs carrying the rate+distortion
     summary keys (reference reads 'Quant PSNR' + 'Compressed Bytes' from
-    W&B, :45-101)."""
+    W&B, :45-101). We plot 'Decoded PSNR' — the distortion a decoder of
+    the written bitstream actually recovers — falling back to the
+    pre-container quant PSNR only for runs predating the decode check."""
     runs = collect_runs(outputs_root, require=["Compressed Bytes"])
     points = []
     for run in runs:
         if img_name and img_name not in run["dir"]:
             continue
-        psnr = run.get("Quant PSNR", run.get("PSNR"))
+        psnr = run.get("Decoded PSNR", run.get("Quant PSNR", run.get("PSNR")))
         if psnr is None:
             continue
         points.append((run["Compressed Bytes"] / 1024.0, float(psnr)))

@@ -171,3 +171,42 @@ def test_decode_and_render_matches_fp16_params(tmp_path):
     )
     direct = mdef.apply(params, grid, mcfg)
     np.testing.assert_allclose(np.asarray(rendered), np.asarray(direct), atol=1e-5)
+
+
+def test_half_auto_keeps_unquantized_fp32(tmp_path):
+    """half='auto' stores unquantized tensors fp32 (closing the decoded-
+    PSNR gap the blanket fp16 cast causes at ω₀=50) and centroids fp16;
+    the per-tensor dtype manifest round-trips the mix losslessly."""
+    mdef, mcfg, img, grid, qres = _fitted_quantized(tmp_path)
+    state = linear_state_dict(qres.params, qres.codebooks, half="auto")
+    assert state["layers.0.weight"].dtype == np.float32
+    assert state["layers.0.bias"].dtype == np.float32
+    assert state["layers.1.centroids"].dtype == np.float16
+    assert state["layers.1.labeled_weight"].dtype == np.uint8
+
+    compress_state_dict(state, tmp_path / "mixed", "zstd")
+    decoded = decompress_state_dict(tmp_path / "mixed", "zstd")
+    # unquantized tensors are bit-exact (no fp16 round trip at all)
+    np.testing.assert_array_equal(
+        decoded["layers.0.weight"], np.asarray(qres.params[0]["w"], np.float32)
+    )
+    np.testing.assert_array_equal(
+        decoded["layers.0.bias"], np.asarray(qres.params[0]["b"], np.float32)
+    )
+
+    # parameter-space error vs the exact params: auto's fp16 cast set is a
+    # strict per-tensor subset of half=True's, so its error never exceeds it
+    p_auto = params_from_state_dict(decoded)
+    state16 = linear_state_dict(qres.params, qres.codebooks, half=True)
+    compress_state_dict(state16, tmp_path / "fp16", "zstd")
+    p_16 = params_from_state_dict(decompress_state_dict(tmp_path / "fp16", "zstd"))
+
+    def err(p):
+        return sum(
+            float(np.sum((np.asarray(a[k], np.float64) - np.asarray(e[k], np.float64)) ** 2))
+            for a, e in zip(p, qres.params)
+            for k in a
+        )
+
+    assert err(p_auto) <= err(p_16)
+    assert err(p_auto) < err(p_16)  # strictly better: fp32 tensors exist
