@@ -108,10 +108,34 @@ def _resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def _center_crop(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """kornia.center_crop-faithful crop (reference data.py:65).
+
+    kornia warps the center box with bilinear grid_sample: destination
+    pixel i samples source position (H - out_h)/2 + i in pixel centers.
+    For an even size difference that start is integral — an exact slice —
+    but for an ODD difference it sits on a half pixel, so each output
+    row/col is the 0.5/0.5 average of two neighbors. Interpolation-parity
+    matters more than model parity for PSNR (SURVEY.md hard part (f)).
+    """
     h, w = img.shape[:2]
-    top = max((h - out_h) // 2, 0)
-    left = max((w - out_w) // 2, 0)
-    return img[top : top + out_h, left : left + out_w]
+    start_y = max((h - out_h) / 2.0, 0.0)
+    start_x = max((w - out_w) / 2.0, 0.0)
+    iy, ix = int(start_y), int(start_x)
+    fy, fx = start_y - iy, start_x - ix
+    if fy == 0.0 and fx == 0.0:
+        return img[iy : iy + out_h, ix : ix + out_w]
+    out = img
+    if fy > 0.0:
+        hi = np.minimum(np.arange(iy, iy + out_h) + 1, h - 1)
+        out = (1.0 - fy) * out[iy : iy + out_h] + fy * out[hi]
+    else:
+        out = out[iy : iy + out_h]
+    if fx > 0.0:
+        hi = np.minimum(np.arange(ix, ix + out_w) + 1, w - 1)
+        out = (1.0 - fx) * out[:, ix : ix + out_w] + fx * out[:, hi]
+    else:
+        out = out[:, ix : ix + out_w]
+    return out.astype(img.dtype, copy=False)
 
 
 def load_img(
@@ -132,12 +156,21 @@ def load_img(
     img = _read_image(path).astype(np.float32) / float(2**bits - 1)
 
     if crop_mode == "resize-crop":
+        # Reference (data.py:58-62): kornia.resize(img, min(height, width))
+        # resizes the image's SMALLER side to that value, the long side to
+        # int(size * long / short) — TRUNCATED, not rounded (kornia 0.4
+        # resize int-size branch). Parity matters: a 1-pixel size change
+        # flips the crop parity and shifts every sampled value.
+        smaller_side = min(height, width)
         h, w = img.shape[:2]
-        # scale so BOTH dims cover the target (center-crop never pads)
-        scale = max(height / h, width / w)
-        new_h = max(round(h * scale), height)
-        new_w = max(round(w * scale), width)
-        img = _resize_bilinear(img, new_h, new_w)
+        if not ((w <= h and w == smaller_side) or (h <= w and h == smaller_side)):
+            if w < h:
+                new_w = smaller_side
+                new_h = int(smaller_side * h / w)
+            else:
+                new_h = smaller_side
+                new_w = int(smaller_side * w / h)
+            img = _resize_bilinear(img, new_h, new_w)
 
     img = _center_crop(img, height, width)
 
