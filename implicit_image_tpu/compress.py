@@ -62,6 +62,7 @@ _MASKING_FIELDS = {
     "dense",
     "print_FLOPs",
     "name",
+    "mask_path",
 }
 
 
@@ -252,6 +253,17 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             Path(run_dir) / "model_half.npz",
             **{k: v.astype(np.float16) for k, v in flat.items()},
         )
+        if res.mask_state is not None:
+            # mask.npz feeds masking.mask_path (lottery-ticket/resume init)
+            # in a later run — reference init_scheme.py:161-232 semantics
+            np.savez(
+                Path(run_dir) / "mask.npz",
+                **{
+                    f"layers.{i}.mask": np.asarray(m)
+                    for i, m in enumerate(res.mask_state.masks)
+                    if m is not None
+                },
+            )
 
     # ---- entropy coding (compress.py:250-263) ----
     ec = cfg.get("entropy_coding")

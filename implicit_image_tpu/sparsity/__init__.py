@@ -3,6 +3,7 @@ from implicit_image_tpu.sparsity.core import (
     MaskingConfig,
     apply_masks,
     create_mask_state,
+    load_lottery_masks,
     mask_grads,
     mask_momentum,
     total_density,
@@ -15,6 +16,7 @@ __all__ = [
     "MaskingConfig",
     "apply_masks",
     "create_mask_state",
+    "load_lottery_masks",
     "mask_grads",
     "mask_momentum",
     "total_density",

