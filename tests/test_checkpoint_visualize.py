@@ -13,6 +13,7 @@ from implicit_image_tpu.training.checkpoint import load_checkpoint, save_checkpo
 from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_sparse(tmp_path):
     img = synthetic_image(16, 16, seed=0)
     grid = get_grid(16, 16)

@@ -99,7 +99,11 @@ def test_sparsity_helper():
     assert sparsity(np.asarray([0.0, 1.0, 0.0, 2.0])) == 0.5
 
 
-def _fitted_quantized(tmp_path):
+@pytest.fixture(scope="module")
+def fitted_quantized():
+    """One small fitted+quantized model shared by every bitstream test in
+    this module — the fit/quant compile dominates wall time on a 1-core
+    box, and these tests only read the artifacts."""
     from implicit_image_tpu.data import get_grid, synthetic_image
     from implicit_image_tpu.models import build_model
     from implicit_image_tpu.quant import QuantConfig
@@ -121,8 +125,8 @@ def _fitted_quantized(tmp_path):
 
 
 @pytest.mark.parametrize("stream", ["plain", "zstd", "lzma", "huffman", "range", "auto"])
-def test_bitstream_roundtrip_quantized_model(tmp_path, stream):
-    mdef, mcfg, img, grid, qres = _fitted_quantized(tmp_path)
+def test_bitstream_roundtrip_quantized_model(tmp_path, stream, fitted_quantized):
+    mdef, mcfg, img, grid, qres = fitted_quantized
     state = linear_state_dict(qres.params, qres.codebooks, half=True)
 
     # quantized layers store labels + centroids, not weights
@@ -151,8 +155,8 @@ def test_bitstream_roundtrip_quantized_model(tmp_path, stream):
     )
 
 
-def test_decode_and_render_matches_fp16_params(tmp_path):
-    mdef, mcfg, img, grid, qres = _fitted_quantized(tmp_path)
+def test_decode_and_render_matches_fp16_params(tmp_path, fitted_quantized):
+    mdef, mcfg, img, grid, qres = fitted_quantized
     state = linear_state_dict(qres.params, qres.codebooks, half=True)
     compress_state_dict(state, tmp_path / "zstd", "zstd")
 
@@ -173,11 +177,11 @@ def test_decode_and_render_matches_fp16_params(tmp_path):
     np.testing.assert_allclose(np.asarray(rendered), np.asarray(direct), atol=1e-5)
 
 
-def test_half_auto_keeps_unquantized_fp32(tmp_path):
+def test_half_auto_keeps_unquantized_fp32(tmp_path, fitted_quantized):
     """half='auto' stores unquantized tensors fp32 (closing the decoded-
     PSNR gap the blanket fp16 cast causes at ω₀=50) and centroids fp16;
     the per-tensor dtype manifest round-trips the mix losslessly."""
-    mdef, mcfg, img, grid, qres = _fitted_quantized(tmp_path)
+    mdef, mcfg, img, grid, qres = fitted_quantized
     state = linear_state_dict(qres.params, qres.codebooks, half="auto")
     assert state["layers.0.weight"].dtype == np.float32
     assert state["layers.0.bias"].dtype == np.float32

@@ -305,6 +305,7 @@ def test_lottery_ticket_mask_path_end_to_end(tmp_path):
     assert np.isfinite(summary["PSNR"])
 
 
+@pytest.mark.slow
 def test_resume_init_from_weights_npz(tmp_path):
     """sparse_init=resume derives the mask from a prior run's saved
     weights' nonzero pattern (reference init_scheme.py:215-232)."""

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from implicit_image_tpu.data import get_grid, synthetic_image
 from implicit_image_tpu.models import build_model
@@ -110,6 +111,7 @@ def test_ekfac_fit_converges():
     assert np.isfinite(psnr).all() and psnr[-1] > 15.0, psnr
 
 
+@pytest.mark.slow
 def test_ekfac_m2_scale_comparable_to_eps():
     """The KFE second moments must carry the true per-sample gradient scale
     (grads x batch) — otherwise eps dominates and the preconditioner

@@ -148,6 +148,7 @@ def test_pixel_chunks_must_divide():
             TrainConfig(num_steps=2, log_steps=1, pixel_chunks=3), OptimConfig())
 
 
+@pytest.mark.slow
 def test_segmented_fit_matches_monolithic(small_problem):
     """Chained segment executions (the per-execution wall-time workaround,
     TrainConfig.segment_steps) are mathematically identical to one scan:
@@ -170,6 +171,7 @@ def test_segmented_fit_matches_monolithic(small_problem):
         )
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_bit_exact(tmp_path, small_problem):
     """Kill-and-resume at a segment boundary reproduces the uninterrupted
     fit bit-exactly (the carry IS the training state; the PRNG key is

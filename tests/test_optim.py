@@ -78,6 +78,7 @@ def test_frozen_leaf_not_updated():
     assert not np.allclose(np.asarray(new_params[0]["w"]), np.ones((2, 2)))
 
 
+@pytest.mark.slow
 def test_shampoo_update_freq_caches_inverse():
     """update_freq > 1 reuses the cached P^(-1/order) between refreshes
     (torch_optimizer semantics) and still converges."""

@@ -21,6 +21,7 @@ def test_fast_sin_cos_accuracy():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("depth,hidden,hw", [(5, 64, (20, 30)), (4, 150, (16, 16))])
 def test_fused_forward_matches_xla(depth, hidden, hw):
     mdef, mcfg = build_model("siren", depth=depth, hidden_size=hidden)
@@ -35,6 +36,7 @@ def test_fused_forward_matches_xla(depth, hidden, hw):
     )
 
 
+@pytest.mark.slow
 def test_fused_gradients_match_xla():
     mdef, mcfg = build_model("siren", depth=4, hidden_size=32)
     params = mdef.init(jax.random.PRNGKey(0), mcfg)
@@ -69,6 +71,7 @@ def test_fused_gradients_match_xla():
             )
 
 
+@pytest.mark.slow
 def test_fused_fit_converges():
     """End-to-end: the fused kernel trains to a sane PSNR on CPU interpret."""
     from implicit_image_tpu.data import synthetic_image

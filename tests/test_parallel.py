@@ -30,6 +30,7 @@ def test_make_mesh_shapes():
         make_mesh(image=5, pixel=2)  # 10 > 8 virtual devices
 
 
+@pytest.mark.slow
 def test_batched_fit_matches_single():
     """vmapped fits == individually-run fits (bitwise same program)."""
     grid = get_grid(16, 16)
@@ -65,6 +66,7 @@ def test_batched_fit_on_image_mesh():
     assert np.all(loss[:, -1] < loss[:, 0])
 
 
+@pytest.mark.slow
 def test_batched_sparse_fit_rigl():
     """RigL topology updates vmap across images (per-image masks)."""
     grid = get_grid(16, 16)
@@ -83,6 +85,7 @@ def test_batched_sparse_fit_rigl():
     assert not np.array_equal(m0, m1)
 
 
+@pytest.mark.slow
 def test_sharded_fit_matches_unsharded():
     """Pixel-axis sharding changes layout, not math."""
     mesh = make_mesh(image=1, pixel=8)
@@ -148,6 +151,7 @@ def test_2d_mesh_batched_and_sharded():
     assert np.all(loss[:, -1] < loss[:, 0])
 
 
+@pytest.mark.slow
 def test_batched_segmented_matches_monolithic():
     """batched_fit's segmented execution (per-execution wall budget shared
     by the batch) is bit-equal to the monolithic scan."""
@@ -166,6 +170,7 @@ def test_batched_segmented_matches_monolithic():
     assert np.asarray(r1.metrics["loss"]).shape == (4, 60)
 
 
+@pytest.mark.slow
 def test_sharded_segmented_matches_monolithic():
     """sharded_fit's segmented path == monolithic on the virtual mesh."""
     mesh = make_mesh(image=1, pixel=8)
@@ -209,6 +214,7 @@ def test_full_pipeline_pixel_sharded(tmp_path):
     assert abs(res.decoded_psnr - res.quant_psnr) < 0.5
 
 
+@pytest.mark.slow
 def test_full_pipeline_image_batched(tmp_path):
     """Batched (vmap over "image" axis) full pipeline: per-image bitstreams
     decode back to each image's own quant-phase quality."""

@@ -386,6 +386,7 @@ def _load_ref_entropy_coding():
     return mod
 
 
+@pytest.mark.slow
 def test_bitstream_interop_with_reference(tmp_path):
     """Bidirectional container compatibility: our decoder reads archives
     written by the REFERENCE's compress_state_dict, and the reference's

@@ -185,6 +185,7 @@ def _fake_grads(params, key):
     )
 
 
+@pytest.mark.slow
 def test_rigl_update_preserves_density():
     cfg = MaskingConfig()  # RigL defaults: magnitude prune + abs-grad growth
     params, state = _mask_setup(cfg)
