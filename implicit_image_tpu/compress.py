@@ -170,7 +170,26 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     if cfg.train.get("checkpoint", False):
         ck_path = Path(run_dir) / "checkpoint.npz"
     resume_from = cfg.train.get("resume") or None
-    fit_kwargs = dict(checkpoint_path=ck_path, resume_from=resume_from)
+
+    watch_cb = None
+    if cfg.train.get("watch", False):
+        # wandb.watch equivalent (reference compress.py:101): per-layer
+        # weight + Adam grad-EMA histograms at every segment boundary,
+        # host-side (utils/logger.py histogram sink)
+        def watch_cb(params_w, opt_state_w, step_w):
+            tensors = {}
+            for i, layer in enumerate(params_w):
+                for k, v in layer.items():
+                    tensors[f"layers.{i}.{k}"] = np.asarray(v)
+            if hasattr(opt_state_w, "mu"):
+                for i, layer in enumerate(opt_state_w.mu):
+                    for k, v in layer.items():
+                        tensors[f"layers.{i}.{k}.grad_ema"] = np.asarray(v)
+            logger.histogram(step_w, tensors)
+
+    fit_kwargs = dict(
+        checkpoint_path=ck_path, resume_from=resume_from, watch=watch_cb
+    )
 
     if cfg.get("profile", False):
         # jax.profiler device trace of the whole fit (view with TensorBoard/

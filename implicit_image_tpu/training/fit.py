@@ -503,6 +503,7 @@ def fit(
     masking_cfg: Optional[MaskingConfig] = None,
     checkpoint_path=None,
     resume_from=None,
+    watch=None,
 ) -> FitResult:
     """Compile + run one fit; returns final params and per-step metric arrays.
 
@@ -510,6 +511,10 @@ def fit(
     executions of one compiled segment (plus one remainder program) —
     identical math, but each device execution stays inside the runtime's
     wall-time budget.
+
+    `watch(params, opt_state, step)` fires host-side at every segment
+    boundary — the TPU-native wandb.watch equivalent (weight/momentum
+    histograms without touching the compiled scan).
     """
     import numpy as _np
 
@@ -526,9 +531,13 @@ def fit(
             raise ValueError(
                 "checkpoint/resume supports plain adam fits"
             )
+
+    if watch is not None or checkpoint_path is not None or resume_from is not None:
+        # watching/checkpointing ride segment boundaries; use the
+        # segmented driver even for short fits
         return _fit_segmented(
             key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
-            checkpoint_path, resume_from,
+            checkpoint_path, resume_from, watch,
         )
 
     if n <= seg:
@@ -559,7 +568,7 @@ def fit(
 
 def _fit_segmented(
     key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
-    checkpoint_path, resume_from,
+    checkpoint_path, resume_from, watch=None,
 ):
     sparse = masking_cfg is not None and not masking_cfg.dense
     n = train_cfg.num_steps
@@ -601,19 +610,23 @@ def _fit_segmented(
         start0 = ck["step"]
 
     on_segment = None
-    if checkpoint_path is not None:
-        from implicit_image_tpu.training.checkpoint import save_checkpoint
+    if checkpoint_path is not None or watch is not None:
+        if checkpoint_path is not None:
+            from implicit_image_tpu.training.checkpoint import save_checkpoint
 
         def on_segment(carry, next_step):
             params, opt_state, mask_state = carry[0], carry[1], carry[2]
-            save_checkpoint(
-                checkpoint_path,
-                params,
-                opt_state=opt_state,
-                mask_state=mask_state if sparse else None,
-                key=carry[3],
-                step=next_step,
-            )
+            if checkpoint_path is not None:
+                save_checkpoint(
+                    checkpoint_path,
+                    params,
+                    opt_state=opt_state,
+                    mask_state=mask_state if sparse else None,
+                    key=carry[3],
+                    step=next_step,
+                )
+            if watch is not None:
+                watch(params, opt_state, next_step)
 
     carry, metrics, wall = run_segment_chain(
         jinit, jseg, (key, img), (img,), n, seg,

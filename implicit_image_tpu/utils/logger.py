@@ -64,6 +64,39 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(clean, step=step)
 
+    def histogram(self, step: int, tensors: dict, bins: int = 64,
+                  prefix: str = "watch"):
+        """wandb.watch-equivalent sink (reference compress.py:101): log
+        per-tensor histograms of weights / gradient-momentum to
+        histograms.jsonl (+ native wandb.Histogram when that sink is on).
+        """
+        if not self.use:
+            return
+        import numpy as np
+
+        out = {}
+        wb = {}
+        for name, arr in tensors.items():
+            arr = np.asarray(arr).ravel()
+            counts, edges = np.histogram(arr, bins=bins)
+            out[name] = {
+                "counts": counts.tolist(),
+                "min": float(edges[0]),
+                "max": float(edges[-1]),
+            }
+            if self._wandb is not None:
+                import wandb
+
+                wb[name] = wandb.Histogram(np_histogram=(counts, edges))
+        if self.run_dir is not None:
+            with open(self.run_dir / "histograms.jsonl", "a") as fh:
+                fh.write(
+                    json.dumps({"step": step, "prefix": prefix, "histograms": out})
+                    + "\n"
+                )
+        if self._wandb is not None:
+            self._wandb.log(wb, step=step)
+
     def summary(self, metrics: dict):
         if not self.use:
             return

@@ -181,3 +181,27 @@ def test_tpe_choice_dimension_prefers_good_option():
         hist.append((v, 1.0 if v["opt"] == "good" else 0.0))
     late = [v["opt"] for v, _ in hist[10:]]
     assert late.count("good") > late.count("bad")
+
+
+def test_watch_histograms_written(tmp_path):
+    """train.watch=true logs per-layer weight + grad-EMA histograms at
+    segment boundaries (wandb.watch parity, reference compress.py:101)."""
+    import json
+
+    from implicit_image_tpu.compress import main
+    from implicit_image_tpu.config import compose
+
+    cfg = compose([
+        "img=synthetic", "img.height=16", "img.width=16",
+        "mlp.depth=3", "mlp.hidden_size=8",
+        "train.num_steps=40", "train.log_steps=20",
+        "train.segment_steps=20", "train.watch=true",
+        "masking=none", "~quant", "entropy_coding=none",
+    ])
+    main(cfg, run_dir=str(tmp_path))
+    lines = [json.loads(l) for l in (tmp_path / "histograms.jsonl").read_text().splitlines()]
+    assert len(lines) == 2  # one per segment boundary (steps 20, 40)
+    assert lines[0]["step"] == 20 and lines[1]["step"] == 40
+    h = lines[0]["histograms"]
+    assert "layers.0.w" in h and "layers.0.w.grad_ema" in h
+    assert sum(h["layers.0.w"]["counts"]) == 8 * 2  # fan_in*width elements
