@@ -339,3 +339,32 @@ def test_resume_init_from_weights_npz(tmp_path):
         np.testing.assert_array_equal(
             b_m[k] != 0, a_w[f"layers.{i}.w"] != 0
         )
+
+
+def test_cli_16bit_ppm_image_end_to_end(tmp_path):
+    """Full pipeline against a real 16-bit PPM on disk (the benchmark-set
+    ingestion path: native-depth read -> /(2^16-1) -> crop), not the
+    synthetic fallback; decoded PSNR must track quant PSNR."""
+    import json
+
+    from implicit_image_tpu.compress import main
+    from implicit_image_tpu.data import synthetic_image
+
+    img16 = (synthetic_image(28, 28, seed=5) * 65535).astype(np.uint16)
+    ppm = tmp_path / "img.ppm"
+    with open(ppm, "wb") as f:
+        f.write(b"P6\n28 28\n65535\n")
+        f.write(img16.astype(">u2").tobytes())
+
+    cfg = compose([
+        "img=synthetic", f"img.path={ppm}", "img.bits=16",
+        "img.height=24", "img.width=24",
+        "mlp.depth=4", "mlp.hidden_size=16",
+        "train.num_steps=80", "train.log_steps=40",
+        "quant.num_steps=10", "quant.bits=5",
+        "entropy_coding=zstd", "masking=none",
+    ])
+    psnr, nbytes = main(cfg, run_dir=str(tmp_path / "run"))
+    assert np.isfinite(psnr) and nbytes > 0
+    summary = json.loads((tmp_path / "run" / "summary.json").read_text())
+    assert abs(summary["Decoded PSNR"] - summary["Quant PSNR"]) < 0.5
