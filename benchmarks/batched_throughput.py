@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root, so `python benchmarks/x.py` works
+
 import jax
 import numpy as np
 

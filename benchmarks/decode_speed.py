@@ -9,6 +9,8 @@ Usage: python benchmarks/decode_speed.py [side] [backend]
 from __future__ import annotations
 
 import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root, so `python benchmarks/x.py` works
 import tempfile
 
 import jax

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import sys
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root, so `python benchmarks/x.py` works
+
 import numpy as np
 
 import jax

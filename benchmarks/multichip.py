@@ -21,6 +21,8 @@ from __future__ import annotations
 import json
 import os
 import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root, so `python benchmarks/x.py` works
 import time
 
 
