@@ -10,8 +10,8 @@ DENSITIES ?= 0.01,0.02,0.05,0.1,0.2,0.3,0.4,0.5,0.75,0.95
 .PHONY: test test-all bench siren prune sweep decode vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.%
 
 # default gate: excludes tests marked `slow` (heavyweight redundancy /
-# finals-protocol checks); ~4 min on a 1-core box. `make test-all` is the
-# full gate (~11 min) — run it before release-grade changes.
+# finals-protocol checks); measured 5m25s on a 1-core box. `make test-all`
+# is the full gate (~11 min) — run it before release-grade changes.
 test:
 	$(PY) -m pytest tests/ -q -m "not slow"
 
