@@ -38,6 +38,12 @@ finals.compress.%:
 	$(PY) -m implicit_image_tpu.compress -m img=$* entropy_coding=zstd \
 	    train.multiplier=5 masking=RigL masking.density=$(DENSITIES)
 
+# same ladder as ONE vmapped program (one compile, all densities at once);
+# the TPU-native replacement for the per-density multirun above
+ladder.%:
+	$(PY) -m implicit_image_tpu.parallel.ladder img=$* entropy_coding=zstd \
+	    train.multiplier=5 masking=RigL masking.density=$(DENSITIES)
+
 sweep:
 	$(PY) -m implicit_image_tpu.sweep n_trials=15 img=$(IMG) \
 	    masking.density='loguniform(0.05,0.95)'

@@ -6,7 +6,6 @@ from implicit_image_tpu.parallel.pipeline import (
     batched_compress,
     sharded_compress,
 )
-
 __all__ = [
     "make_mesh",
     "make_batched_fit_fn",
@@ -15,4 +14,17 @@ __all__ = [
     "PipelineResult",
     "batched_compress",
     "sharded_compress",
+    "ladder_fit",
+    "ladder_compress",
 ]
+
+
+def __getattr__(name):
+    # lazy: `python -m implicit_image_tpu.parallel.ladder` imports this
+    # package first; an eager ladder import there would double-load the
+    # module being run (runpy warning)
+    if name in ("ladder_fit", "ladder_compress"):
+        from implicit_image_tpu.parallel import ladder
+
+        return getattr(ladder, name)
+    raise AttributeError(name)

@@ -1,0 +1,327 @@
+"""One-compile density ladder — the reference's finals R-D sweep as a
+single program.
+
+The reference's density ladder is one OS process per density (reference
+slurm_scripts/finals.sh:50-80, makefiles/finals.mk:3-11): N launches,
+N compiles, N serial fits. On TPU the ONLY thing that differs across
+ladder members is the mask-state INITIALIZATION (the init density feeds
+the static ERK/random solver); the compiled train-step program is
+density-free — sparsity/core.py's update_connections consumes only the
+traced masks and the decayed prune rate. So the whole ladder collapses
+to: build B mask states host-side (one per density), stack them into a
+leading member axis, and run ONE vmapped segment chain against the
+shared image. B fits, one compile, zero cross-member traffic; with a
+mesh the member axis lays out over the "image" devices so a 10-point
+ladder spans the slice in a single launch.
+
+Not supported: decay_schedule="magnitude-prune" (the GMP preset) — the
+Zhu-Gupta schedule bakes final_density into the compiled program
+(sparsity/decay.py), so members would need different programs; run GMP
+ladders as plain multirun instead.
+
+CLI (same overrides as compress.py; the density list IS the ladder):
+
+    python -m implicit_image_tpu.parallel.ladder img=synthetic \
+        masking=RigL masking.density=0.05,0.1,0.2,0.4 train.multiplier=5
+
+Each member writes a normal run dir (config.json + summary.json +
+model_quantized/ bitstream) under outputs/<img>/ladder_<exp>/d<density>,
+so visualize/rate_distortion.py consumes ladder output unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from implicit_image_tpu.models import ModelDef
+from implicit_image_tpu.parallel.pipeline import PipelineResult, _encode_decode
+from implicit_image_tpu.quant import QuantConfig
+from implicit_image_tpu.training.fit import (
+    FitResult,
+    OptimConfig,
+    TrainConfig,
+    make_fit_segments,
+    run_segment_chain,
+)
+from implicit_image_tpu.training.quant_phase import make_quant_fit_fn
+
+__all__ = ["ladder_fit", "ladder_compress"]
+
+log = logging.getLogger("implicit_image_tpu")
+
+
+def _check_ladder_cfg(masking_cfg) -> None:
+    if masking_cfg is None or masking_cfg.dense:
+        raise ValueError("ladder_fit needs a sparse masking config")
+    if masking_cfg.decay_schedule == "magnitude-prune":
+        raise ValueError(
+            "decay_schedule='magnitude-prune' bakes final_density into the "
+            "compiled program; a GMP ladder cannot share one program — use "
+            "multirun (compress.py -m) for it"
+        )
+
+
+def ladder_fit(
+    key,
+    mdef: ModelDef,
+    mcfg,
+    grid,
+    img,
+    train_cfg: TrainConfig,
+    optim_cfg: OptimConfig,
+    masking_cfg,
+    densities: Sequence[float],
+    mesh: Optional[Mesh] = None,
+) -> FitResult:
+    """Fit ONE image at B init densities concurrently; returns a FitResult
+    whose leaves carry a leading member axis aligned with `densities`.
+
+    Per-member init (params/opt/mask at that density) runs host-side; the
+    segment chain is vmapped over the stacked carries with the image
+    broadcast, compiled once for the whole ladder.
+    """
+    _check_ladder_cfg(masking_cfg)
+    img = jnp.asarray(img)
+    b = len(densities)
+    if b == 0:
+        raise ValueError("densities is empty")
+    keys = jax.random.split(key, b)
+
+    # per-density init: the density is static inside each init_fn (the
+    # ERK/random solvers run at trace time), so build one init per member
+    carries = []
+    for i, d in enumerate(densities):
+        cfg_d = dataclasses.replace(masking_cfg, density=float(d))
+        init_fn, _ = make_fit_segments(
+            mdef, mcfg, grid, train_cfg, optim_cfg, cfg_d
+        )
+        carries.append(init_fn(keys[i], img))
+    carry0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
+
+    # ONE segment program shared by every member (density-free; checked
+    # above), vmapped over the carry with the image broadcast
+    _, segment_fn = make_fit_segments(
+        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+    )
+    n = train_cfg.num_steps
+    seg = max(1, train_cfg.segment_steps // b)  # shared per-execution wall budget
+    shard = NamedSharding(mesh, P("image")) if mesh is not None else None
+    lengths = {min(seg, n), n % seg or seg}
+    jsegs = {}
+    for length in lengths:
+        vf = jax.vmap(
+            lambda c, im, s, _l=length: segment_fn(c, im, s, _l),
+            in_axes=(0, None, None),
+        )
+        jsegs[length] = (
+            jax.jit(vf)
+            if shard is None
+            else jax.jit(
+                vf, in_shardings=(shard, None, None), out_shardings=shard
+            )
+        )
+    if shard is not None:
+        carry0 = jax.device_put(carry0, shard)
+
+    carry, metrics, wall = run_segment_chain(
+        None, jsegs, (), (img,), n, seg, concat_axis=1, carry_override=carry0
+    )
+    params, opt_state, mask_state = carry[0], carry[1], carry[2]
+    return FitResult(
+        params=params,
+        mask_state=mask_state,
+        opt_state=opt_state,
+        metrics=metrics,
+        wall_seconds=wall,
+    )
+
+
+def ladder_compress(
+    key,
+    mdef: ModelDef,
+    mcfg,
+    grid,
+    img,
+    train_cfg: TrainConfig,
+    optim_cfg: OptimConfig,
+    masking_cfg,
+    densities: Sequence[float],
+    quant_cfg: Optional[QuantConfig] = None,
+    mesh: Optional[Mesh] = None,
+    stream_name: str = "zstd",
+    stream_root: str = "outputs/ladder",
+    half="auto",
+) -> Sequence[PipelineResult]:
+    """Full R-D ladder end-to-end: one vmapped fit + one vmapped quant
+    finetune across all densities, then per-member host-side entropy
+    coding + decode (reference pipeline order compress.py:172-263)."""
+    img = jnp.asarray(img)
+    h, w = grid.shape[:2]
+    res = ladder_fit(
+        key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
+        densities, mesh,
+    )
+
+    params_q, codebooks_b, qpsnr = res.params, None, None
+    if quant_cfg is not None and quant_cfg.name != "none":
+        masks = res.mask_state.masks
+
+        def qfit(params, masks_i):
+            fn = make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg, masks_i)
+            return fn(params, img)
+
+        qfn = jax.vmap(qfit, in_axes=(0, 0))
+        if mesh is not None:
+            shard = NamedSharding(mesh, P("image"))
+            qfn = jax.jit(qfn, in_shardings=(shard, shard), out_shardings=shard)
+        else:
+            qfn = jax.jit(qfn)
+        t0 = time.perf_counter()
+        params_q, codebooks_b, qmetrics = qfn(res.params, masks)
+        qpsnr = np.asarray(qmetrics["quant_psnr"])
+        log.info("ladder quant finetune: %.2f s for %d members",
+                 time.perf_counter() - t0, len(densities))
+
+    fit_psnr = np.asarray(res.metrics["psnr"])
+    img_np = np.asarray(img, np.float64)
+    out = []
+    for i, d in enumerate(densities):
+        p_i = jax.tree_util.tree_map(lambda x: x[i], params_q)
+        books_i = (
+            jax.tree_util.tree_map(lambda x: x[i], codebooks_b)
+            if codebooks_b is not None
+            else None
+        )
+        # run_dir/model_quantized mirrors compress.py's layout so the
+        # decompress CLI and the visualize run store read ladder members
+        # like any other run
+        run_dir = Path(stream_root) / f"d{d}"
+        nbytes, dec_psnr = _encode_decode(
+            p_i, books_i, mdef, mcfg, h, w, img_np,
+            run_dir / "model_quantized", stream_name, half,
+        )
+        pf = fit_psnr[i][np.isfinite(fit_psnr[i])]
+        out.append(
+            PipelineResult(
+                psnr=float(pf[-1]) if pf.size else float("nan"),
+                quant_psnr=float(qpsnr[i]) if qpsnr is not None else float("nan"),
+                decoded_psnr=dec_psnr,
+                compressed_bytes=nbytes,
+                params=p_i,
+                stream_dir=str(run_dir),
+            )
+        )
+    return out
+
+
+def cli(argv=None) -> None:
+    """Compose the compress.py config, read the density comma-list as the
+    ladder axis, and write one standard run dir per member."""
+    import json
+    import sys
+
+    from implicit_image_tpu.compress import (
+        _MASKING_FIELDS,
+        _auto_segment_steps,
+        _load_image,
+    )
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.data import get_grid
+    from implicit_image_tpu.models import build_model_from_config
+    from implicit_image_tpu.sparsity import MaskingConfig
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    argv = list(sys.argv[1:] if argv is None else argv)
+    densities = [0.05, 0.1, 0.2, 0.4, 0.75]
+    kept = []
+    for a in argv:
+        if a.startswith("masking.density="):
+            densities = [float(x) for x in a.split("=", 1)[1].split(",")]
+        else:
+            kept.append(a)
+    cfg = compose(kept)
+    if not cfg.get("masking") or cfg.masking.get("dense", False):
+        kept = [a for a in kept if not a.startswith("masking=")]
+        cfg = compose(kept + ["masking=RigL"])
+
+    img = _load_image(cfg.img)
+    h, w = img.shape[:2]
+    grid = get_grid(h, w)
+    mdef, mcfg = build_model_from_config(cfg)
+
+    mult = int(cfg.train.get("multiplier", 1))
+    fields = {k: v for k, v in cfg.masking.items() if k in _MASKING_FIELDS}
+    fields["end_when"] = int(fields.get("end_when", 1500) * mult)
+    fields["interval"] = int(fields.get("interval", 20) * mult)
+    masking = MaskingConfig(**fields)
+    train_cfg = TrainConfig(
+        num_steps=int(cfg.train.num_steps) * mult,
+        log_steps=int(cfg.train.log_steps),
+        multiplier=mult,
+        segment_steps=_auto_segment_steps(cfg),
+    )
+    optim_kwargs = {}
+    for k, v in cfg.optim.items():
+        if k != "name" and isinstance(v, str):
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        optim_kwargs[k] = v
+    optim_cfg = OptimConfig(**optim_kwargs)
+    quant_raw = cfg.get("quant")
+    quant_cfg = None
+    if quant_raw and quant_raw.get("name", "none") != "none":
+        quant_cfg = QuantConfig(
+            name=quant_raw.name,
+            bits=int(quant_raw.get("bits", 8)),
+            num_steps=int(quant_raw.get("num_steps", 100)),
+            log_steps=int(quant_raw.get("log_steps", 10)),
+        )
+    ec = cfg.get("entropy_coding") or {}
+    stream_name = ec.get("stream_name", "zstd")
+    if stream_name == "none":
+        stream_name = "zstd"
+
+    root = Path(cfg.get("output_dir", "outputs")) / cfg.img.name / (
+        "ladder_" + cfg.get("exp_name", "run")
+    )
+    t0 = time.perf_counter()
+    results = ladder_compress(
+        jax.random.PRNGKey(int(cfg.seed)),
+        mdef, mcfg, grid, img, train_cfg, optim_cfg, masking, densities,
+        quant_cfg=quant_cfg, stream_name=stream_name, stream_root=str(root),
+        half=ec.get("half", "auto"),
+    )
+    wall = time.perf_counter() - t0
+    for d, r in zip(densities, results):
+        run_dir = Path(r.stream_dir)
+        member_cfg = json.loads(json.dumps(cfg, default=str))
+        member_cfg["masking"]["density"] = d
+        (run_dir / "config.json").write_text(json.dumps(member_cfg, indent=2))
+        (run_dir / "summary.json").write_text(json.dumps({
+            "PSNR": r.psnr,
+            "Quant PSNR": r.quant_psnr,
+            "Decoded PSNR": r.decoded_psnr,
+            "Compressed Bytes": r.compressed_bytes,
+        }, indent=2))
+        print(
+            f"d={d}: fit={r.psnr:.2f} dB quant={r.quant_psnr:.2f} dB "
+            f"decoded={r.decoded_psnr:.2f} dB bytes={r.compressed_bytes}"
+        )
+    print(f"LADDER {len(densities)} members in {wall:.1f}s (one compile)")
+
+
+if __name__ == "__main__":
+    cli()

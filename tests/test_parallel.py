@@ -240,3 +240,83 @@ def test_full_pipeline_image_batched(tmp_path):
     assert results[0].compressed_bytes != results[1].compressed_bytes or (
         results[0].decoded_psnr != results[1].decoded_psnr
     )
+
+
+def test_ladder_fit_members_match_single_fits():
+    """One-compile density ladder: each member equals an individual fit at
+    that density with the same member key (the segment program is
+    density-free; only mask init differs)."""
+    import dataclasses
+
+    from implicit_image_tpu.parallel.ladder import ladder_fit
+
+    grid = get_grid(16, 16)
+    img = synthetic_image(16, 16, seed=0)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    tc = TrainConfig(num_steps=20, log_steps=10, segment_steps=16)
+    oc = OptimConfig(lr=1e-3)
+    mk = MaskingConfig(density=0.5, end_when=16, interval=4)
+    densities = [0.3, 0.6]
+    key = jax.random.PRNGKey(0)
+
+    res = ladder_fit(key, mdef, mcfg, grid, img, tc, oc, mk, densities)
+    final_density = np.asarray(res.metrics["density"])[:, -1]
+    np.testing.assert_allclose(final_density, densities, atol=0.05)
+
+    keys = jax.random.split(key, len(densities))
+    for i, d in enumerate(densities):
+        single = fit(
+            keys[i], mdef, mcfg, grid, img, tc, oc,
+            dataclasses.replace(mk, density=d),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.params[0]["w"][i]),
+            np.asarray(single.params[0]["w"]),
+            rtol=2e-5, atol=1e-6,
+        )
+
+
+def test_ladder_rejects_gmp():
+    from implicit_image_tpu.parallel.ladder import ladder_fit
+
+    grid = get_grid(8, 8)
+    img = synthetic_image(8, 8, seed=0)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    gmp = MaskingConfig(
+        name="Pruning", density=1.0, prune_mode="global-magnitude",
+        growth_mode="none", decay_schedule="magnitude-prune",
+        final_density=0.5, end_when=10, interval=2,
+    )
+    with pytest.raises(ValueError, match="magnitude-prune"):
+        ladder_fit(
+            jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+            TrainConfig(num_steps=4, log_steps=2), OptimConfig(), gmp,
+            [0.3, 0.6],
+        )
+
+
+@pytest.mark.slow
+def test_ladder_compress_end_to_end(tmp_path):
+    """Full ladder pipeline on the image mesh: per-density bitstreams
+    decode to their member's quant quality and rate grows with density."""
+    from implicit_image_tpu.parallel.ladder import ladder_compress
+    from implicit_image_tpu.quant import QuantConfig
+
+    mesh = make_mesh(image=2, pixel=1)
+    grid = get_grid(16, 16)
+    img = synthetic_image(16, 16, seed=1)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=32)
+    mk = MaskingConfig(density=0.5, end_when=30, interval=10)
+    results = ladder_compress(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=40, log_steps=20), OptimConfig(lr=1e-3), mk,
+        [0.2, 0.8],
+        quant_cfg=QuantConfig(bits=4, num_steps=10), mesh=mesh,
+        stream_name="zstd", stream_root=str(tmp_path / "ladder"),
+    )
+    assert len(results) == 2
+    for r in results:
+        assert r.compressed_bytes > 0
+        assert abs(r.decoded_psnr - r.quant_psnr) < 0.5
+    # denser member -> larger stream (more nonzero weights to code)
+    assert results[1].compressed_bytes > results[0].compressed_bytes
