@@ -263,17 +263,18 @@ def test_ladder_fit_members_match_single_fits():
     final_density = np.asarray(res.metrics["density"])[:, -1]
     np.testing.assert_allclose(final_density, densities, atol=0.05)
 
+    # one member suffices for the equality property (each extra single
+    # fit pays its own compile; member 1 exercises the non-default density)
     keys = jax.random.split(key, len(densities))
-    for i, d in enumerate(densities):
-        single = fit(
-            keys[i], mdef, mcfg, grid, img, tc, oc,
-            dataclasses.replace(mk, density=d),
-        )
-        np.testing.assert_allclose(
-            np.asarray(res.params[0]["w"][i]),
-            np.asarray(single.params[0]["w"]),
-            rtol=2e-5, atol=1e-6,
-        )
+    single = fit(
+        keys[1], mdef, mcfg, grid, img, tc, oc,
+        dataclasses.replace(mk, density=densities[1]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.params[0]["w"][1]),
+        np.asarray(single.params[0]["w"]),
+        rtol=2e-5, atol=1e-6,
+    )
 
 
 def test_ladder_rejects_gmp():
