@@ -9,11 +9,6 @@ reference (rate_distortion.py:104-149 re-encodes at a quality ladder via
 OpenCV).
 """
 from implicit_image_tpu.visualize.runs import collect_runs, load_run
-from implicit_image_tpu.visualize.rate_distortion import (
-    traditional_rate_distortion,
-    ours_rate_distortion,
-    plot_rate_distortion,
-)
 
 __all__ = [
     "collect_runs",
@@ -22,3 +17,20 @@ __all__ = [
     "ours_rate_distortion",
     "plot_rate_distortion",
 ]
+
+_RD_NAMES = (
+    "traditional_rate_distortion",
+    "ours_rate_distortion",
+    "plot_rate_distortion",
+)
+
+
+def __getattr__(name):
+    # lazy: `python -m implicit_image_tpu.visualize.rate_distortion`
+    # imports this package first; an eager import here would double-load
+    # the module being run (runpy warning)
+    if name in _RD_NAMES:
+        from implicit_image_tpu.visualize import rate_distortion
+
+        return getattr(rate_distortion, name)
+    raise AttributeError(name)
