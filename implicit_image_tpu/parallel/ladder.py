@@ -288,6 +288,7 @@ def cli(argv=None) -> None:
             bits=int(quant_raw.get("bits", 8)),
             num_steps=int(quant_raw.get("num_steps", 100)),
             log_steps=int(quant_raw.get("log_steps", 10)),
+            ecvq_lambda=float(quant_raw.get("ecvq_lambda", 0.0)),
         )
     ec = cfg.get("entropy_coding") or {}
     stream_name = ec.get("stream_name", "zstd")

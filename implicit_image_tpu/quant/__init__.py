@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from implicit_image_tpu.quant.kmeans import (
     LayerCodebook,
+    ecvq_refine,
     kmeans_fit,
     quantize_weight,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "LayerCodebook",
     "kmeans_fit",
     "quantize_weight",
+    "ecvq_refine",
     "uniform_quantize_weight",
     "fake_quant",
     "quantize_params",
@@ -50,6 +52,11 @@ class QuantConfig:
     num_steps: int = 100
     log_steps: int = 10
     lloyd_iters: int = 5
+    # Entropy-constrained assignment (ECVQ) strength; 0 = plain k-means
+    # (reference parity). λ≈1 trades ~one mean quant error per label bit —
+    # see quant/kmeans.py ecvq_refine. KMeans mode only.
+    ecvq_lambda: float = 0.0
+    ecvq_iters: int = 10
     # Layer indices (into the params tuple) kept full precision; None means
     # the first and last weight-bearing layers, the reference's default
     # skip_ll = [layers.0.linear, layers.7.linear] (conf/quant/kmeans.yaml).

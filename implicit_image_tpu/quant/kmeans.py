@@ -34,7 +34,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["LayerCodebook", "kmeans_fit", "quantize_weight"]
+__all__ = ["LayerCodebook", "kmeans_fit", "quantize_weight", "ecvq_refine"]
 
 
 class LayerCodebook(NamedTuple):
@@ -104,3 +104,65 @@ def quantize_weight(
     labels = jnp.argmin(d, axis=1).astype(jnp.int32)
     snapped = centroids[labels].reshape(weight.shape)
     return snapped, LayerCodebook(centroids=centroids, labels=labels.reshape(weight.shape))
+
+
+def ecvq_refine(
+    weight: jnp.ndarray,
+    book: LayerCodebook,
+    lam: float,
+    iters: int = 10,
+) -> LayerCodebook:
+    """Entropy-constrained assignment (ECVQ, Chou-Lookabaugh-Gray 1989):
+    re-assign each nonzero weight to argmin_j [ (w - c_j)^2 + λ·σ²·R_j ]
+    where R_j = -log2 p_j is the label's code length under the current
+    assignment frequencies. Skews mass onto popular centroids, lowering
+    the label entropy the bitstream coder pays, at a small weight-MSE
+    cost the codebook finetune then largely recovers.
+
+    No reference counterpart (the reference codes plain k-means labels);
+    this is a beyond-parity rate lever, opt-in via quant.ecvq_lambda.
+
+    λ is dimensionless: the rate term is scaled by σ² = the layer's mean
+    initial quantization error over nonzeros, so λ≈1 trades ~one average
+    quant error per bit saved. Pruned (zero) weights stay at label 0; a
+    nonzero weight MAY move to the zero centroid (extra pruning is a
+    legitimate R-D move, and label 0 is typically the cheapest).
+    """
+    flat = weight.reshape(-1)
+    labels0 = book.labels.reshape(-1)
+    valid = (flat != 0.0).astype(flat.dtype)
+    n = flat.shape[0]
+    n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+    k = book.centroids.shape[0]
+
+    err0 = jnp.sum(valid * (flat - book.centroids[labels0]) ** 2)
+    scale = lam * err0 / n_valid  # λ·σ² — per-layer dimensionless λ
+
+    def body(carry, _):
+        labels, centroids = carry
+        # the coder codes EVERY label (zeros included), so the rate model
+        # counts all of them — label 0 carries the pruned mass and is the
+        # cheapest symbol at any real sparsity
+        counts_all = jnp.zeros((k,), flat.dtype).at[labels].add(1.0)
+        p = counts_all / n
+        # empty clusters get an effectively infinite code length and are
+        # never re-entered (the codebook shrinks to its used support)
+        rate = -jnp.log2(jnp.maximum(p, 1e-12))
+        d2 = (flat[:, None] - centroids[None, :]) ** 2
+        new = jnp.argmin(d2 + scale * rate[None, :], axis=1).astype(jnp.int32)
+        labels = jnp.where(valid > 0, new, 0)
+        # centroid update on the skewed assignment (Lloyd step of the
+        # entropy-constrained cost); index 0 stays exactly 0 for pruning
+        one_hot = jax.nn.one_hot(labels, k, dtype=flat.dtype) * valid[:, None]
+        counts_nz = one_hot.sum(axis=0)
+        sums = one_hot.T @ flat
+        centroids = jnp.where(
+            counts_nz > 0, sums / jnp.maximum(counts_nz, 1.0), centroids
+        )
+        centroids = centroids.at[0].set(0.0)
+        return (labels, centroids), None
+
+    (labels, centroids), _ = jax.lax.scan(
+        body, (labels0, book.centroids), None, length=iters
+    )
+    return LayerCodebook(centroids=centroids, labels=labels.reshape(weight.shape))

@@ -46,6 +46,7 @@ from implicit_image_tpu.quant import (
     LayerCodebook,
     QuantConfig,
     convert,
+    ecvq_refine,
     quantize_params,
     quantize_weight,
     quantized_layer_indices,
@@ -107,6 +108,11 @@ def make_quant_fit_fn(
                 _, book = quantize_weight(
                     layer["w"], quant_cfg.bits, quant_cfg.lloyd_iters
                 )
+                if quant_cfg.ecvq_lambda > 0.0:
+                    book = ecvq_refine(
+                        layer["w"], book,
+                        quant_cfg.ecvq_lambda, quant_cfg.ecvq_iters,
+                    )
                 labels[i] = book.labels
                 state.append(
                     {k: v for k, v in layer.items() if k != "w"}

@@ -233,3 +233,47 @@ def test_9bit_quant_uint16_labels_roundtrip(tmp_path):
     dec = decompress_state_dict(tmp_path, "auto")
     expect = state["layers.1.centroids"][lab].astype(np.float32)
     np.testing.assert_array_equal(dec["layers.1.weight"], expect)
+
+
+def test_ecvq_refine_lowers_label_entropy_keeps_zero_semantics():
+    """ECVQ (quant/kmeans.py ecvq_refine): rate-penalized assignment must
+    reduce label entropy monotonically-ish with lambda, keep pruned
+    weights exactly at label 0, and keep centroid 0 exactly zero."""
+    import numpy as np
+
+    from implicit_image_tpu.quant import ecvq_refine, quantize_weight
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(0, 0.1, (96, 96)).astype(np.float32)
+    w[rng.random(w.shape) < 0.6] = 0.0
+    w = jnp.asarray(w)
+
+    def entropy(labels):
+        _, c = np.unique(np.asarray(labels).reshape(-1), return_counts=True)
+        p = c / c.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    _, book = quantize_weight(w, 6)
+    h0 = entropy(book.labels)
+    refined = ecvq_refine(w, book, lam=2.0, iters=10)
+    h1 = entropy(refined.labels)
+    assert h1 < h0
+    zeros = np.asarray(w) == 0
+    assert (np.asarray(refined.labels)[zeros] == 0).all()
+    assert float(refined.centroids[0]) == 0.0
+    # reconstruction error stays within a small factor of plain k-means
+    def err(b):
+        rec = np.asarray(b.centroids)[np.asarray(b.labels)]
+        return float(np.mean((np.asarray(w) - rec) ** 2))
+    assert err(refined) < 3.0 * err(book)
+
+
+def test_ecvq_lambda_zero_is_identity():
+    """lam is only consumed when > 0 in the quant phase; refine itself at
+    lam=0 must still be a pure Lloyd refinement (no rate pull, zeros fixed)."""
+    import numpy as np
+
+    from implicit_image_tpu.quant import QuantConfig
+
+    cfg = QuantConfig()
+    assert cfg.ecvq_lambda == 0.0  # dataclass default stays strict parity
