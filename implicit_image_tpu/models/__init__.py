@@ -20,6 +20,11 @@ class ModelDef:
     init: Callable  # (key, cfg) -> params pytree
     apply: Callable  # (params, grid(H,W,2), cfg) -> (H,W,3)
     apply_flat: Callable  # (params, coords(N,2), cfg) -> (N,3)
+    # True when `apply` exploits a separable (tensor-product) grid and is
+    # strictly cheaper than apply_flat on the same pixels (CoordX): the
+    # fit loss then evaluates through `apply` on the full grid instead of
+    # the flattened coordinate list (training/fit.py make_loss_fn).
+    separable: bool = False
 
 
 def _siren_def() -> ModelDef:
@@ -63,10 +68,29 @@ def _wavelet_siren_def() -> ModelDef:
     )
 
 
+def _coordx_def() -> ModelDef:
+    from implicit_image_tpu.models.coordx import (
+        CoordXConfig,
+        coordx_apply,
+        coordx_apply_flat,
+        init_coordx,
+    )
+
+    return ModelDef(
+        "coordx",
+        CoordXConfig,
+        init_coordx,
+        coordx_apply,
+        coordx_apply_flat,
+        separable=True,
+    )
+
+
 registry = {
     "siren": _siren_def,
     "fourier": _fourier_def,
     "wavelet_siren": _wavelet_siren_def,
+    "coordx": _coordx_def,
 }
 
 

@@ -67,12 +67,18 @@ class QuantConfig:
 
 
 def quantized_layer_indices(params, cfg: QuantConfig) -> List[int]:
-    """Weight-bearing layer indices subject to quantization."""
+    """Weight-bearing layer indices subject to quantization.
+
+    Besides the reference's first/last skip, layers with fewer weights
+    than codebook entries are kept full precision — k-means with more
+    centroids than points degenerates and the labels+centroids container
+    cannot beat the raw tensor (e.g. CoordX's 1×C branch-entry layers)."""
     widx = [i for i, layer in enumerate(params) if "w" in layer]
     if cfg.skip_layers is not None:
         skip = set(cfg.skip_layers)
     else:
         skip = {widx[0], widx[-1]} if widx else set()
+    skip |= {i for i in widx if params[i]["w"].size < 2**cfg.bits}
     return [i for i in widx if i not in skip]
 
 

@@ -147,6 +147,7 @@ def make_loss_fn(
     compute_dtype,
     use_pallas=False,
     remat=False,
+    grid_hw=None,
 ):
     apply_flat = mdef.apply_flat
     if use_pallas and mdef.name == "siren":
@@ -154,9 +155,22 @@ def make_loss_fn(
 
         apply_flat = lambda p, c, cfg, dt: siren_apply_flat_pallas(p, c, cfg)
 
-    def loss_fn(params):
-        pred = apply_flat(params, coords, mcfg, compute_dtype)
-        return mse(pred, target_flat)
+    if grid_hw is not None and mdef.separable and not use_pallas:
+        # separable models (CoordX) run their early layers O(H+W) on the
+        # tensor-product grid — evaluate the loss through the factorized
+        # grid path instead of the flattened coordinate list
+        h, w = grid_hw
+        grid = coords.reshape(h, w, coords.shape[-1])
+
+        def loss_fn(params):
+            pred = mdef.apply(params, grid, mcfg, compute_dtype)
+            return mse(pred.reshape(h * w, -1), target_flat)
+
+    else:
+
+        def loss_fn(params):
+            pred = apply_flat(params, coords, mcfg, compute_dtype)
+            return mse(pred, target_flat)
 
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
@@ -171,6 +185,7 @@ def make_train_step(
     train_cfg: TrainConfig,
     optim_cfg: OptimConfig,
     masking_cfg: Optional[MaskingConfig] = None,
+    grid_hw=None,
 ):
     """Build the pure (carry, step) -> (carry, metrics) scan body."""
     compute_dtype = _compute_dtype(train_cfg)
@@ -182,6 +197,7 @@ def make_train_step(
         compute_dtype,
         train_cfg.use_pallas,
         train_cfg.remat,
+        grid_hw=grid_hw,
     )
     schedule = step_lr(optim_cfg.lr, optim_cfg.lr_step_size, optim_cfg.lr_gamma)
     sparse = masking_cfg is not None and not masking_cfg.dense
@@ -318,7 +334,13 @@ def make_train_step(
         )
 
         def eval_branch(params):
-            pred = mdef.apply_flat(params, coords, mcfg, compute_dtype)
+            if grid_hw is not None and mdef.separable:
+                gh, gw = grid_hw
+                pred = mdef.apply(
+                    params, coords.reshape(gh, gw, -1), mcfg, compute_dtype
+                ).reshape(gh * gw, -1)
+            else:
+                pred = mdef.apply_flat(params, coords, mcfg, compute_dtype)
             test_loss = mse(pred, target_flat)
             return (
                 test_loss,
@@ -399,6 +421,7 @@ def make_fit_segments(
         train_step = make_train_step(
             mdef, mcfg, coords, target_flat, train_cfg, optim_cfg,
             masking_cfg if sparse else None,
+            grid_hw=(h, w) if train_cfg.pixel_chunks == 1 else None,
         )
         steps = jnp.asarray(start, jnp.int32) + jnp.arange(length)
         return jax.lax.scan(train_step, carry, steps)

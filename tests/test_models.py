@@ -86,3 +86,62 @@ def test_siren_matches_manual_forward():
     h = np.sin(5.0 * (x @ w0 + b0))
     y = (h @ w1 + b1) / 2.0 + 0.5
     np.testing.assert_allclose(out.reshape(-1, 3), y, atol=1e-5)
+
+
+def test_coordx_registry_and_shapes():
+    from implicit_image_tpu.models import build_model
+
+    mdef, cfg = build_model("coordx", depth=8, hidden_size=32, split_depth=3)
+    assert mdef.separable
+    params = mdef.init(jax.random.PRNGKey(0), cfg)
+    # 2 branches x split_depth + fused hidden + output layer, flat tuple
+    assert len(params) == 2 * 3 + (8 - 3 - 1) + 1
+    assert params[0]["w"].shape == (1, 32)  # x-branch entry
+    assert params[3]["w"].shape == (1, 32)  # y-branch entry
+    assert params[-1]["w"].shape == (32, 3)
+    out = mdef.apply(params, get_grid(6, 9), cfg)
+    assert out.shape == (6, 9, 3)
+
+
+def test_coordx_grid_apply_equals_flat_apply():
+    """The O(H+W) factorized grid path and the generic per-point path must
+    agree exactly on a separable grid (models/coordx.py)."""
+    from implicit_image_tpu.models import build_model
+
+    mdef, cfg = build_model("coordx", depth=6, hidden_size=16, split_depth=2)
+    params = mdef.init(jax.random.PRNGKey(1), cfg)
+    grid = get_grid(11, 7)
+    a = np.asarray(mdef.apply(params, grid, cfg))
+    b = np.asarray(mdef.apply_flat(params, grid.reshape(-1, 2), cfg))
+    np.testing.assert_allclose(a.reshape(-1, 3), b, atol=1e-6)
+
+
+def test_coordx_fit_uses_grid_path_and_converges():
+    """Fit through the separable fast path (training/fit.py grid_hw) must
+    converge like any other model family."""
+    from implicit_image_tpu.data import synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    mdef, cfg = build_model("coordx", depth=6, hidden_size=32, split_depth=2)
+    img = synthetic_image(24, 24, seed=0)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, cfg, get_grid(24, 24), img,
+        TrainConfig(num_steps=300, log_steps=100), OptimConfig(lr=1e-3),
+    )
+    p = np.asarray(res.metrics["psnr"])
+    assert p[~np.isnan(p)][-1] > 25.0
+
+
+def test_quant_skips_sub_codebook_layers():
+    """Layers smaller than ~4 codebook entries stay full precision (a
+    labels+centroids container would be larger than the raw tensor)."""
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.quant import QuantConfig, quantized_layer_indices
+
+    mdef, cfg = build_model("coordx", depth=8, hidden_size=32, split_depth=3)
+    params = mdef.init(jax.random.PRNGKey(0), cfg)
+    qidx = quantized_layer_indices(params, QuantConfig(bits=8))
+    # both 1x32 branch-entry layers (0 and 3) skipped, as are first/last
+    assert 0 not in qidx and 3 not in qidx
+    assert all(params[i]["w"].size >= 4 * 256 for i in qidx)

@@ -321,3 +321,27 @@ def test_ladder_compress_end_to_end(tmp_path):
         assert abs(r.decoded_psnr - r.quant_psnr) < 0.5
     # denser member -> larger stream (more nonzero weights to code)
     assert results[1].compressed_bytes > results[0].compressed_bytes
+
+
+def test_coordx_batched_and_sharded():
+    """The separable-model fast path must compile and agree under both
+    SPMD layouts (vmap over "image", rows over "pixel")."""
+    from implicit_image_tpu.parallel.sharded import sharded_fit
+
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model("coordx", depth=6, hidden_size=16, split_depth=2)
+    tc, oc = TrainConfig(num_steps=20, log_steps=10), OptimConfig(lr=1e-3)
+    key = jax.random.PRNGKey(0)
+
+    imgs = _imgs(2)
+    bres = batched_fit(key, mdef, mcfg, grid, imgs, tc, oc,
+                       mesh=make_mesh(image=2, pixel=1))
+    assert np.isfinite(np.asarray(bres.metrics["loss"])).all()
+
+    sres = sharded_fit(key, make_mesh(image=1, pixel=4), mdef, mcfg, grid,
+                       imgs[0], tc, oc)
+    single = fit(key, mdef, mcfg, grid, imgs[0], tc, oc)
+    np.testing.assert_allclose(
+        np.asarray(sres.params[1]["w"]), np.asarray(single.params[1]["w"]),
+        rtol=2e-5, atol=1e-6,
+    )
