@@ -217,4 +217,7 @@ def build_feather_model(
         init=init,
         apply=apply,
         apply_flat=apply_flat,
+        # the wrapper delegates to the base apply after materializing, so a
+        # separable base (CoordX) keeps its factorized grid fast path
+        separable=mdef.separable,
     )

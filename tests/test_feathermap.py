@@ -90,3 +90,25 @@ def test_feather_fourier_keeps_frozen_encoding():
     np.testing.assert_array_equal(
         np.asarray(fparams[2]["frozen_0_B"]), np.asarray(base[0]["B"])
     )
+
+
+def test_feather_wrap_preserves_separable_fast_path():
+    """Feather-wrapping a separable base (CoordX) must keep the factorized
+    grid fast path flag and still train (fit through the grid path)."""
+    import numpy as np
+
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.feathermap import build_feather_model
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    mdef, mcfg = build_model("coordx", depth=6, hidden_size=16, split_depth=2)
+    fdef = build_feather_model(mdef, mcfg, compress=0.5)
+    assert fdef.separable
+    res = fit(
+        jax.random.PRNGKey(0), fdef, mcfg, get_grid(16, 16),
+        synthetic_image(16, 16, seed=0),
+        TrainConfig(num_steps=60, log_steps=30), OptimConfig(lr=1e-3),
+    )
+    loss = np.asarray(res.metrics["loss"])
+    assert loss[-1] < loss[0]
