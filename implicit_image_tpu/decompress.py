@@ -11,6 +11,11 @@ Reads `config.json` (written by compress.py) to rebuild the model and the
 stream backend, decodes `model_quantized/`, renders on the TPU, reports
 decode/render wall-clock + Mpix/s, and writes the image next to the
 bitstream (or at --out).
+
+Batched serving: pass SEVERAL run dirs (e.g. a whole ladder or a
+batched_compress output tree) and `decode_runs` host-decodes every
+stream, then renders each (architecture, size) group with ONE vmapped
+jit — the decode-side counterpart of parallel/batched.py.
 """
 from __future__ import annotations
 
@@ -48,6 +53,64 @@ def decode_run(run_dir, out_path=None):
     return img, stats
 
 
+def decode_runs(run_dirs):
+    """Batched decode of many run dirs; returns images in input order.
+
+    Host entropy decode runs per stream (cheap byte work); rendering is
+    grouped by (model, config, H, W) and each group renders as a single
+    vmapped compiled call over the stacked params — decoded weights are
+    dense materialized tensors (centroids[labels]), so every member of a
+    group has identical shapes regardless of sparsity/quantization.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from implicit_image_tpu.coding import (
+        decompress_state_dict,
+        params_from_state_dict,
+    )
+    from implicit_image_tpu.data import get_grid
+
+    t0 = time.perf_counter()
+    infos = []
+    groups = {}
+    for idx, rd in enumerate(run_dirs):
+        rd = Path(rd)
+        cfg = json.loads((rd / "config.json").read_text())
+        stream = cfg.get("entropy_coding", {}).get("stream_name", "zstd")
+        if stream == "none":
+            raise ValueError(f"{rd} was produced without entropy coding")
+        mdef, mcfg = build_model_from_config(cfg)
+        h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
+        state = decompress_state_dict(rd / "model_quantized", stream)
+        params = params_from_state_dict(state)
+        groups.setdefault((mdef.name, repr(mcfg), h, w), []).append(idx)
+        infos.append((rd, mdef, mcfg, h, w, params))
+    host_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    images = [None] * len(infos)
+    for idxs in groups.values():
+        rd0, mdef, mcfg, h, w, _ = infos[idxs[0]]
+        grid = get_grid(h, w)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[infos[i][5] for i in idxs]
+        )
+        render = jax.jit(jax.vmap(lambda p: mdef.apply(p, grid, mcfg)))
+        outs = np.asarray(render(stacked))
+        for j, i in enumerate(idxs):
+            images[i] = outs[j]
+            save_img(str(infos[i][0] / "decoded.png"), outs[j])
+    render_s = time.perf_counter() - t0
+    log.info(
+        "batch-decoded %d runs in %d group(s): host %.1f ms, render+write %.1f ms",
+        len(infos), len(groups), host_s * 1e3, render_s * 1e3,
+    )
+    return images
+
+
 @catch_error_decorator
 def cli(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -60,9 +123,14 @@ def cli(argv=None) -> None:
             raise SystemExit(2)
         out = argv[i + 1]
         del argv[i : i + 2]
-    if len(argv) != 1:
+    if len(argv) == 0:
         print(__doc__)
         raise SystemExit(2)
+    if len(argv) > 1:
+        if out is not None:
+            raise SystemExit("--out is only valid with a single run dir")
+        decode_runs(argv)
+        return
     _, stats = decode_run(argv[0], out)
     log.info(
         "decoded %s: host %.1f ms + upload %.1f ms, render %.2f ms (%.0f Mpix/s) -> %s",

@@ -205,3 +205,32 @@ def test_watch_histograms_written(tmp_path):
     h = lines[0]["histograms"]
     assert "layers.0.w" in h and "layers.0.w.grad_ema" in h
     assert sum(h["layers.0.w"]["counts"]) == 8 * 2  # fan_in*width elements
+
+
+def test_batched_decode_matches_single(tmp_path):
+    """decode_runs (one vmapped render per architecture group) must be
+    bit-equal to per-run decode_run."""
+    import numpy as np
+
+    from implicit_image_tpu.compress import main
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.decompress import decode_run, decode_runs
+
+    dirs = []
+    for i, d in enumerate((0.4, 0.7)):
+        cfg = compose([
+            "img=synthetic", "img.height=20", "img.width=20",
+            "mlp.depth=3", "mlp.hidden_size=16",
+            "masking=RigL", f"masking.density={d}",
+            "masking.end_when=20", "masking.interval=5",
+            "train.num_steps=40", "train.log_steps=20",
+            "quant.num_steps=5", "quant.bits=4", "entropy_coding=zstd",
+        ])
+        rd = str(tmp_path / f"run{i}")
+        main(cfg, run_dir=rd)
+        dirs.append(rd)
+
+    imgs = decode_runs(dirs)
+    for i, rd in enumerate(dirs):
+        single, _ = decode_run(rd)
+        np.testing.assert_array_equal(np.asarray(single), imgs[i])
