@@ -234,3 +234,30 @@ def test_batched_decode_matches_single(tmp_path):
     for i, rd in enumerate(dirs):
         single, _ = decode_run(rd)
         np.testing.assert_array_equal(np.asarray(single), imgs[i])
+
+
+def test_batched_decode_groups_mixed_architectures(tmp_path):
+    """decode_runs groups by (model, config, size): mixed siren/coordx run
+    dirs decode correctly in one call (two compiled render groups)."""
+    import numpy as np
+
+    from implicit_image_tpu.compress import main
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.decompress import decode_run, decode_runs
+
+    dirs = []
+    for i, mlp in enumerate(("siren", "coordx")):
+        cfg = compose([
+            "img=synthetic", "img.height=16", "img.width=16",
+            f"mlp={mlp}", "mlp.depth=6", "mlp.hidden_size=16",
+            "masking=none", "train.num_steps=30", "train.log_steps=15",
+            "quant.num_steps=4", "quant.bits=4", "entropy_coding=zstd",
+        ])
+        rd = str(tmp_path / f"run{i}")
+        main(cfg, run_dir=rd)
+        dirs.append(rd)
+
+    imgs = decode_runs(dirs)
+    for i, rd in enumerate(dirs):
+        single, _ = decode_run(rd)
+        np.testing.assert_array_equal(np.asarray(single), imgs[i])
