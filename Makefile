@@ -7,7 +7,7 @@ PY ?= python
 IMG ?= synthetic
 DENSITIES ?= 0.01,0.02,0.05,0.1,0.2,0.3,0.4,0.5,0.75,0.95
 
-.PHONY: test test-all bench siren prune sweep decode vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.%
+.PHONY: test test-all bench siren prune sweep decode vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.% finals.real verify.benchmarks
 
 # default gate: excludes tests marked `slow` (heavyweight redundancy /
 # finals-protocol checks); measured 5m25s on a 1-core box. `make test-all`
@@ -47,6 +47,29 @@ ladder.%:
 sweep:
 	$(PY) -m implicit_image_tpu.sweep n_trials=15 img=$(IMG) \
 	    masking.density='loguniform(0.05,0.95)'
+
+# validate the rgb16bit drop-in files against data/MANIFEST.json
+# (format + sha256, trust-on-first-use)
+verify.benchmarks:
+	$(PY) tools/verify_benchmarks.py
+
+# FULL real-image finals reproduction, unattended: requires the rgb16bit
+# files (data/MANIFEST.json). Validates them, runs the realimage pytest
+# suite, then the one-compile finals ladder (5x train + kmeans-8 + auto
+# coding + decode) per benchmark image, then the R-D overlay plots.
+# Dropping the three files into data/rgb16bit/ is the ONLY setup step.
+finals.real:
+	$(PY) tools/verify_benchmarks.py --require-all
+	$(PY) -m pytest tests/test_realimage.py -q -m "realimage and not slow"
+	for img in flower big_building bridge; do \
+	    $(PY) -m implicit_image_tpu.parallel.ladder img=$$img \
+	        entropy_coding=auto quant=kmeans train.multiplier=5 \
+	        masking=RigL masking.density=$(DENSITIES) \
+	        exp_name=finals_real || exit 1; \
+	done
+	for img in flower big_building bridge; do \
+	    $(PY) -m implicit_image_tpu.visualize.rate_distortion img=$$img || exit 1; \
+	done
 
 vis.rate_distortion:
 	$(PY) -m implicit_image_tpu.visualize.rate_distortion img=$(IMG)

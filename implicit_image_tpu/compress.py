@@ -36,7 +36,13 @@ from implicit_image_tpu.coding import (
     linear_state_dict,
 )
 from implicit_image_tpu.config import DotDict, compose, expand_multirun
-from implicit_image_tpu.data import get_grid, load_img, stable_seed, synthetic_image
+from implicit_image_tpu.data import (
+    get_grid,
+    load_img,
+    resolve_benchmark_path,
+    stable_seed,
+    synthetic_image,
+)
 from implicit_image_tpu.models import build_model_from_config
 from implicit_image_tpu.quant import QuantConfig
 from implicit_image_tpu.sparsity import MaskingConfig
@@ -70,9 +76,10 @@ def _load_image(img_cfg) -> np.ndarray:
     """Load the configured image; deterministic synthetic fallback when the
     benchmark file is unavailable (zero-egress environments)."""
     path = img_cfg.get("path")
-    if path and os.path.exists(path):
+    resolved = resolve_benchmark_path(path) if path else None
+    if resolved:
         return load_img(
-            path,
+            resolved,
             height=img_cfg.height,
             width=img_cfg.width,
             bits=img_cfg.bits,

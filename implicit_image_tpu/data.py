@@ -32,7 +32,28 @@ __all__ = [
     "synthetic_image",
     "stable_seed",
     "save_img",
+    "resolve_benchmark_path",
 ]
+
+
+def resolve_benchmark_path(path: str) -> str | None:
+    """Resolve a configured image path against the benchmark drop-in dirs.
+
+    Search order: the configured path itself (the reference's
+    `img/rgb16bit/...` layout, conf/img/flower.yaml:4), then the same
+    relative path under `data/` (this repo's documented drop-in point,
+    data/MANIFEST.json), then the bare filename under `data/` and
+    `data/rgb16bit/`. Returns the first existing path, else None.
+    """
+    if not path:
+        return None
+    base = os.path.basename(path)
+    for cand in (path, os.path.join("data", path),
+                 os.path.join("data", base),
+                 os.path.join("data", "rgb16bit", base)):
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def _read_image(path: str) -> np.ndarray:

@@ -67,9 +67,57 @@ def _perturbed_forward(params, coords, cfg, model_name: str):
                 z = x @ layer["w"] + layer["b"] + perturbs[i]
                 x = jnp.maximum(z, 0.0) if i < n - 1 else jax.nn.sigmoid(z)
             out = x
+        elif model_name == "coordx":
+            # mirror coordx_apply_flat (models/coordx.py): branches run per
+            # point here, so every layer captures N per-pixel samples.
+            # params order is [x-branch × s, y-branch × s, fused...] and
+            # acts/grads must align with it (ekfac_init iterates params),
+            # so the x-branch is traced first even though the apply fuses
+            # (fy, fx).
+            import math as _math
+
+            sin_fn = fast_sin if getattr(cfg, "fast_sine", True) else jnp.sin
+            s = cfg.split_depth
+            px, py, pf = params[:s], params[s : 2 * s], params[2 * s :]
+            pert_x, pert_y, pert_f = (
+                perturbs[:s],
+                perturbs[s : 2 * s],
+                perturbs[2 * s :],
+            )
+            acts_x, acts_y, acts_f = [], [], []
+
+            def branch(pslice, pert, x, acc):
+                for i, layer in enumerate(pslice):
+                    acc.append(x)
+                    omega = cfg.first_omega_0 if i == 0 else cfg.hidden_omega_0
+                    if layer["w"].shape[0] == 1:
+                        z = x * layer["w"][0] + layer["b"] + pert[i]
+                    else:
+                        z = x @ layer["w"] + layer["b"] + pert[i]
+                    x = sin_fn(omega * z)
+                return x
+
+            xs = (coords[:, 1:2] - 0.5) * 2.0
+            ys = (coords[:, 0:1] - 0.5) * 2.0
+            fx = branch(px, pert_x, xs, acts_x)
+            fy = branch(py, pert_y, ys, acts_y)
+            if cfg.fusion == "product":
+                x = (fy * fx) * _math.sqrt(2.0)
+            else:
+                x = (fy + fx) * (1.0 / _math.sqrt(2.0))
+            n = len(pf)
+            for i, layer in enumerate(pf):
+                acts_f.append(x)
+                z = x @ layer["w"] + layer["b"] + pert_f[i]
+                if not (i == n - 1 and cfg.outermost_linear):
+                    x = sin_fn(cfg.hidden_omega_0 * z)
+                else:
+                    x = z
+            out = x / 2.0 + 0.5
+            acts.extend(acts_x + acts_y + acts_f)
         else:
             raise NotImplementedError(
-                f"EKFAC capture supports siren/fourier, got {model_name}"
+                f"EKFAC capture supports siren/fourier/coordx, got {model_name}"
             )
         return out, acts
 

@@ -160,6 +160,7 @@ def ladder_compress(
     stream_name: str = "zstd",
     stream_root: str = "outputs/ladder",
     half="auto",
+    coding_kwargs: Optional[dict] = None,
 ) -> Sequence[PipelineResult]:
     """Full R-D ladder end-to-end: one vmapped fit + one vmapped quant
     finetune across all densities, then per-member host-side entropy
@@ -207,7 +208,7 @@ def ladder_compress(
         run_dir = Path(stream_root) / f"d{d}"
         nbytes, dec_psnr = _encode_decode(
             p_i, books_i, mdef, mcfg, h, w, img_np,
-            run_dir / "model_quantized", stream_name, half,
+            run_dir / "model_quantized", stream_name, half, coding_kwargs,
         )
         pf = fit_psnr[i][np.isfinite(fit_psnr[i])]
         out.append(
@@ -304,6 +305,8 @@ def cli(argv=None) -> None:
         mdef, mcfg, grid, img, train_cfg, optim_cfg, masking, densities,
         quant_cfg=quant_cfg, stream_name=stream_name, stream_root=str(root),
         half=ec.get("half", "auto"),
+        coding_kwargs={k: v for k, v in ec.items()
+                       if k not in ("stream_name", "half")},
     )
     wall = time.perf_counter() - t0
     for d, r in zip(densities, results):

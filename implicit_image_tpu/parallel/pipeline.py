@@ -60,12 +60,16 @@ def _fit_psnr(metrics) -> float:
 
 
 def _encode_decode(
-    params_q, codebooks, mdef, mcfg, h, w, img_np, stream_dir, stream_name, half
+    params_q, codebooks, mdef, mcfg, h, w, img_np, stream_dir, stream_name, half,
+    coding_kwargs=None,
 ):
+    # forward backend kwargs (e.g. a non-default zstd `level`) exactly as
+    # the single-run orchestrator does (compress.py entropy-coding stage)
+    kw = dict(coding_kwargs or {})
     state = linear_state_dict(params_q, codebooks, half=half)
-    nbytes = compress_state_dict(state, stream_dir, stream_name)
+    nbytes = compress_state_dict(state, stream_dir, stream_name, **kw)
     dec_img, _ = decode_and_render(
-        stream_dir, stream_name, mdef, mcfg, h, w, benchmark=False
+        stream_dir, stream_name, mdef, mcfg, h, w, benchmark=False, **kw
     )
     mse = float(np.mean((np.asarray(dec_img, np.float64) - img_np) ** 2))
     return nbytes, float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
@@ -85,6 +89,7 @@ def sharded_compress(
     stream_name: str = "zstd",
     stream_dir: str = "outputs/sharded_stream",
     half="auto",
+    coding_kwargs: Optional[dict] = None,
 ) -> PipelineResult:
     """One image end-to-end with its pixel axis sharded over the mesh."""
     h, w = grid.shape[:2]
@@ -107,7 +112,8 @@ def sharded_compress(
 
     img_np = np.asarray(img, np.float64)
     nbytes, dec_psnr = _encode_decode(
-        params_q, codebooks, mdef, mcfg, h, w, img_np, stream_dir, stream_name, half
+        params_q, codebooks, mdef, mcfg, h, w, img_np, stream_dir, stream_name,
+        half, coding_kwargs,
     )
     return PipelineResult(
         psnr=_fit_psnr(res.metrics),
@@ -133,6 +139,7 @@ def batched_compress(
     stream_name: str = "zstd",
     stream_root: str = "outputs/batched_streams",
     half="auto",
+    coding_kwargs: Optional[dict] = None,
 ) -> Sequence[PipelineResult]:
     """A batch of images end-to-end; fits + quant compile once (vmap over
     the "image" mesh axis), bitstreams written per image host-side."""
@@ -184,7 +191,8 @@ def batched_compress(
         stream_dir = Path(stream_root) / f"img{i}"
         img_np = np.asarray(imgs[i], np.float64)
         nbytes, dec_psnr = _encode_decode(
-            p_i, books_i, mdef, mcfg, h, w, img_np, stream_dir, stream_name, half
+            p_i, books_i, mdef, mcfg, h, w, img_np, stream_dir, stream_name,
+            half, coding_kwargs,
         )
         pf = fit_psnr[i][np.isfinite(fit_psnr[i])]
         out.append(

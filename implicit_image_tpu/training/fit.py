@@ -114,6 +114,10 @@ class OptimConfig:
     # StepLR params (train_helper.py:81-84)
     lr_step_size: int = 2000
     lr_gamma: float = 0.5
+    # opt-in global-norm gradient clipping (0 = off, the reference's
+    # behavior). Guard rail for the w=512 @ lr 3e-4 collapse documented
+    # in BASELINE.md tracked config 2; see optim.clip_by_global_norm.
+    grad_clip: float = 0.0
 
 
 class FitResult(NamedTuple):
@@ -376,6 +380,7 @@ def make_fit_segments(
     train_cfg: TrainConfig,
     optim_cfg: OptimConfig,
     masking_cfg: Optional[MaskingConfig] = None,
+    init_params=None,
 ):
     """Build (init_fn, segment_fn) for segmented execution.
 
@@ -399,7 +404,12 @@ def make_fit_segments(
 
     def init_fn(key, img):
         key, init_key, mask_key, loop_key = jax.random.split(key, 4)
-        params = mdef.init(init_key, mcfg)
+        # transplanted / warm-start weights (e.g. the mechanical
+        # trajectory-parity tests load the reference's torch init here);
+        # the RNG split stays identical so masks/loop keys don't shift
+        params = init_params if init_params is not None else mdef.init(
+            init_key, mcfg
+        )
         opt_state = opt_init(params, optim_cfg)
         if sparse:
             mask_state = create_mask_state(
@@ -482,6 +492,7 @@ def make_fit_fn(
     train_cfg: TrainConfig,
     optim_cfg: OptimConfig,
     masking_cfg: Optional[MaskingConfig] = None,
+    init_params=None,
 ):
     """Build fit(key, img) -> (params, opt_state, mask_state, metrics).
 
@@ -491,7 +502,7 @@ def make_fit_fn(
     driver (`fit`, which chains make_fit_segments executions).
     """
     init_fn, segment_fn = make_fit_segments(
-        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, init_params
     )
 
     def fit_fn(key, img):
@@ -527,6 +538,7 @@ def fit(
     checkpoint_path=None,
     resume_from=None,
     watch=None,
+    init_params=None,
 ) -> FitResult:
     """Compile + run one fit; returns final params and per-step metric arrays.
 
@@ -560,12 +572,13 @@ def fit(
         # segmented driver even for short fits
         return _fit_segmented(
             key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
-            checkpoint_path, resume_from, watch,
+            checkpoint_path, resume_from, watch, init_params,
         )
 
     if n <= seg:
         fit_fn = jax.jit(
-            make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg)
+            make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg,
+                        init_params)
         )
         # warm-up compile outside the timed region
         compiled = fit_fn.lower(key, img).compile()
@@ -585,19 +598,19 @@ def fit(
 
     return _fit_segmented(
         key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
-        None, None,
+        None, None, None, init_params,
     )
 
 
 def _fit_segmented(
     key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
-    checkpoint_path, resume_from, watch=None,
+    checkpoint_path, resume_from, watch=None, init_params=None,
 ):
     sparse = masking_cfg is not None and not masking_cfg.dense
     n = train_cfg.num_steps
     seg = max(1, train_cfg.segment_steps)
     init_fn, segment_fn = make_fit_segments(
-        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, init_params
     )
     jinit = jax.jit(init_fn)
     lengths = set()

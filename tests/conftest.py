@@ -27,3 +27,8 @@ def pytest_configure(config):
         "slow: heavyweight redundancy/protocol tests excluded from the "
         "default gate (make test); run the full gate with make test-all",
     )
+    config.addinivalue_line(
+        "markers",
+        "realimage: tests against the real rgb16bit benchmark images; "
+        "auto-skip unless the files are present (data/MANIFEST.json)",
+    )

@@ -69,3 +69,82 @@ def test_synthetic_image_deterministic():
     b = synthetic_image(16, 16, seed=3)
     np.testing.assert_array_equal(a, b)
     assert a.min() >= 0 and a.max() <= 1.0
+
+
+def test_resolve_benchmark_path_search_order(tmp_path, monkeypatch):
+    """The drop-in resolver tries the configured path, then data/<path>,
+    then data/<basename>, then data/rgb16bit/<basename> (the MANIFEST.json
+    documented layout)."""
+    from implicit_image_tpu.data import resolve_benchmark_path
+
+    monkeypatch.chdir(tmp_path)
+    assert resolve_benchmark_path("img/rgb16bit/flower_foveon.ppm") is None
+    assert resolve_benchmark_path("") is None
+
+    (tmp_path / "data" / "rgb16bit").mkdir(parents=True)
+    f1 = tmp_path / "data" / "rgb16bit" / "flower_foveon.ppm"
+    f1.write_bytes(b"x")
+    got = resolve_benchmark_path("img/rgb16bit/flower_foveon.ppm")
+    assert got is not None and got.endswith("data/rgb16bit/flower_foveon.ppm")
+
+    # the configured (reference-layout) path wins when it exists
+    (tmp_path / "img" / "rgb16bit").mkdir(parents=True)
+    f2 = tmp_path / "img" / "rgb16bit" / "flower_foveon.ppm"
+    f2.write_bytes(b"y")
+    assert resolve_benchmark_path("img/rgb16bit/flower_foveon.ppm") == (
+        "img/rgb16bit/flower_foveon.ppm"
+    )
+
+
+def test_verify_benchmarks_tofu_and_enforce(tmp_path, monkeypatch):
+    """tools/verify_benchmarks.py: records sha256 on first use, then
+    enforces it; rejects 8-bit and non-P6 files."""
+    import importlib.util
+    import json as _json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_benchmarks",
+        Path(__file__).resolve().parent.parent / "tools" / "verify_benchmarks.py",
+    )
+    vb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vb)
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "data" / "rgb16bit").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 2**16, size=(16, 16, 3), dtype=np.uint16)
+    good = tmp_path / "data" / "rgb16bit" / "ok.ppm"
+    with open(good, "wb") as f:
+        f.write(b"P6\n16 16\n65535\n" + arr.astype(">u2").tobytes())
+
+    manifest = {
+        "images": [
+            {"name": "ok", "file": "rgb16bit/ok.ppm", "source_url": "x",
+             "format": "", "min_height": 8, "min_width": 8,
+             "sha256": None, "bytes": None},
+            {"name": "gone", "file": "rgb16bit/gone.ppm", "source_url": "x",
+             "format": "", "min_height": 8, "min_width": 8,
+             "sha256": None, "bytes": None},
+        ]
+    }
+    mpath = tmp_path / "MANIFEST.json"
+    mpath.write_text(_json.dumps(manifest))
+
+    # first use: records sha, missing file is non-fatal without --require-all
+    assert vb.verify(manifest_path=mpath) == 0
+    rec = _json.loads(mpath.read_text())
+    assert rec["images"][0]["sha256"] is not None
+    assert vb.verify(require_all=True, manifest_path=mpath) == 2
+
+    # enforcement: corrupt the file -> mismatch
+    with open(good, "r+b") as f:
+        f.seek(64)
+        f.write(b"\x00\x01\x02\x03")
+    assert vb.verify(manifest_path=mpath) == 1
+
+    # 8-bit file rejected
+    with open(good, "wb") as f:
+        f.write(b"P6\n16 16\n255\n" + arr.astype(np.uint8).tobytes())
+    mpath.write_text(_json.dumps(manifest))
+    assert vb.verify(manifest_path=mpath) == 1

@@ -104,3 +104,55 @@ def test_shampoo_update_freq_caches_inverse():
     assert not np.array_equal(inv_hist[2], inv_hist[3])
     # loss decreased
     assert float(jnp.sum(p[0]["w"] ** 2)) < float(jnp.sum(params[0]["w"] ** 2))
+
+
+def test_clip_by_global_norm():
+    from implicit_image_tpu.optim import clip_by_global_norm
+
+    grads = ({"w": jnp.full((3, 4), 2.0), "b": jnp.zeros(4)},)
+    gnorm = float(np.sqrt(3 * 4 * 4.0))
+    clipped = clip_by_global_norm(grads, 1.0)
+    leaves = jax.tree_util.tree_leaves(clipped)
+    out_norm = float(jnp.sqrt(sum(jnp.sum(g ** 2) for g in leaves)))
+    np.testing.assert_allclose(out_norm, 1.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(clipped[0]["w"]), 2.0 / gnorm, rtol=1e-5
+    )
+    # below the threshold the gradient passes through unscaled
+    small = clip_by_global_norm(grads, 100.0)
+    np.testing.assert_allclose(np.asarray(small[0]["w"]), 2.0, rtol=1e-6)
+
+
+def test_grad_clip_guard_rail_stabilizes_divergent_fit():
+    """OptimConfig.grad_clip is the opt-in w=512 guard rail (BASELINE.md
+    tracked config 2): at a destabilizing lr the unclipped fit blows up
+    while the clipped one stays finite. Default (0) leaves the reference
+    recipe untouched."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    grid = get_grid(16, 16)
+    img = synthetic_image(16, 16, seed=0)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    tc = TrainConfig(num_steps=60, log_steps=30)
+    key = jax.random.PRNGKey(0)
+
+    hot = OptimConfig(lr=0.5)  # absurd lr: drives plain Adam unstable
+    res_raw = fit(key, mdef, mcfg, grid, img, tc, hot)
+    psnr_raw = np.asarray(res_raw.metrics["psnr"])
+    clipped_cfg = OptimConfig(lr=0.5, grad_clip=0.1)
+    res_clip = fit(key, mdef, mcfg, grid, img, tc, clipped_cfg)
+    psnr_clip = np.asarray(res_clip.metrics["psnr"])
+    psnr_clip = psnr_clip[np.isfinite(psnr_clip)]
+
+    # clipped params stay finite; unclipped dynamics at this lr do not
+    # (or end far worse) — the guard changed the dynamics
+    assert psnr_clip.size
+    finite_clip = all(
+        np.isfinite(np.asarray(l)).all()
+        for l in jax.tree_util.tree_leaves(res_clip.params)
+    )
+    assert finite_clip
+    raw_last = psnr_raw[np.isfinite(psnr_raw)]
+    assert (not raw_last.size) or raw_last[-1] < psnr_clip[-1]

@@ -345,3 +345,32 @@ def test_coordx_batched_and_sharded():
         np.asarray(sres.params[1]["w"]), np.asarray(single.params[1]["w"]),
         rtol=2e-5, atol=1e-6,
     )
+
+
+def test_pipeline_forwards_coding_kwargs(tmp_path, monkeypatch):
+    """Backend kwargs (e.g. zstd `level`) must reach the encoder AND the
+    decoder from every SPMD pipeline entry, matching the single-run
+    orchestrator's behavior (compress.py entropy-coding stage)."""
+    import implicit_image_tpu.parallel.pipeline as pl
+    from implicit_image_tpu.parallel import sharded_compress
+
+    seen = {}
+    real = pl.compress_state_dict
+
+    def spy(state, d, name, **kw):
+        seen.update(kw)
+        return real(state, d, name, **kw)
+
+    monkeypatch.setattr(pl, "compress_state_dict", spy)
+    mesh = make_mesh(image=1, pixel=2)
+    grid = get_grid(8, 8)
+    img = synthetic_image(8, 8, seed=0)
+    mdef, mcfg = build_model("siren", depth=2, hidden_size=8)
+    res = sharded_compress(
+        jax.random.PRNGKey(0), mesh, mdef, mcfg, grid, img,
+        TrainConfig(num_steps=4, log_steps=2), OptimConfig(lr=1e-3),
+        stream_name="zstd", stream_dir=str(tmp_path / "kw"),
+        coding_kwargs={"level": 3},
+    )
+    assert seen.get("level") == 3
+    assert res.compressed_bytes > 0
