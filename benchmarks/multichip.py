@@ -125,6 +125,25 @@ def main(h: int = 512, steps: int = 40) -> dict:
 
 
 if __name__ == "__main__":
+    if "--multihost" in sys.argv:
+        # DCN-path dryrun: 2 real jax.distributed processes over localhost
+        # (gloo), global mesh + cross-process psum + independent-fit fleet
+        # (SURVEY §2.8 multi-host scope) — no multi-host hardware needed
+        import json as _json
+
+        from implicit_image_tpu.parallel.multihost import launch_dryrun
+
+        reports = launch_dryrun(num_processes=2)
+        for r in reports:
+            print(_json.dumps(r))
+        ok = (
+            len(reports) == 2
+            and all(r["global_devices"] == 8 and r["psum_ok"] for r in reports)
+            and reports[0]["fleet_psnrs"] == reports[1]["fleet_psnrs"]
+        )
+        print(_json.dumps({"multihost_dryrun_ok": ok}))
+        sys.exit(0 if ok else 1)
+
     import jax as _jax
 
     kv = dict(a.split("=", 1) for a in sys.argv[1:])

@@ -374,3 +374,27 @@ def test_pipeline_forwards_coding_kwargs(tmp_path, monkeypatch):
     )
     assert seen.get("level") == 3
     assert res.compressed_bytes > 0
+
+
+@pytest.mark.slow
+def test_multihost_dryrun_two_processes():
+    """SURVEY §2.8 DCN scope: 2 real `jax.distributed.initialize`
+    processes (gloo over localhost, 4 virtual CPU devices each) build the
+    GLOBAL 8-device mesh, run a jitted psum across process boundaries,
+    and fit a fleet of independent images whose allgathered results agree
+    across processes."""
+    from implicit_image_tpu.parallel.multihost import launch_dryrun
+
+    reports = launch_dryrun(
+        num_processes=2, devices_per_process=4, fleet_size=3, steps=20
+    )
+    assert len(reports) == 2
+    for r in reports:
+        assert r["process_count"] == 2
+        assert r["global_devices"] == 8
+        assert r["local_devices"] == 4
+        assert r["psum_ok"]
+        assert len(r["fleet_psnrs"]) == 3
+        assert all(np.isfinite(p) for p in r["fleet_psnrs"])
+    # both processes see the SAME fleet-wide result
+    assert reports[0]["fleet_psnrs"] == reports[1]["fleet_psnrs"]
