@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Time-to-quality: wall-clock for the COMPLETE per-image protocol to
+reach the reference pipeline's end quality.
+
+The reference's protocol (SIREN d8/w128, 2000 full-grid steps, kmeans-8
+quant finetune, zstd-22 fp16 container — conf/mlp/siren.yaml +
+conf/quant/kmeans.yaml + makefiles/finals.mk) produces a decoded image at
+some PSNR after an estimated ~40 s of GPU fit time (BASELINE.md). The
+honest apples-to-apples speed question is therefore: *how fast does THIS
+framework produce a bitstream that decodes at least as well?* — any
+architecture allowed, since the decoder is part of the framework and the
+artifact (a bitstream + decoded image) is what a user consumes.
+
+Stages measured:
+  1. reference operating point end-to-end (fit 2000 + quant + code +
+     decode) -> its decoded PSNR = the quality bar, and its wall
+  2. CoordX s4/w128 PSNR trajectory (fine eval cadence) -> the step at
+     which the fit crosses the bar
+  3. the COMPLETE CoordX protocol at a budget near that crossing:
+     fit(budget) + kmeans-8 codebook finetune + auto coding + decode,
+     end-to-end wall and decoded PSNR/rate — the flagship number
+
+Usage: python benchmarks/time_to_quality.py [budgets=400,600,800]
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+from implicit_image_tpu.coding import (  # noqa: E402
+    compress_state_dict,
+    decode_and_render,
+    linear_state_dict,
+)
+from implicit_image_tpu.data import get_grid, synthetic_image  # noqa: E402
+from implicit_image_tpu.models import build_model  # noqa: E402
+from implicit_image_tpu.quant import QuantConfig  # noqa: E402
+from implicit_image_tpu.training.fit import (  # noqa: E402
+    OptimConfig,
+    TrainConfig,
+    fit,
+)
+from implicit_image_tpu.training.quant_phase import make_quant_fit_fn  # noqa: E402
+
+
+def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
+                  log_steps=None, stream="auto", half="auto"):
+    """fit -> kmeans-8 codebook finetune -> entropy code -> decode.
+    Returns dict with stage walls, decoded PSNR, rate. The fit wall is
+    the compiled-execution wall (compile excluded, as in BASELINE.md);
+    quant/code/decode walls are end-to-end."""
+    h, w = grid.shape[:2]
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=steps, log_steps=log_steps or max(steps // 4, 1)),
+        optim_cfg,
+    )
+    p = np.asarray(res.metrics["psnr"]).reshape(-1)
+    fit_psnr = float(p[np.isfinite(p)][-1])
+
+    qcfg = QuantConfig(name="kmeans", bits=8, num_steps=100, log_steps=100)
+    qfn = jax.jit(make_quant_fit_fn(mdef, mcfg, grid, qcfg, optim_cfg, None))
+    qfn_c = qfn.lower(res.params, img).compile()
+    t0 = time.perf_counter()
+    params_q, codebooks, qmetrics = qfn_c(res.params, img)
+    qpsnr = float(np.asarray(qmetrics["quant_psnr"]))
+    t1 = time.perf_counter()
+    state = linear_state_dict(params_q, codebooks, half=half)
+    nbytes = compress_state_dict(state, out_dir, stream)
+    t2 = time.perf_counter()
+    dec_img, _ = decode_and_render(out_dir, stream, mdef, mcfg, h, w,
+                                   benchmark=False)
+    t3 = time.perf_counter()
+    mse = float(np.mean((np.asarray(dec_img, np.float64)
+                         - np.asarray(img, np.float64)) ** 2))
+    decoded = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+    out = {
+        "tag": tag, "steps": steps,
+        "fit_wall_s": round(res.wall_seconds, 3),
+        "quant_wall_s": round(t1 - t0, 3),
+        "code_wall_s": round(t2 - t1, 3),
+        "decode_wall_s": round(t3 - t2, 3),
+        "total_wall_s": round(res.wall_seconds + t3 - t0, 3),
+        "fit_psnr": round(fit_psnr, 2),
+        "quant_psnr": round(qpsnr, 2),
+        "decoded_psnr": round(decoded, 2),
+        "bytes": nbytes,
+    }
+    print(json.dumps(out), file=sys.stderr)
+    return out
+
+
+def main(budgets=(400, 600, 800, 1000)) -> None:
+    h = w = 512
+    img = synthetic_image(h, w, seed=0)
+    grid = get_grid(h, w)
+    report = {}
+
+    # 1) the quality bar: the reference operating point end-to-end
+    s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
+    ref = full_protocol("siren_ref", s_def, s_cfg, grid, img, 2000,
+                        OptimConfig(), "outputs/ttq/siren_ref")
+    report["reference_point"] = ref
+    bar = ref["decoded_psnr"]
+
+    # 2) CoordX trajectory at a fine cadence
+    c_def, c_cfg = build_model("coordx", depth=8, hidden_size=128,
+                               split_depth=4)
+    traj = fit(
+        jax.random.PRNGKey(0), c_def, c_cfg, grid, img,
+        TrainConfig(num_steps=2000, log_steps=50), OptimConfig(),
+    )
+    p = np.asarray(traj.metrics["psnr"]).reshape(-1)
+    steps_ax = np.arange(1, p.size + 1)
+    fin = np.isfinite(p)
+    crossings = steps_ax[fin][p[fin] >= ref["fit_psnr"]]
+    report["coordx_trajectory"] = {
+        "eval_every": 50,
+        "psnr": [round(float(x), 2) for x in p[fin]],
+        "first_step_at_ref_fit_psnr": (
+            int(crossings[0]) if crossings.size else None
+        ),
+        "wall_2000_s": round(traj.wall_seconds, 3),
+    }
+    print(json.dumps(report["coordx_trajectory"]), file=sys.stderr)
+
+    # 3) complete protocol at candidate budgets
+    report["coordx_protocol"] = []
+    for b in budgets:
+        r = full_protocol(
+            f"coordx_b{b}", c_def, c_cfg, grid, img, int(b),
+            OptimConfig(), f"outputs/ttq/coordx_b{b}",
+        )
+        r["meets_bar"] = bool(r["decoded_psnr"] >= bar
+                              and r["bytes"] <= ref["bytes"])
+        report["coordx_protocol"].append(r)
+
+    report["quality_bar_decoded_db"] = bar
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    kv = dict(a.split("=", 1) for a in sys.argv[1:])
+    budgets = tuple(
+        int(x) for x in kv.get("budgets", "400,600,800,1000").split(",")
+    )
+    main(budgets)

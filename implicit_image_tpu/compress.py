@@ -355,8 +355,8 @@ def cli(argv=None) -> None:
         multirun = True
 
     jobs = expand_multirun(argv) if multirun else [argv]
-    results = []
-    for job_overrides in jobs:
+
+    def run_job(job_overrides):
         cfg = compose(job_overrides)
         subdir = ",".join(job_overrides).replace("/", "_") or "default"
         run_dir = (
@@ -365,8 +365,34 @@ def cli(argv=None) -> None:
             else cfg.get("output_dir", "outputs/run")
         )
         psnr, nbytes = main(cfg, run_dir=run_dir)
-        print(f"[{subdir}] PSNR={psnr:.3f} bytes={nbytes}")
-        results.append((psnr, nbytes))
+        return subdir, psnr, nbytes
+
+    # launcher.n_jobs — the reference's joblib launcher counterpart
+    # (conf/hydra/launcher/joblib_launcher.yaml, n_jobs=2). Worker THREADS
+    # instead of processes: all jobs share the one device, so while job A
+    # executes on the TPU, job B's ~40 s XLA compile proceeds on host CPU
+    # (compile and execution both release the GIL). Heterogeneous-shape
+    # sweeps (width x depth) overlap their per-member compiles this way;
+    # same-shape sweeps should prefer the vmapped ladder (parallel/).
+    cfg0 = compose(jobs[0]) if jobs else None
+    n_jobs = (
+        int((cfg0.get("launcher") or {}).get("n_jobs", 1))
+        if cfg0 is not None else 1
+    )
+
+    results = []
+    if n_jobs > 1 and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+            for subdir, psnr, nbytes in pool.map(run_job, jobs):
+                print(f"[{subdir}] PSNR={psnr:.3f} bytes={nbytes}")
+                results.append((psnr, nbytes))
+    else:
+        for job_overrides in jobs:
+            subdir, psnr, nbytes = run_job(job_overrides)
+            print(f"[{subdir}] PSNR={psnr:.3f} bytes={nbytes}")
+            results.append((psnr, nbytes))
     if len(results) == 1:
         psnr, nbytes = results[0]
         print(f"RESULT PSNR={psnr:.4f} COMPRESSED_BYTES={nbytes}")

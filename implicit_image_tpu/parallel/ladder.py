@@ -224,37 +224,17 @@ def ladder_compress(
     return out
 
 
-def cli(argv=None) -> None:
-    """Compose the compress.py config, read the density comma-list as the
-    ladder axis, and write one standard run dir per member."""
-    import json
-    import sys
-
+def build_ladder_args(cfg) -> dict:
+    """cfg -> the ladder_compress argument set (shared by the ladder CLI
+    and the batched ask-tell sweeper, sweep.py)."""
     from implicit_image_tpu.compress import (
         _MASKING_FIELDS,
         _auto_segment_steps,
         _load_image,
     )
-    from implicit_image_tpu.config import compose
     from implicit_image_tpu.data import get_grid
     from implicit_image_tpu.models import build_model_from_config
     from implicit_image_tpu.sparsity import MaskingConfig
-
-    logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
-    )
-    argv = list(sys.argv[1:] if argv is None else argv)
-    densities = [0.05, 0.1, 0.2, 0.4, 0.75]
-    kept = []
-    for a in argv:
-        if a.startswith("masking.density="):
-            densities = [float(x) for x in a.split("=", 1)[1].split(",")]
-        else:
-            kept.append(a)
-    cfg = compose(kept)
-    if not cfg.get("masking") or cfg.masking.get("dense", False):
-        kept = [a for a in kept if not a.startswith("masking=")]
-        cfg = compose(kept + ["masking=RigL"])
 
     img = _load_image(cfg.img)
     h, w = img.shape[:2]
@@ -295,6 +275,46 @@ def cli(argv=None) -> None:
     stream_name = ec.get("stream_name", "zstd")
     if stream_name == "none":
         stream_name = "zstd"
+    return dict(
+        img=img, grid=grid, mdef=mdef, mcfg=mcfg, masking=masking,
+        train_cfg=train_cfg, optim_cfg=optim_cfg, quant_cfg=quant_cfg,
+        stream_name=stream_name,
+        half=ec.get("half", "auto"),
+        coding_kwargs={k: v for k, v in ec.items()
+                       if k not in ("stream_name", "half")},
+    )
+
+
+def cli(argv=None) -> None:
+    """Compose the compress.py config, read the density comma-list as the
+    ladder axis, and write one standard run dir per member."""
+    import json
+    import sys
+
+    from implicit_image_tpu.config import compose
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    argv = list(sys.argv[1:] if argv is None else argv)
+    densities = [0.05, 0.1, 0.2, 0.4, 0.75]
+    kept = []
+    for a in argv:
+        if a.startswith("masking.density="):
+            densities = [float(x) for x in a.split("=", 1)[1].split(",")]
+        else:
+            kept.append(a)
+    cfg = compose(kept)
+    if not cfg.get("masking") or cfg.masking.get("dense", False):
+        kept = [a for a in kept if not a.startswith("masking=")]
+        cfg = compose(kept + ["masking=RigL"])
+
+    args = build_ladder_args(cfg)
+    img, grid = args["img"], args["grid"]
+    mdef, mcfg = args["mdef"], args["mcfg"]
+    masking, train_cfg = args["masking"], args["train_cfg"]
+    optim_cfg, quant_cfg = args["optim_cfg"], args["quant_cfg"]
+    stream_name = args["stream_name"]
 
     root = Path(cfg.get("output_dir", "outputs")) / cfg.img.name / (
         "ladder_" + cfg.get("exp_name", "run")
@@ -304,9 +324,7 @@ def cli(argv=None) -> None:
         jax.random.PRNGKey(int(cfg.seed)),
         mdef, mcfg, grid, img, train_cfg, optim_cfg, masking, densities,
         quant_cfg=quant_cfg, stream_name=stream_name, stream_root=str(root),
-        half=ec.get("half", "auto"),
-        coding_kwargs={k: v for k, v in ec.items()
-                       if k not in ("stream_name", "half")},
+        half=args["half"], coding_kwargs=args["coding_kwargs"],
     )
     wall = time.perf_counter() - t0
     for d, r in zip(densities, results):

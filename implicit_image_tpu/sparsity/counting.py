@@ -29,6 +29,8 @@ __all__ = [
     "inference_flops",
     "dense_flops",
     "sparse_param_bits",
+    "micronet_summary",
+    "micronet_score",
     "xla_cost_analysis",
 ]
 
@@ -101,6 +103,82 @@ def sparse_param_bits(params, masks=None, param_bits: int = 32) -> float:
                 bits += arr.size  # 1-bit mask
             total += bits
     return total
+
+
+def micronet_summary(
+    params,
+    masks: Optional[Sequence] = None,
+    param_bits: int = 32,
+    add_bits: int = 32,
+    mul_bits: int = 32,
+) -> dict:
+    """MicroNet-challenge totals for the (possibly sparse) model.
+
+    Reproduces MicroNetCounter.print_summary/process_counts semantics
+    (reference micronet_challenge.py:312-480) for the FC model zoo:
+    per-layer sparse param bits + mults/adds, then the challenge's
+    bit-width normalization — params reported in MBytes (bits/8/1e6),
+    mults scaled by mul_bits/32, adds by add_bits/32, in millions.
+    Quantized ("freebie" 16-bit) configs pass param_bits/add_bits/
+    mul_bits=16.
+    """
+    total_param_bits = 0.0
+    total_mults = 0.0
+    total_adds = 0.0
+    widx = [i for i, layer in enumerate(params) if "w" in layer]
+    for j, i in enumerate(widx):
+        layer = params[i]
+        fan_in, fan_out = layer["w"].shape[-2], layer["w"].shape[-1]
+        s = _mask_sparsity(layer["w"], masks[i] if masks is not None else None)
+        # sparse weight storage (get_sparse_size :120-138)
+        total_param_bits += fan_in * fan_out * param_bits * (1.0 - s)
+        if s > 0:
+            total_param_bits += fan_in * fan_out  # 1-bit mask
+        if "b" in layer:
+            total_param_bits += fan_out * param_bits
+        mults, adds = layer_flops(
+            fan_in, fan_out,
+            sparsity=s,
+            has_bias="b" in layer,
+            activation=(j < len(widx) - 1),
+        )
+        total_mults += mults
+        total_adds += adds
+    return {
+        "params_mbytes": total_param_bits / 8.0 / 1e6,
+        "mults_m": total_mults * mul_bits / 32.0 / 1e6,
+        "adds_m": total_adds * add_bits / 32.0 / 1e6,
+        "mflops": (total_mults * mul_bits + total_adds * add_bits) / 32.0 / 1e6,
+    }
+
+
+def micronet_score(
+    params,
+    masks: Optional[Sequence] = None,
+    param_bits: int = 32,
+    add_bits: int = 32,
+    mul_bits: int = 32,
+    ref_params_mbytes: Optional[float] = None,
+    ref_mflops: Optional[float] = None,
+) -> float:
+    """The challenge-style normalized total the reference reports via its
+    counter tables: storage/ref_storage + math/ref_math.
+
+    The official MicroNet normalizers are task-specific (e.g. WideResNet
+    -28-10 for CIFAR); for implicit image compression no official task
+    exists, so the natural normalizer — and the default — is the DENSE
+    fp32 model at the same architecture, making the score
+    `storage_ratio + flop_ratio` (2.0 = dense fp32; smaller is better).
+    """
+    summary = micronet_summary(params, masks, param_bits, add_bits, mul_bits)
+    if ref_params_mbytes is None or ref_mflops is None:
+        dense = micronet_summary(params, None, 32, 32, 32)
+        ref_params_mbytes = ref_params_mbytes or dense["params_mbytes"]
+        ref_mflops = ref_mflops or dense["mflops"]
+    return (
+        summary["params_mbytes"] / ref_params_mbytes
+        + summary["mflops"] / ref_mflops
+    )
 
 
 def xla_cost_analysis(fn, *example_args) -> dict:

@@ -47,9 +47,13 @@ def parse_space(overrides: List[str]):
         "n_trials": 15,
         "seed": 0,
         "lambda_kb": 0.0,
-        "sampler": "tpe",
+        "sampler": "tpe",  # tpe | random | cmaes
         "n_startup": 5,
         "gamma": 0.25,
+        # trials proposed AND evaluated per round; >1 with a
+        # masking.density-only space runs each round as ONE vmapped
+        # ladder program (B trials per compile)
+        "batch": 1,
     }
     for ov in overrides:
         key, _, val = ov.partition("=")
@@ -161,46 +165,287 @@ def ask(space, history, rng, sampler="tpe", n_startup=5, gamma=0.25):
     return ask_tpe(space, history, rng, gamma)
 
 
+class CMAES:
+    """(μ/μ_w, λ) CMA-ES over the unit-transformed continuous dimensions —
+    the second model-based sampler (the reference ships BOTH Optuna TPE
+    and Ax, conf/hydra/sweeper/{optuna,ax}.yaml; this is the Ax-class
+    counterpart). Naturally batched: ask() yields a full population per
+    generation, which the batched ask-tell loop evaluates as ONE vmapped
+    program when the space permits (run_sweep). Categorical dimensions
+    fall back to weighted random draws from the good set.
+
+    Standard Hansen update equations (rank-μ + rank-1 covariance update,
+    cumulative step-size adaptation), maximization convention.
+    """
+
+    def __init__(self, cont_keys, cat_space, rng, popsize=None, sigma0=0.3):
+        import numpy as np
+
+        self.np = np
+        self.keys = list(cont_keys)
+        self.cat_space = dict(cat_space)
+        self.rng = rng
+        n = max(len(self.keys), 1)
+        self.n = n
+        self.lam = popsize or (4 + int(3 * math.log(n)))
+        self.mu = self.lam // 2
+        w = np.log(self.mu + 0.5) - np.log(np.arange(1, self.mu + 1))
+        self.w = w / w.sum()
+        self.mueff = 1.0 / (self.w**2).sum()
+        self.cc = (4 + self.mueff / n) / (n + 4 + 2 * self.mueff / n)
+        self.cs = (self.mueff + 2) / (n + self.mueff + 5)
+        self.c1 = 2.0 / ((n + 1.3) ** 2 + self.mueff)
+        self.cmu = min(
+            1 - self.c1,
+            2 * (self.mueff - 2 + 1 / self.mueff) / ((n + 2) ** 2 + self.mueff),
+        )
+        self.damps = 1 + 2 * max(0, math.sqrt((self.mueff - 1) / (n + 1)) - 1) + self.cs
+        self.chi_n = math.sqrt(n) * (1 - 1 / (4 * n) + 1 / (21 * n * n))
+        self.mean = np.full(n, 0.5)
+        self.sigma = sigma0
+        self.C = np.eye(n)
+        self.pc = np.zeros(n)
+        self.ps = np.zeros(n)
+        self.gen = 0
+        self._pending = None
+
+    def ask(self, k=None):
+        """Propose k points (default: the population size λ)."""
+        np = self.np
+        k = k or self.lam
+        d, B = np.linalg.eigh(self.C)
+        d = np.sqrt(np.maximum(d, 1e-20))
+        zs = np.array(
+            [[self.rng.gauss(0, 1) for _ in range(self.n)] for _ in range(k)]
+        )
+        ys = zs @ np.diag(d) @ B.T
+        xs = np.clip(self.mean + self.sigma * ys, 0.0, 1.0)
+        self._pending = (xs, ys)
+        return [self._to_values(x) for x in xs]
+
+    def _to_values(self, x):
+        out = {}
+        for i, key in enumerate(self.keys):
+            kind, args = self.cat_space["__cont__"][key]
+            out[key] = _from_unit(kind, args, float(x[i]))
+        for key, (kind, args) in self.cat_space.items():
+            if key == "__cont__":
+                continue
+            out[key] = self.rng.choice(args).strip()
+        return out
+
+    def tell(self, objectives):
+        """Update from the objectives of the last ask() batch (same order)."""
+        np = self.np
+        xs, ys = self._pending
+        order = np.argsort(-np.asarray(objectives))[: self.mu]
+        y_sel = ys[order]
+        y_w = self.w @ y_sel
+        self.mean = np.clip(self.mean + self.sigma * y_w, 0.0, 1.0)
+        # step-size path (C^-1/2 y_w)
+        d, B = np.linalg.eigh(self.C)
+        d = np.sqrt(np.maximum(d, 1e-20))
+        c_inv_half = B @ np.diag(1.0 / d) @ B.T
+        self.ps = (1 - self.cs) * self.ps + math.sqrt(
+            self.cs * (2 - self.cs) * self.mueff
+        ) * (c_inv_half @ y_w)
+        hsig = float(
+            np.linalg.norm(self.ps)
+            / math.sqrt(1 - (1 - self.cs) ** (2 * (self.gen + 1)))
+            < (1.4 + 2 / (self.n + 1)) * self.chi_n
+        )
+        self.pc = (1 - self.cc) * self.pc + hsig * math.sqrt(
+            self.cc * (2 - self.cc) * self.mueff
+        ) * y_w
+        rank_mu = sum(w * np.outer(y, y) for w, y in zip(self.w, y_sel))
+        self.C = (
+            (1 - self.c1 - self.cmu) * self.C
+            + self.c1
+            * (np.outer(self.pc, self.pc) + (1 - hsig) * self.cc * (2 - self.cc) * self.C)
+            + self.cmu * rank_mu
+        )
+        self.sigma *= math.exp(
+            (self.cs / self.damps) * (np.linalg.norm(self.ps) / self.chi_n - 1)
+        )
+        self.sigma = min(self.sigma, 1.0)
+        self.gen += 1
+        self._pending = None
+
+
+def ask_batch(space, history, rng, params, cma=None):
+    """Propose a batch of `batch` points for one evaluation round.
+
+    TPE/random use the constant-liar strategy (each pending point is
+    temporarily told the round's worst-known objective so later asks in
+    the round diversify); CMA-ES asks its population directly.
+    """
+    b = int(params.get("batch", 1))
+    sampler = str(params["sampler"])
+    if sampler == "cmaes" and cma is not None:
+        return cma.ask(b if b > 1 else None)
+    liar = min((obj for _, obj in history), default=0.0)
+    fake = list(history)
+    out = []
+    for _ in range(b):
+        v = ask(
+            space, fake, rng,
+            sampler=sampler,
+            n_startup=int(params["n_startup"]),
+            gamma=float(params["gamma"]),
+        )
+        out.append(v)
+        fake = fake + [(v, liar)]
+    return out
+
+
+def run_sweep(evaluate_batch, space, params, rng=None):
+    """Driver shared by the CLI and tests: ask a batch, evaluate it (ONE
+    call — the evaluator may vmap the whole batch), tell, repeat.
+
+    evaluate_batch(values_list) -> [(psnr, bytes), ...] in order.
+    Returns (trials, best_overrides).
+    """
+    rng = rng or random.Random(int(params["seed"]))
+    cma = None
+    if str(params["sampler"]) == "cmaes":
+        cont = {k: v for k, v in space.items() if v[0] != "choice"}
+        cats = {k: v for k, v in space.items() if v[0] == "choice"}
+        cma = CMAES(
+            list(cont),
+            {"__cont__": cont, **cats},
+            rng,
+            popsize=max(int(params.get("batch", 1)), 0) or None,
+        )
+    history: List[Tuple[Dict[str, object], float]] = []
+    trials = []
+    best: Tuple[float, Dict[str, object]] = (-1e18, {})
+    t = 0
+    n_trials = int(params["n_trials"])
+    while t < n_trials:
+        batch_values = ask_batch(space, history, rng, params, cma)
+        batch_values = batch_values[: n_trials - t]
+        results = evaluate_batch(batch_values)
+        objectives = []
+        for values, (psnr, nbytes) in zip(batch_values, results):
+            objective = psnr - float(params["lambda_kb"]) * nbytes / 1024.0
+            objectives.append(objective)
+            history.append((values, objective))
+            trials.append(
+                {"trial": t, "values": {k: str(v) for k, v in values.items()},
+                 "psnr": psnr, "bytes": nbytes, "objective": objective}
+            )
+            if objective > best[0]:
+                best = (objective, values)
+            log.info(
+                "trial %d: PSNR=%.3f bytes=%d obj=%.3f", t, psnr, nbytes, objective
+            )
+            t += 1
+        if cma is not None and cma._pending is not None:
+            # tell on the full asked population (trimmed tail gets the
+            # batch's worst objective so array shapes line up)
+            pad = [min(objectives)] * (len(cma._pending[0]) - len(objectives))
+            cma.tell(objectives + pad)
+    return trials, best
+
+
 def sample(space: Dict, rng: random.Random) -> List[str]:
     """Back-compat: one random draw as override strings."""
     return [f"{k}={v}" for k, v in sample_random(space, rng).items()]
 
 
+def _make_serial_evaluator(fixed, params):
+    from implicit_image_tpu.compress import main
+
+    counter = {"t": 0}
+
+    def evaluate(batch_values):
+        out = []
+        for values in batch_values:
+            trial_overrides = fixed + [f"{k}={v}" for k, v in values.items()]
+            cfg = compose(trial_overrides)
+            run_dir = (
+                Path(cfg.get("output_dir", "outputs/sweep"))
+                / f"trial_{counter['t']}"
+            )
+            counter["t"] += 1
+            out.append(main(cfg, run_dir=str(run_dir)))
+        return out
+
+    return evaluate
+
+
+def _make_ladder_evaluator(fixed, params):
+    """Batched ask-tell (TPU-native HPO the reference launchers cannot do):
+    when the ONLY sampled dimension is masking.density, a whole proposal
+    batch compiles and runs as ONE vmapped ladder program
+    (parallel/ladder.py) — B trials for ~1 compile + 1 execution."""
+    import jax
+
+    from implicit_image_tpu.parallel.ladder import (
+        build_ladder_args,
+        ladder_compress,
+    )
+
+    cfg = compose(fixed)
+    if not cfg.get("masking") or cfg.masking.get("dense", False):
+        cfg = compose([a for a in fixed if not a.startswith("masking=")]
+                      + ["masking=RigL"])
+    args = build_ladder_args(cfg)
+    counter = {"round": 0}
+
+    def evaluate(batch_values):
+        densities = [float(v["masking.density"]) for v in batch_values]
+        root = (
+            Path(cfg.get("output_dir", "outputs/sweep"))
+            / f"round_{counter['round']}"
+        )
+        counter["round"] += 1
+        results = ladder_compress(
+            jax.random.PRNGKey(int(cfg.seed)),
+            args["mdef"], args["mcfg"], args["grid"], args["img"],
+            args["train_cfg"], args["optim_cfg"], args["masking"],
+            densities,
+            quant_cfg=args["quant_cfg"], stream_name=args["stream_name"],
+            stream_root=str(root), half=args["half"],
+            coding_kwargs=args["coding_kwargs"],
+        )
+        out = []
+        for r in results:
+            psnr = r.decoded_psnr
+            if not (psnr == psnr):  # no coding stage -> fit/quant PSNR
+                psnr = r.quant_psnr if r.quant_psnr == r.quant_psnr else r.psnr
+            out.append((psnr, r.compressed_bytes))
+        return out
+
+    return evaluate
+
+
 @catch_error_decorator
 def cli(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
-    from implicit_image_tpu.compress import main
-
     argv = list(sys.argv[1:] if argv is None else argv)
     fixed, space, params = parse_space(argv)
-    rng = random.Random(int(params["seed"]))
-    trials = []
-    history: List[Tuple[Dict[str, object], float]] = []
-    best: Tuple[float, List[str]] = (-1e9, [])
-    for t in range(int(params["n_trials"])):
-        values = ask(
-            space, history, rng,
-            sampler=str(params["sampler"]),
-            n_startup=int(params["n_startup"]),
-            gamma=float(params["gamma"]),
+    batch = int(params.get("batch", 1))
+    batchable = batch > 1 and set(space) == {"masking.density"}
+    if batch > 1 and not batchable:
+        log.warning(
+            "batch=%d requested but the space %s is not vmappable as one "
+            "program (only masking.density is); falling back to serial "
+            "evaluation", batch, sorted(space),
         )
-        trial_overrides = fixed + [f"{k}={v}" for k, v in values.items()]
-        cfg = compose(trial_overrides)
-        run_dir = Path(cfg.get("output_dir", "outputs/sweep")) / f"trial_{t}"
-        psnr, nbytes = main(cfg, run_dir=str(run_dir))
-        objective = psnr - params["lambda_kb"] * nbytes / 1024.0
-        history.append((values, objective))
-        trials.append(
-            {"trial": t, "overrides": trial_overrides, "psnr": psnr,
-             "bytes": nbytes, "objective": objective}
-        )
-        if objective > best[0]:
-            best = (objective, trial_overrides)
-        log.info("trial %d: PSNR=%.3f bytes=%d obj=%.3f", t, psnr, nbytes, objective)
+    evaluate = (
+        _make_ladder_evaluator(fixed, params)
+        if batchable
+        else _make_serial_evaluator(fixed, params)
+    )
+    trials, best = run_sweep(evaluate, space, params)
     out = Path("outputs/sweep_results.json")
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps({"trials": trials, "best": best[1]}, indent=2))
-    print(f"BEST objective={best[0]:.4f} overrides={best[1]}")
+    best_overrides = fixed + [f"{k}={v}" for k, v in best[1].items()]
+    out.write_text(
+        json.dumps({"trials": trials, "best": best_overrides}, indent=2)
+    )
+    print(f"BEST objective={best[0]:.4f} overrides={best_overrides}")
 
 
 if __name__ == "__main__":

@@ -1,4 +1,6 @@
 """Entropy coding tests: backends, bitstream round trip, decode->render."""
+import json
+from collections import OrderedDict
 import numpy as np
 import pytest
 
@@ -214,3 +216,83 @@ def test_half_auto_keeps_unquantized_fp32(tmp_path, fitted_quantized):
 
     assert err(p_auto) <= err(p_16)
     assert err(p_auto) < err(p_16)  # strictly better: fp32 tensors exist
+
+
+def test_format3_plane_group_roundtrip(tmp_path):
+    """Format-3 (global plane grouping) round-trips bit-exactly for mixed
+    dtypes (fp32/fp16/uint8/uint16) and decodes via the same reader that
+    handles formats 1/2."""
+    from implicit_image_tpu.coding import (
+        compress_state_dict,
+        read_raw_container,
+    )
+
+    rng = np.random.default_rng(0)
+    state = OrderedDict([
+        ("layers.0.weight", rng.standard_normal((7, 5)).astype(np.float32)),
+        ("layers.0.bias", rng.standard_normal((5,)).astype(np.float16)),
+        ("layers.1.labeled_weight",
+         rng.integers(0, 255, (5, 9)).astype(np.uint8)),
+        ("layers.1.centroids",
+         rng.standard_normal((256,)).astype(np.float16)),
+        ("layers.2.labeled_weight",
+         rng.integers(0, 400, (3, 4)).astype(np.uint16)),
+        ("layers.2.bias", np.zeros((0,), np.float32)),  # empty tensor
+    ])
+    for backend in ("zstd", "auto", "plain"):
+        d = tmp_path / backend
+        compress_state_dict(state, d, backend)
+        meta = json.loads((d / "meta_data.json").read_text())
+        assert meta["__meta__"]["format"] == 3
+        back = read_raw_container(d, backend)
+        assert list(back) == list(state)
+        for k in state:
+            np.testing.assert_array_equal(back[k], state[k], err_msg=k)
+            assert back[k].dtype == state[k].dtype
+
+
+def test_format3_not_larger_than_format2(tmp_path):
+    """On a realistic quantized state dict the format-3 layout is never
+    larger than format 2 (measured −1.2% mean on real finals streams,
+    benchmarks/context_ab.py)."""
+    from implicit_image_tpu.coding import compress_state_dict
+
+    rng = np.random.default_rng(1)
+    state = OrderedDict()
+    for i in range(6):
+        labels = rng.integers(0, 255, (128, 128)).astype(np.uint8)
+        labels[rng.random((128, 128)) < 0.6] = 0  # sparse
+        state[f"layers.{i}.labeled_weight"] = labels
+        state[f"layers.{i}.centroids"] = (
+            np.sort(rng.standard_normal(256)).astype(np.float16))
+        state[f"layers.{i}.bias"] = (
+            0.01 * rng.standard_normal(128)).astype(np.float32)
+    n3 = compress_state_dict(state, tmp_path / "f3", "auto")
+    n2 = compress_state_dict(state, tmp_path / "f2", "auto", plane_group=False)
+    assert n3 <= n2, (n3, n2)
+
+
+def test_format2_streams_still_decode(tmp_path):
+    """Back-compat: containers written as format 2 (plane_group=False)
+    and format 1 (shuffle=False) decode unchanged."""
+    from implicit_image_tpu.coding import (
+        compress_state_dict,
+        read_raw_container,
+    )
+
+    rng = np.random.default_rng(2)
+    state = OrderedDict([
+        ("layers.0.weight", rng.standard_normal((8, 8)).astype(np.float16)),
+        ("layers.0.bias", rng.standard_normal((8,)).astype(np.float32)),
+    ])
+    for kwargs, fmt in (
+        (dict(plane_group=False), 2),
+        (dict(shuffle=False), 1),
+    ):
+        d = tmp_path / f"f{fmt}"
+        compress_state_dict(state, d, "zstd", **kwargs)
+        meta = json.loads((d / "meta_data.json").read_text())
+        assert meta.get("__meta__", {}).get("format", 1) == fmt
+        back = read_raw_container(d, "zstd")
+        for k in state:
+            np.testing.assert_array_equal(back[k], state[k])

@@ -368,3 +368,37 @@ def test_cli_16bit_ppm_image_end_to_end(tmp_path):
     assert np.isfinite(psnr) and nbytes > 0
     summary = json.loads((tmp_path / "run" / "summary.json").read_text())
     assert abs(summary["Decoded PSNR"] - summary["Quant PSNR"]) < 0.5
+
+
+def test_multirun_threaded_launcher_matches_serial(tmp_path, monkeypatch):
+    """launcher.n_jobs=2 (the joblib-launcher counterpart): a
+    heterogeneous-shape multirun on worker threads produces the same
+    per-member results as the serial launcher."""
+    from implicit_image_tpu.compress import cli
+
+    monkeypatch.chdir(tmp_path)
+    base = [
+        "-m",
+        "img=synthetic", "img.height=16", "img.width=16",
+        "mlp.depth=3", "mlp.hidden_size=8,12",
+        "train.num_steps=30", "train.log_steps=30",
+        "masking=none", "quant=none", "entropy_coding=none",
+        "logging.use=false",
+    ]
+
+    def run(extra, outdir):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cli(base + extra + [f"output_dir={outdir}"])
+        lines = [l for l in buf.getvalue().splitlines() if l.startswith("[")]
+        return sorted(lines)
+
+    serial = run(["launcher.n_jobs=1"], "out_serial")
+    threaded = run(["launcher.n_jobs=2"], "out_threaded")
+    assert len(serial) == 2
+    # identical member results modulo the output_dir override in the tag
+    strip = lambda ls: [l.split("] ")[1] for l in ls]
+    assert strip(serial) == strip(threaded)

@@ -194,3 +194,70 @@ def test_ekfac_fit_coordx_converges():
     p = np.asarray(res.metrics["psnr"])
     p = p[np.isfinite(p)]
     assert p.size and p[-1] > 10.0, p
+
+
+def test_micronet_summary_matches_reference_counter():
+    """Gold parity: micronet_summary equals the reference's own count_ops
+    + process_counts aggregation (micronet_challenge.py:161-285,332-338)
+    for the SIREN FC stack at several sparsities and bit widths."""
+    import importlib.util
+
+    path = ("/root/reference/implicit_image/pipeline/masking/counting/"
+            "micronet_challenge.py")
+    if not __import__("os").path.exists(path):
+        pytest.skip("reference not mounted")
+    spec = importlib.util.spec_from_file_location("ref_micronet", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from implicit_image_tpu.sparsity.counting import (
+        micronet_score,
+        micronet_summary,
+    )
+
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=32)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    dims = [(l["w"].shape[0], l["w"].shape[1]) for l in params]
+
+    for sparsity in (0.0, 0.5, 0.9):
+        for param_bits, add_bits, mul_bits in ((32, 32, 32), (16, 16, 16)):
+            # the reference counts a uniform sparsity across ops
+            ops = [
+                (f"fc_{i}",
+                 ref.FullyConnected((fi, fo), True,
+                                    "relu" if i < len(dims) - 1 else None))
+                for i, (fi, fo) in enumerate(dims)
+            ]
+            # masks quantize sparsity to whole elements; feed the
+            # reference each layer's ACTUAL mask sparsity
+            masks, actual_s = [], []
+            for fi, fo in dims:
+                m = np.ones((fi, fo), np.float32)
+                k = int(round(sparsity * fi * fo))
+                m.ravel()[:k] = 0.0
+                masks.append(m)
+                actual_s.append(k / (fi * fo))
+
+            tp = tm = ta = 0.0
+            counter = ref.MicroNetCounter(ops)
+            for (_, op), s_i in zip(ops, actual_s):
+                pc, fm, fa = ref.count_ops(op, s_i, param_bits)
+                tp += pc
+                tm += fm
+                ta += fa
+            ref_p, ref_m, ref_a = counter.process_counts(
+                tp, tm, ta, mul_bits, add_bits
+            )
+            got = micronet_summary(
+                params, masks, param_bits, add_bits, mul_bits
+            )
+            np.testing.assert_allclose(got["params_mbytes"], ref_p, rtol=1e-6)
+            np.testing.assert_allclose(got["mults_m"], ref_m, rtol=1e-6)
+            np.testing.assert_allclose(got["adds_m"], ref_a, rtol=1e-6)
+
+    # score semantics: dense fp32 normalizes to exactly 2.0; sparsity and
+    # reduced bits shrink it
+    assert abs(micronet_score(params) - 2.0) < 1e-9
+    sparse_score = micronet_score(params, masks, param_bits=16,
+                                  add_bits=16, mul_bits=16)
+    assert sparse_score < 1.0

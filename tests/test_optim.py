@@ -123,11 +123,46 @@ def test_clip_by_global_norm():
     np.testing.assert_allclose(np.asarray(small[0]["w"]), 2.0, rtol=1e-6)
 
 
-def test_grad_clip_guard_rail_stabilizes_divergent_fit():
+def test_grad_clip_applies_in_opt_update():
     """OptimConfig.grad_clip is the opt-in w=512 guard rail (BASELINE.md
-    tracked config 2): at a destabilizing lr the unclipped fit blows up
-    while the clipped one stays finite. Default (0) leaves the reference
-    recipe untouched."""
+    tracked config 2). Mechanism contract: grad_clip>0 makes opt_update
+    behave exactly as if the gradient pytree had been pre-scaled to the
+    global-norm budget; grad_clip=0 (the default, reference behavior)
+    leaves the update untouched."""
+    from implicit_image_tpu.optim import (
+        clip_by_global_norm, opt_init, opt_update,
+    )
+    from implicit_image_tpu.training.fit import OptimConfig
+
+    key = jax.random.PRNGKey(0)
+    params = ({"w": jax.random.normal(key, (6, 4)) * 0.1, "b": jnp.zeros(4)},)
+    huge = ({"w": jnp.full((6, 4), 50.0), "b": jnp.full((4,), 50.0)},)
+
+    clip_cfg = OptimConfig(lr=1e-3, grad_clip=1.0)
+    st = opt_init(params, clip_cfg)
+    p_clip, _ = opt_update(huge, st, params, 1e-3, clip_cfg)
+
+    plain_cfg = OptimConfig(lr=1e-3)
+    st2 = opt_init(params, plain_cfg)
+    pre_clipped = clip_by_global_norm(huge, 1.0)
+    p_manual, _ = opt_update(pre_clipped, st2, params, 1e-3, plain_cfg)
+    np.testing.assert_allclose(
+        np.asarray(p_clip[0]["w"]), np.asarray(p_manual[0]["w"]), rtol=1e-6
+    )
+
+    # default: bit-identical to no clipping at all
+    st3 = opt_init(params, plain_cfg)
+    p_plain, _ = opt_update(huge, st3, params, 1e-3, plain_cfg)
+    st4 = opt_init(params, OptimConfig(lr=1e-3, grad_clip=0.0))
+    p_zero, _ = opt_update(huge, st4, params, 1e-3, OptimConfig(lr=1e-3, grad_clip=0.0))
+    np.testing.assert_array_equal(
+        np.asarray(p_plain[0]["w"]), np.asarray(p_zero[0]["w"])
+    )
+
+
+def test_grad_clip_fit_end_to_end():
+    """A fit with grad_clip on runs end-to-end, converges, and yields
+    finite params (the config plumbing works through the compiled scan)."""
     from implicit_image_tpu.data import get_grid, synthetic_image
     from implicit_image_tpu.models import build_model
     from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
@@ -135,24 +170,15 @@ def test_grad_clip_guard_rail_stabilizes_divergent_fit():
     grid = get_grid(16, 16)
     img = synthetic_image(16, 16, seed=0)
     mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
-    tc = TrainConfig(num_steps=60, log_steps=30)
-    key = jax.random.PRNGKey(0)
-
-    hot = OptimConfig(lr=0.5)  # absurd lr: drives plain Adam unstable
-    res_raw = fit(key, mdef, mcfg, grid, img, tc, hot)
-    psnr_raw = np.asarray(res_raw.metrics["psnr"])
-    clipped_cfg = OptimConfig(lr=0.5, grad_clip=0.1)
-    res_clip = fit(key, mdef, mcfg, grid, img, tc, clipped_cfg)
-    psnr_clip = np.asarray(res_clip.metrics["psnr"])
-    psnr_clip = psnr_clip[np.isfinite(psnr_clip)]
-
-    # clipped params stay finite; unclipped dynamics at this lr do not
-    # (or end far worse) — the guard changed the dynamics
-    assert psnr_clip.size
-    finite_clip = all(
-        np.isfinite(np.asarray(l)).all()
-        for l in jax.tree_util.tree_leaves(res_clip.params)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=80, log_steps=40),
+        OptimConfig(lr=1e-3, grad_clip=0.5),
     )
-    assert finite_clip
-    raw_last = psnr_raw[np.isfinite(psnr_raw)]
-    assert (not raw_last.size) or raw_last[-1] < psnr_clip[-1]
+    p = np.asarray(res.metrics["psnr"])
+    p = p[np.isfinite(p)]
+    assert p.size and p[-1] > 12.0
+    assert all(
+        np.isfinite(np.asarray(l)).all()
+        for l in jax.tree_util.tree_leaves(res.params)
+    )
