@@ -84,7 +84,17 @@ def linear_state_dict(
         book = codebooks[i] if codebooks is not None else None
         for key, val in layer.items():
             arr = np.asarray(val)
-            if key == "w" and book is not None:
+            if key == "w" and book is not None and hasattr(book, "scales"):
+                # fbgemm-style per-channel symmetric (PerChannelCodebook):
+                # int8 codes + per-output-channel scales; decode is
+                # codes * scales (quant/uniform.py)
+                state[f"layers.{i}.labeled_weight"] = np.asarray(
+                    book.codes, np.int8
+                )
+                state[f"layers.{i}.qscale"] = np.asarray(book.scales).astype(
+                    cdtype
+                )
+            elif key == "w" and book is not None:
                 labels = np.asarray(book.labels)
                 dtype = np.uint8 if labels.max(initial=0) < 256 else np.uint16
                 state[f"layers.{i}.labeled_weight"] = labels.astype(dtype)
@@ -275,11 +285,16 @@ def decompress_state_dict(
 
     out: Dict[str, np.ndarray] = {}
     for name, arr in raw.items():
-        if "centroids" in name:
+        if "centroids" in name or "qscale" in name:
             continue
         if "labeled_weight" in name:
-            centroids = raw[name.replace("labeled_weight", "centroids")]
-            weight = centroids[arr]
+            qscale_name = name.replace("labeled_weight", "qscale")
+            if qscale_name in raw:  # per-channel symmetric (fbgemm QAT)
+                scales = np.asarray(raw[qscale_name], np.float32)
+                weight = arr.astype(np.float32) * scales[None, :]
+            else:
+                centroids = raw[name.replace("labeled_weight", "centroids")]
+                weight = centroids[arr]
             out[name.replace("labeled_weight", "weight")] = weight.astype(np.float32)
         else:
             out[name] = np.asarray(arr, dtype=np.float32)

@@ -248,6 +248,7 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             num_steps=int(quant_cfg_raw.get("num_steps", 100)),
             log_steps=int(quant_cfg_raw.get("log_steps", 10)),
             ecvq_lambda=float(quant_cfg_raw.get("ecvq_lambda", 0.0)),
+            qscheme=str(quant_cfg_raw.get("qscheme", "per_channel")),
         )
         masks = res.mask_state.masks if res.mask_state is not None else None
         qres = quant_finetune(

@@ -26,16 +26,29 @@ from implicit_image_tpu.quant.kmeans import (
     kmeans_fit,
     quantize_weight,
 )
-from implicit_image_tpu.quant.uniform import fake_quant, uniform_quantize_weight
+from implicit_image_tpu.quant.uniform import (
+    ObserverState,
+    PerChannelCodebook,
+    fake_quant,
+    fake_quant_per_channel,
+    observe_minmax,
+    per_channel_quantize_weight,
+    uniform_quantize_weight,
+)
 
 __all__ = [
     "QuantConfig",
     "LayerCodebook",
+    "PerChannelCodebook",
+    "ObserverState",
+    "observe_minmax",
     "kmeans_fit",
     "quantize_weight",
     "ecvq_refine",
     "uniform_quantize_weight",
+    "per_channel_quantize_weight",
     "fake_quant",
+    "fake_quant_per_channel",
     "quantize_params",
     "convert",
     "dequantize",
@@ -61,9 +74,14 @@ class QuantConfig:
     # the first and last weight-bearing layers, the reference's default
     # skip_ll = [layers.0.linear, layers.7.linear] (conf/quant/kmeans.yaml).
     skip_layers: Optional[Tuple[int, ...]] = None
+    # QAT weight scheme: "per_channel" = fbgemm's default QAT qconfig
+    # (per-output-channel symmetric int8, quant/uniform.py, gold-tested
+    # vs torch.quantization); "per_tensor" = round-1's affine stand-in.
+    qscheme: str = "per_channel"
 
     def __post_init__(self):
         assert self.name in ("KMeans", "QAT"), self.name
+        assert self.qscheme in ("per_channel", "per_tensor"), self.qscheme
 
 
 def quantized_layer_indices(params, cfg: QuantConfig) -> List[int]:
@@ -85,6 +103,8 @@ def quantized_layer_indices(params, cfg: QuantConfig) -> List[int]:
 def _snap(weight: jnp.ndarray, cfg: QuantConfig):
     if cfg.name == "KMeans":
         return quantize_weight(weight, cfg.bits, cfg.lloyd_iters)
+    if cfg.qscheme == "per_channel":
+        return per_channel_quantize_weight(weight, cfg.bits)
     return uniform_quantize_weight(weight, cfg.bits)
 
 

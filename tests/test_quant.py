@@ -277,3 +277,106 @@ def test_ecvq_lambda_zero_is_identity():
 
     cfg = QuantConfig()
     assert cfg.ecvq_lambda == 0.0  # dataclass default stays strict parity
+
+
+def test_per_channel_fake_quant_matches_torch_fbgemm():
+    """Gold parity for the fbgemm QAT weight scheme: our per-channel
+    symmetric scales equal torch's MovingAveragePerChannelMinMaxObserver
+    qparams EXACTLY, and fake-quant outputs match
+    torch.fake_quantize_per_channel_affine except for half-way boundary
+    elements (|w/s| == 127.5, 1-ULP artifacts in either framework)."""
+    torch = pytest.importorskip("torch")
+    from implicit_image_tpu.quant import fake_quant_per_channel
+    from implicit_image_tpu.quant.uniform import _per_channel_qparams
+
+    torch.manual_seed(0)
+    w_t = torch.randn(64, 96) * 0.3  # (out, in) torch layout
+    obs = torch.ao.quantization.MovingAveragePerChannelMinMaxObserver(
+        averaging_constant=0.01, ch_axis=0, dtype=torch.qint8,
+        qscheme=torch.per_channel_symmetric,
+    )
+    obs(w_t)
+    scales_t, zps_t = obs.calculate_qparams()
+    fq_t = torch.fake_quantize_per_channel_affine(
+        w_t, scales_t, zps_t.to(torch.int32), 0, -128, 127
+    ).numpy()
+
+    w_j = jnp.asarray(np.array(w_t.numpy(), copy=True).T)  # (in, out) ours
+    scales_j, _ = _per_channel_qparams(w_j, 8, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(scales_j), scales_t.numpy(), rtol=1e-6
+    )
+    fq_j = np.asarray(fake_quant_per_channel(w_j, 8)).T
+    d = np.abs(fq_j - fq_t)
+    step = scales_t.numpy()[:, None]
+    mismatched = d > 1e-7
+    assert mismatched.mean() < 0.005  # only half-way boundary elements
+    assert (d[mismatched] <= step.repeat(96, 1)[mismatched] * 1.01).all()
+
+
+def test_moving_average_observer_matches_torch():
+    """ObserverState/observe_minmax reproduces torch's
+    MovingAverageMinMaxObserver sequence (first batch initializes, later
+    batches EMA with averaging_constant)."""
+    torch = pytest.importorskip("torch")
+    from implicit_image_tpu.quant import observe_minmax
+    from implicit_image_tpu.quant.uniform import observer_init
+
+    tobs = torch.ao.quantization.MovingAverageMinMaxObserver(
+        averaging_constant=0.01
+    )
+    state = observer_init()
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        x = rng.standard_normal((32, 8)).astype(np.float32) * rng.uniform(0.5, 2)
+        tobs(torch.from_numpy(x))
+        state = observe_minmax(state, jnp.asarray(x), 0.01)
+    np.testing.assert_allclose(
+        float(state.min_val), float(tobs.min_val), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(state.max_val), float(tobs.max_val), rtol=1e-6
+    )
+
+
+def test_qat_per_channel_container_roundtrip(tmp_path):
+    """QAT per-channel convert -> bitstream -> decode: the decoded weight
+    equals codes * scales exactly, and the QAT pipeline runs end-to-end."""
+    from implicit_image_tpu.coding import (
+        compress_state_dict,
+        decompress_state_dict,
+        linear_state_dict,
+    )
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.quant import QuantConfig, convert
+    from implicit_image_tpu.training.fit import OptimConfig
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    grid = get_grid(16, 16)
+    img = synthetic_image(16, 16, seed=0)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=16)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    qcfg = QuantConfig(name="QAT", bits=8, num_steps=10)
+    res = quant_finetune(params, img, mdef, mcfg, grid, qcfg, OptimConfig(lr=1e-3))
+    # quantized layers carry PerChannelCodebook
+    books = [b for b in res.codebooks if b is not None]
+    assert books and all(hasattr(b, "scales") for b in books)
+
+    state = linear_state_dict(res.params, res.codebooks, half=False)
+    assert any("qscale" in k for k in state)
+    n = compress_state_dict(state, tmp_path, "zstd")
+    assert n > 0
+    back = decompress_state_dict(tmp_path, "zstd")
+    for i, b in enumerate(res.codebooks):
+        if b is None:
+            continue
+        expect = np.asarray(b.codes, np.float32) * np.asarray(b.scales)[None, :]
+        np.testing.assert_allclose(
+            back[f"layers.{i}.weight"], expect, rtol=1e-6
+        )
+        # and equals the snapped params the model used
+        np.testing.assert_allclose(
+            back[f"layers.{i}.weight"], np.asarray(res.params[i]["w"]),
+            atol=1e-6,
+        )
