@@ -55,6 +55,29 @@ def time_scan(fn, args, reps=20):
     return (time.perf_counter() - t0) / reps
 
 
+def make_gather_mac(idx, val, chunk=8192):
+    """Best-effort TPU sparse kernel: per-column nonzeros padded to kmax,
+    indices STATIC (baked into the program), rows processed in chunks so
+    the (chunk, N·kmax) gathered intermediate stays in-budget; the
+    multiply-accumulate runs on the VPU (no MXU use at all)."""
+    n, kmax = idx.shape
+    flat_idx = jnp.asarray(np.asarray(idx).reshape(-1))  # (N*kmax,) static
+    valb = jnp.asarray(val)  # (N, kmax)
+
+    def gather_mac(x):
+        m = x.shape[0]
+        xc = x.reshape(m // chunk, chunk, x.shape[1])
+
+        def body(_, xi):
+            g = jnp.take(xi, flat_idx, axis=1).reshape(chunk, n, kmax)
+            return None, jnp.sum(g * valb[None], axis=-1)
+
+        _, out = jax.lax.scan(body, None, xc)
+        return out.reshape(m, n)
+
+    return gather_mac
+
+
 def real_rigl_mask(key, shape, density):
     """A mask with RigL-like structure: magnitude-pruned from a trained-ish
     weight distribution (heavier-tailed than uniform random support)."""
@@ -108,25 +131,18 @@ def main(m=262144, k=128, n=128):
         dense_ms = time_scan(
             lambda x, w, mask: x @ (w * mask), (x, w, mask)
         ) * 1e3
+        print(f"  d={d}: dense {dense_ms:.3f} ms", file=sys.stderr, flush=True)
 
         idx, val, kmax = pack_columns(wm)
+        gather_mac = make_gather_mac(idx, val)
+        gather_ms = time_scan(gather_mac, (x,), reps=3) * 1e3
+        print(f"  d={d}: gather {gather_ms:.3f} ms", file=sys.stderr, flush=True)
 
-        def gather_mac(x, idx, val):
-            def body(acc, iv):
-                ix, v = iv  # (N,), (N,)
-                return acc + x[:, ix] * v[None, :], None
-
-            acc0 = jnp.zeros((x.shape[0], idx.shape[0]), jnp.float32)
-            out, _ = jax.lax.scan(
-                body, acc0, (idx.T, val.T)
-            )
-            return out
-
-        gather_ms = time_scan(gather_mac, (x, idx, val), reps=5) * 1e3
-
-        # correctness of the sparse kernel vs the dense product
-        ref = np.asarray(x[:256] @ jnp.asarray(wm))
-        got = np.asarray(gather_mac(x[:256], idx, val))
+        # correctness of the sparse kernel vs a HOST float64 product (the
+        # on-device dense dot runs through bf16 MXU passes, ~1e-2 error
+        # at this K — that is the baseline's precision, not the kernel's)
+        ref = np.asarray(x[:8192], np.float64) @ wm.astype(np.float64)
+        got = np.asarray(gather_mac(x[:8192]))
         err = float(np.abs(ref - got).max())
         assert err < 1e-3, err
 

@@ -67,7 +67,7 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     p = np.asarray(res.metrics["psnr"]).reshape(-1)
     fit_psnr = float(p[np.isfinite(p)][-1])
 
-    qcfg = QuantConfig(name="kmeans", bits=8, num_steps=100, log_steps=100)
+    qcfg = QuantConfig(name="KMeans", bits=8, num_steps=100, log_steps=100)
     qfn = jax.jit(make_quant_fit_fn(mdef, mcfg, grid, qcfg, optim_cfg, None))
     qfn_c = qfn.lower(res.params, img).compile()
     t0 = time.perf_counter()

@@ -150,6 +150,9 @@ def _worker_main(argv: Sequence[str]) -> None:
     ap.add_argument("--force-cpu", action="store_true")
     ap.add_argument("--fleet-size", type=int, default=3)
     ap.add_argument("--steps", type=int, default=20)
+    # report file: gloo/absl chatter can interleave with stdout mid-line,
+    # so the machine-readable report goes to its own file when given
+    ap.add_argument("--report", default=None)
     args = ap.parse_args(argv)
 
     import jax
@@ -196,14 +199,18 @@ def _worker_main(argv: Sequence[str]) -> None:
         TrainConfig(num_steps=args.steps, log_steps=args.steps),
         OptimConfig(lr=1e-3),
     )
-    print(json.dumps({
+    report = json.dumps({
         "process_id": args.process_id,
         "process_count": jax.process_count(),
         "global_devices": nd,
         "local_devices": jax.local_device_count(),
         "psum_ok": True,
         "fleet_psnrs": [round(float(x), 4) for x in fleet_psnrs],
-    }), flush=True)
+    })
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(report + "\n")
+    print(report, flush=True)
 
 
 def launch_dryrun(
@@ -233,6 +240,10 @@ def launch_dryrun(
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="multihost_dryrun_")
+    report_files = [os.path.join(tmp, f"report_{i}.json") for i in range(num_processes)]
     procs = [
         subprocess.Popen(
             [
@@ -243,6 +254,7 @@ def launch_dryrun(
                 "--force-cpu",
                 "--fleet-size", str(fleet_size),
                 "--steps", str(steps),
+                "--report", report_files[i],
             ],
             env=env,
             stdout=subprocess.PIPE,
@@ -252,14 +264,14 @@ def launch_dryrun(
         for i in range(num_processes)
     ]
     reports = []
-    for p in procs:
+    for p, rf in zip(procs, report_files):
         out, err = p.communicate(timeout=timeout)
         if p.returncode != 0:
             raise RuntimeError(
                 f"worker exited {p.returncode}\nstdout:\n{out}\nstderr:\n{err[-2000:]}"
             )
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        reports.append(json.loads(line))
+        with open(rf) as f:
+            reports.append(json.loads(f.read()))
     return reports
 
 

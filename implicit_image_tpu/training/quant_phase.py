@@ -84,8 +84,21 @@ def make_quant_fit_fn(
     # quantize-mode scheduler: StepLR(1000, 0.5) (train_helper.py:79-80)
     schedule = step_lr(optim_cfg.lr, 1000, 0.5)
 
+    if mdef.separable:
+        # CoordX-family fast path: evaluate through the factorized grid
+        # apply (O(H+W) branch work), exactly as the fit loss does
+        # (training/fit.py make_loss_fn) — ~2x the per-step speed of the
+        # flat path at the reference shapes
+        def _forward(params):
+            return mdef.apply(params, grid, mcfg, compute_dtype).reshape(
+                h * w, -1
+            )
+    else:
+        def _forward(params):
+            return mdef.apply_flat(params, coords, mcfg, compute_dtype)
+
     def _final_metrics(params_q, target_flat, metrics):
-        pred = mdef.apply_flat(params_q, coords, mcfg, compute_dtype)
+        pred = _forward(params_q)
         qloss = mse(pred, target_flat)
         return {
             **metrics,
@@ -134,7 +147,7 @@ def make_quant_fit_fn(
             return apply_masks(out, masks) if masks is not None else out
 
         def loss_fn(st):
-            pred = mdef.apply_flat(reconstruct(st), coords, mcfg, compute_dtype)
+            pred = _forward(reconstruct(st))
             return mse(pred, target_flat)
 
         grad_fn = jax.value_and_grad(loss_fn)
@@ -181,7 +194,7 @@ def make_quant_fit_fn(
             )
             if masks is not None:
                 ste = apply_masks(ste, masks)
-            pred = mdef.apply_flat(ste, coords, mcfg, compute_dtype)
+            pred = _forward(ste)
             return mse(pred, target_flat)
 
         grad_fn = jax.value_and_grad(loss_fn)
