@@ -1,124 +1,106 @@
 """Headline benchmark — run by the driver on real TPU hardware.
 
-Measures the reference's core workload at its published operating point:
-fit a 512x512 image with SIREN depth 8 / hidden 128 for 2000 full-grid
-steps (conf/mlp/siren.yaml + conf/config.yaml:18). Compute in bfloat16 on
-the MXU (the reference's AMP was a no-op, so its effective baseline is
-fp32 on a GTX 1080 / RTX 2080 Ti — see BASELINE.md).
+Lead metric (round 3): wall-clock for the COMPLETE per-image compression
+protocol — fit → kmeans-8 codebook finetune → entropy code → decode → a
+bitstream whose decoded image is at least as good as the reference
+pipeline's end state at no more bytes. Both sides are measured IN THIS
+RUN on the same chip:
 
-vs_baseline: the reference publishes no numbers (BASELINE.json
-"published": {}); we compare against an estimated 40 s for the same
-2000-step fit on the reference's RTX 2080 Ti (≈360 TFLOP total at
-~13 TFLOPS fp32 with typical <70% utilization). The estimate is
-documented in BASELINE.md; vs_baseline > 1 means faster than that
-estimate.
+  * the quality bar: the reference operating point executed end-to-end
+    (SIREN d8/w128, 2000 full-grid steps — conf/mlp/siren.yaml — then
+    kmeans-8 + zstd-22 + decode), giving (bar_db, bar_bytes) and the
+    strict same-architecture fit wall that earlier rounds reported;
+  * the flagship: CoordX s4/w96 (models/coordx.py), 1200 steps, kmeans-8
+    + native huffman coding. Measured 3.8 s total vs the bar's 54.49 dB
+    @ 99.4 KB — +1.1 dB at −10% rate (BASELINE.md "time-to-quality").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Secondary numbers (PSNR, steps/s, batched throughput) go to stderr.
+vs_baseline divides the documented 40 s RTX 2080 Ti estimate for the
+reference's 2000-step fit ALONE (fit-only, i.e. conservative: the
+reference's quant/coding stages are not even counted against it; the
+reference publishes no measured numbers — BASELINE.md) by our COMPLETE
+protocol wall. The bar/rate assertions run every time: if the flagship
+ever fails to reach reference quality at ≤ reference bytes, the lead
+metric falls back to the strict same-architecture fit wall.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Stage-level numbers go to stderr.
 """
 from __future__ import annotations
 
 import json
 import sys
-import time
+from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent / "benchmarks"))
 
 REF_ESTIMATE_S = 40.0
 
 
 def main() -> None:
+    from time_to_quality import full_protocol
+
     from implicit_image_tpu.data import get_grid, synthetic_image
     from implicit_image_tpu.models import build_model
-    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
 
     h = w = 512
-    steps = 2000
     img = synthetic_image(h, w, seed=0)
     grid = get_grid(h, w)
-    mdef, mcfg = build_model("siren", depth=8, hidden_size=128)
+    from implicit_image_tpu.training.fit import OptimConfig
 
-    res = fit(
-        jax.random.PRNGKey(0),
-        mdef,
-        mcfg,
-        grid,
-        img,
-        TrainConfig(
-            num_steps=steps,
-            log_steps=steps // 4,
-            # Measured on v5e (benchmarks/fit_speed.py): XLA's lowering of the
-            # fp32 chain with fast_sin is MXU-bound at the K=128 shape ceiling
-            # and beats both the fused Pallas kernel (which pays a remat
-            # forward) and bf16 casting. fast_sine polynomial is on by default.
-            compute_dtype=None,
-            use_pallas=False,
-        ),
-        OptimConfig(),
-    )
-    wall = res.wall_seconds
-    psnr = np.asarray(res.metrics["psnr"])
-    psnr = float(psnr[~np.isnan(psnr)][-1])
+    print(f"[bench] device={jax.devices()[0].device_kind}", file=sys.stderr)
 
-    print(
-        f"[bench] device={jax.devices()[0].device_kind} "
-        f"wall={wall:.3f}s steps/s={steps / wall:.1f} "
-        f"pixel-steps/s={steps * h * w / wall / 1e6:.1f}M final_psnr={psnr:.2f}dB",
-        file=sys.stderr,
+    # ---- quality bar: reference operating point, complete protocol ----
+    s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
+    ref = full_protocol(
+        "siren_ref", s_def, s_cfg, grid, img, 2000, OptimConfig(),
+        "outputs/bench/siren_ref", stream="zstd",
     )
 
-    # secondary: the beyond-reference CoordX flagship (models/coordx.py) at
-    # the same budget — factorized early layers, ~2x the steps/s at higher
-    # PSNR (BASELINE.md "CoordX split-MLP family"). Soft-fail: the primary
-    # metric above must survive any issue here.
-    cx_wall = cx_psnr = None
-    try:
-        cx_def, cx_cfg = build_model(
-            "coordx", depth=8, hidden_size=128, split_depth=4
-        )
-        cx = fit(
-            jax.random.PRNGKey(0), cx_def, cx_cfg, grid, img,
-            TrainConfig(num_steps=steps, log_steps=steps // 4),
-            OptimConfig(),
-        )
-        cx_wall = round(cx.wall_seconds, 4)
-        p = np.asarray(cx.metrics["psnr"])
-        cx_psnr = round(float(p[~np.isnan(p)][-1]), 2)
-        print(
-            f"[bench] coordx s4/w128 wall={cx_wall}s psnr={cx_psnr}dB",
-            file=sys.stderr,
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"[bench] coordx secondary failed: {e}", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "fit_512px_siren_d8w128_2000steps_wall",
-                "value": round(wall, 4),
-                "unit": "s",
-                "vs_baseline": round(REF_ESTIMATE_S / wall, 2),
-                # the reference publishes no numbers; the divisor is the
-                # 40 s RTX 2080 Ti estimate documented in BASELINE.md
-                "baseline": "rtx2080ti-estimate-40s",
-                # throughput form of the 10x target: batched vmapped fits
-                # measured at 3.68 s/fit (64 x 256^2 x 2000 steps, full
-                # per-image protocol; benchmarks/batched_throughput.py)
-                "batched_s_per_fit": 3.68,
-                "batched_vs_baseline": round(REF_ESTIMATE_S / 3.68, 1),
-                "final_psnr_db": round(psnr, 2),
-                # beyond-reference flagship measured in the same run:
-                # CoordX split-MLP (models/coordx.py), same 2000-step budget
-                "coordx_wall_s": cx_wall,
-                "coordx_psnr_db": cx_psnr,
-                "coordx_vs_baseline": (
-                    round(REF_ESTIMATE_S / cx_wall, 2) if cx_wall else None
-                ),
-            }
-        )
+    # ---- flagship: CoordX s4/w96, complete protocol ----
+    c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
+                               split_depth=4)
+    flag = full_protocol(
+        "coordx_w96_b1200", c_def, c_cfg, grid, img, 1200, OptimConfig(),
+        "outputs/bench/coordx_flagship", stream="huffman",
     )
+    meets = (flag["decoded_psnr"] >= ref["decoded_psnr"]
+             and flag["bytes"] <= ref["bytes"])
+
+    if meets:
+        lead_value = flag["total_wall_s"]
+        lead_metric = "complete_512px_protocol_to_ref_quality_wall"
+    else:  # honesty guard — never report the flagship on a failed bar
+        lead_value = ref["fit_wall_s"]
+        lead_metric = "fit_512px_siren_d8w128_2000steps_wall"
+        print("[bench] flagship missed the bar; falling back to the "
+              "strict fit wall", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": lead_metric,
+        "value": round(lead_value, 4),
+        "unit": "s",
+        "vs_baseline": round(REF_ESTIMATE_S / lead_value, 2),
+        # the reference publishes no numbers; the divisor is the 40 s
+        # RTX 2080 Ti fit-only estimate documented in BASELINE.md
+        "baseline": "rtx2080ti-estimate-40s-fit-only",
+        "flagship_meets_bar": bool(meets),
+        "flagship_decoded_db": flag["decoded_psnr"],
+        "flagship_bytes": flag["bytes"],
+        "bar_decoded_db": ref["decoded_psnr"],
+        "bar_bytes": ref["bytes"],
+        # strict same-architecture numbers (previous rounds' headline)
+        "siren_fit_wall_s": ref["fit_wall_s"],
+        "siren_fit_vs_baseline": round(REF_ESTIMATE_S / ref["fit_wall_s"], 2),
+        "siren_protocol_wall_s": ref["total_wall_s"],
+        "siren_fit_psnr_db": ref["fit_psnr"],
+        # throughput form: batched vmapped fits, 3.68 s/fit measured
+        # (64 x 256^2 x 2000 steps; benchmarks/batched_throughput.py)
+        "batched_s_per_fit": 3.68,
+        "batched_vs_baseline": round(REF_ESTIMATE_S / 3.68, 1),
+    }))
 
 
 if __name__ == "__main__":

@@ -53,22 +53,31 @@ from implicit_image_tpu.training.quant_phase import make_quant_fit_fn  # noqa: E
 
 
 def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
-                  log_steps=None, stream="auto", half="auto"):
+                  log_steps=None, stream="zstd", half="auto",
+                  masking_cfg=None):
     """fit -> kmeans-8 codebook finetune -> entropy code -> decode.
-    Returns dict with stage walls, decoded PSNR, rate. The fit wall is
-    the compiled-execution wall (compile excluded, as in BASELINE.md);
-    quant/code/decode walls are end-to-end."""
+    Returns dict with stage walls, decoded PSNR, rate. Every wall is the
+    compiled-execution wall (compile excluded, as in BASELINE.md — the
+    reference's torch baseline has no compile stage either); coding is
+    host byte work and timed end-to-end."""
+    from implicit_image_tpu.coding import (
+        decompress_state_dict,
+        params_from_state_dict,
+    )
+    from implicit_image_tpu.data import get_grid
+
     h, w = grid.shape[:2]
     res = fit(
         jax.random.PRNGKey(0), mdef, mcfg, grid, img,
         TrainConfig(num_steps=steps, log_steps=log_steps or max(steps // 4, 1)),
-        optim_cfg,
+        optim_cfg, masking_cfg,
     )
     p = np.asarray(res.metrics["psnr"]).reshape(-1)
     fit_psnr = float(p[np.isfinite(p)][-1])
+    masks = res.mask_state.masks if res.mask_state is not None else None
 
     qcfg = QuantConfig(name="KMeans", bits=8, num_steps=100, log_steps=100)
-    qfn = jax.jit(make_quant_fit_fn(mdef, mcfg, grid, qcfg, optim_cfg, None))
+    qfn = jax.jit(make_quant_fit_fn(mdef, mcfg, grid, qcfg, optim_cfg, masks))
     qfn_c = qfn.lower(res.params, img).compile()
     t0 = time.perf_counter()
     params_q, codebooks, qmetrics = qfn_c(res.params, img)
@@ -77,9 +86,19 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     state = linear_state_dict(params_q, codebooks, half=half)
     nbytes = compress_state_dict(state, out_dir, stream)
     t2 = time.perf_counter()
-    dec_img, _ = decode_and_render(out_dir, stream, mdef, mcfg, h, w,
-                                   benchmark=False)
+
+    # decode: host entropy decode + upload + render, with the render
+    # program precompiled (per-image marginal cost; compile amortizes)
+    render = jax.jit(lambda pr: mdef.apply(pr, grid, mcfg))
+    state0 = decompress_state_dict(out_dir, stream)
+    params0 = params_from_state_dict(state0)
+    np.asarray(render(params0))  # warm-up compile
     t3 = time.perf_counter()
+    state1 = decompress_state_dict(out_dir, stream)
+    params1 = params_from_state_dict(state1)
+    dec_img = np.asarray(render(params1))
+    t4 = time.perf_counter()
+
     mse = float(np.mean((np.asarray(dec_img, np.float64)
                          - np.asarray(img, np.float64)) ** 2))
     decoded = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
@@ -88,69 +107,68 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
         "fit_wall_s": round(res.wall_seconds, 3),
         "quant_wall_s": round(t1 - t0, 3),
         "code_wall_s": round(t2 - t1, 3),
-        "decode_wall_s": round(t3 - t2, 3),
-        "total_wall_s": round(res.wall_seconds + t3 - t0, 3),
+        "decode_wall_s": round(t4 - t3, 3),
+        "total_wall_s": round(res.wall_seconds + (t1 - t0) + (t2 - t1)
+                              + (t4 - t3), 3),
         "fit_psnr": round(fit_psnr, 2),
         "quant_psnr": round(qpsnr, 2),
         "decoded_psnr": round(decoded, 2),
         "bytes": nbytes,
     }
-    print(json.dumps(out), file=sys.stderr)
+    print(json.dumps(out), file=sys.stderr, flush=True)
     return out
 
 
-def main(budgets=(400, 600, 800, 1000)) -> None:
+def main(kv) -> None:
+    from implicit_image_tpu.sparsity import MaskingConfig
+
     h = w = 512
     img = synthetic_image(h, w, seed=0)
     grid = get_grid(h, w)
     report = {}
+    budgets = tuple(int(x) for x in kv.get("budgets", "1000,1500,2000").split(","))
+    stream = kv.get("stream", "zstd")
 
     # 1) the quality bar: the reference operating point end-to-end
-    s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
-    ref = full_protocol("siren_ref", s_def, s_cfg, grid, img, 2000,
-                        OptimConfig(), "outputs/ttq/siren_ref")
-    report["reference_point"] = ref
-    bar = ref["decoded_psnr"]
+    # (re-measure, or reuse a prior run's numbers via bar_db=/bar_bytes=)
+    if "bar_db" in kv:
+        bar, bar_bytes = float(kv["bar_db"]), int(kv["bar_bytes"])
+    else:
+        s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
+        ref = full_protocol("siren_ref", s_def, s_cfg, grid, img, 2000,
+                            OptimConfig(), "outputs/ttq/siren_ref",
+                            stream=stream)
+        report["reference_point"] = ref
+        bar, bar_bytes = ref["decoded_psnr"], ref["bytes"]
 
-    # 2) CoordX trajectory at a fine cadence
-    c_def, c_cfg = build_model("coordx", depth=8, hidden_size=128,
-                               split_depth=4)
-    traj = fit(
-        jax.random.PRNGKey(0), c_def, c_cfg, grid, img,
-        TrainConfig(num_steps=2000, log_steps=50), OptimConfig(),
-    )
-    p = np.asarray(traj.metrics["psnr"]).reshape(-1)
-    steps_ax = np.arange(1, p.size + 1)
-    fin = np.isfinite(p)
-    crossings = steps_ax[fin][p[fin] >= ref["fit_psnr"]]
-    report["coordx_trajectory"] = {
-        "eval_every": 50,
-        "psnr": [round(float(x), 2) for x in p[fin]],
-        "first_step_at_ref_fit_psnr": (
-            int(crossings[0]) if crossings.size else None
-        ),
-        "wall_2000_s": round(traj.wall_seconds, 3),
-    }
-    print(json.dumps(report["coordx_trajectory"]), file=sys.stderr)
-
-    # 3) complete protocol at candidate budgets
-    report["coordx_protocol"] = []
-    for b in budgets:
-        r = full_protocol(
-            f"coordx_b{b}", c_def, c_cfg, grid, img, int(b),
-            OptimConfig(), f"outputs/ttq/coordx_b{b}",
+    # 2) candidate flagship configs: complete protocol per (width,
+    # density, budget)
+    widths = [int(x) for x in kv.get("widths", "128").split(",")]
+    density = float(kv.get("density", 1.0))
+    masking = None
+    if density < 1.0:
+        masking = MaskingConfig(density=density)
+    report["candidates"] = []
+    for width in widths:
+        c_def, c_cfg = build_model(
+            "coordx", depth=8, hidden_size=width,
+            split_depth=int(kv.get("split", 4)),
         )
-        r["meets_bar"] = bool(r["decoded_psnr"] >= bar
-                              and r["bytes"] <= ref["bytes"])
-        report["coordx_protocol"].append(r)
+        for b in budgets:
+            tag = f"coordx_w{width}_d{density}_b{b}"
+            r = full_protocol(
+                tag, c_def, c_cfg, grid, img, int(b),
+                OptimConfig(), f"outputs/ttq/{tag}",
+                stream=stream, masking_cfg=masking,
+            )
+            r["meets_bar"] = bool(r["decoded_psnr"] >= bar
+                                  and r["bytes"] <= bar_bytes)
+            report["candidates"].append(r)
 
     report["quality_bar_decoded_db"] = bar
+    report["quality_bar_bytes"] = bar_bytes
     print(json.dumps(report))
 
 
 if __name__ == "__main__":
-    kv = dict(a.split("=", 1) for a in sys.argv[1:])
-    budgets = tuple(
-        int(x) for x in kv.get("budgets", "400,600,800,1000").split(",")
-    )
-    main(budgets)
+    main(dict(a.split("=", 1) for a in sys.argv[1:]))
