@@ -41,10 +41,44 @@ def run(n_jobs: int, steps: int, widths: str, depths: str, outdir: str) -> float
     return wall
 
 
-def main(steps=300, widths="64,96", depths="4,6") -> None:
-    n_members = len(widths.split(",")) * len(depths.split(","))
-    serial = run(1, steps, widths, depths, "outputs/overlap_serial")
-    threaded = run(2, steps, widths, depths, "outputs/overlap_threaded")
+def run_inprocess(n_jobs: int, steps: int, widths: str, depths: str,
+                  outdir: str, hw: int) -> float:
+    """One cli() invocation in THIS process. Fairness across phases comes
+    from disjoint member shapes (no jit-cache crossover) and a single
+    device session (the tunneled runtime has multi-minute client-turnover
+    delays that would swamp a subprocess A/B)."""
+    from implicit_image_tpu.compress import cli
+
+    argv = [
+        "-m", "img=synthetic", f"img.height={hw}", f"img.width={hw}",
+        f"mlp.hidden_size={widths}", f"mlp.depth={depths}",
+        f"train.num_steps={steps}", f"train.log_steps={steps}",
+        "masking=none", "quant=none", "entropy_coding=none",
+        "logging.use=false", f"launcher.n_jobs={n_jobs}",
+        f"output_dir={outdir}",
+    ]
+    t0 = time.perf_counter()
+    cli(argv)
+    return time.perf_counter() - t0
+
+
+def main(kv) -> None:
+    steps = int(kv.get("steps", 300))
+    if kv.get("mode", "subprocess") == "inprocess":
+        hw = int(kv.get("hw", 512))
+        # disjoint shape sets of comparable cost per phase
+        serial = run_inprocess(1, steps, kv.get("widths_a", "64,96"),
+                               kv.get("depths_a", "4,6"),
+                               "outputs/overlap_serial", hw)
+        threaded = run_inprocess(2, steps, kv.get("widths_b", "72,104"),
+                                 kv.get("depths_b", "5,7"),
+                                 "outputs/overlap_threaded", hw)
+        n_members = 4
+    else:
+        widths, depths = kv.get("widths", "64,96"), kv.get("depths", "4,6")
+        n_members = len(widths.split(",")) * len(depths.split(","))
+        serial = run(1, steps, widths, depths, "outputs/overlap_serial")
+        threaded = run(2, steps, widths, depths, "outputs/overlap_threaded")
     print(json.dumps({
         "members": n_members,
         "steps": steps,
@@ -55,6 +89,4 @@ def main(steps=300, widths="64,96", depths="4,6") -> None:
 
 
 if __name__ == "__main__":
-    kv = dict(a.split("=", 1) for a in sys.argv[1:])
-    main(int(kv.get("steps", 300)), kv.get("widths", "64,96"),
-         kv.get("depths", "4,6"))
+    main(dict(a.split("=", 1) for a in sys.argv[1:]))

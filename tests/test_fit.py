@@ -217,3 +217,31 @@ def test_resume_past_end_raises(tmp_path, small_problem):
         fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
             TrainConfig(num_steps=20, log_steps=10, segment_steps=20),
             OptimConfig(lr=1e-3), resume_from=ck)
+
+
+def test_bench_full_protocol_harness_cpu(tmp_path):
+    """The bench.py/time_to_quality harness (full_protocol: fit -> quant
+    -> code -> decode with precompiled render) runs on CPU at tiny shapes
+    — guards the lead-metric path against API drift."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+    from time_to_quality import full_protocol
+
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig
+
+    grid = get_grid(16, 16)
+    img = synthetic_image(16, 16, seed=0)
+    mdef, mcfg = build_model("coordx", depth=5, hidden_size=16, split_depth=2)
+    r = full_protocol(
+        "cpu_smoke", mdef, mcfg, grid, img, 30, OptimConfig(lr=1e-3),
+        str(tmp_path / "proto"), stream="huffman",
+    )
+    assert r["bytes"] > 0
+    assert np.isfinite(r["decoded_psnr"])
+    assert abs(r["decoded_psnr"] - r["quant_psnr"]) < 1.0
+    for k in ("fit_wall_s", "quant_wall_s", "code_wall_s", "decode_wall_s"):
+        assert r[k] >= 0
