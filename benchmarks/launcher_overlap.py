@@ -21,6 +21,7 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 
 def run(n_jobs: int, steps: int, widths: str, depths: str, outdir: str) -> float:
@@ -66,6 +67,13 @@ def main(kv) -> None:
     steps = int(kv.get("steps", 300))
     if kv.get("mode", "subprocess") == "inprocess":
         hw = int(kv.get("hw", 512))
+        # warm the device session first: the tunneled runtime pays a
+        # multi-minute acquisition delay on first use after another
+        # client exits, which would land entirely on phase A
+        import jax
+        import jax.numpy as jnp
+
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
         # disjoint shape sets of comparable cost per phase
         serial = run_inprocess(1, steps, kv.get("widths_a", "64,96"),
                                kv.get("depths_a", "4,6"),
