@@ -33,20 +33,12 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from implicit_image_tpu.coding import read_raw_container  # noqa: E402
+from implicit_image_tpu.coding import (  # noqa: E402
+    _tensor_planes as tensor_planes,
+    read_raw_container,
+)
 from implicit_image_tpu.coding.parsers import encode_stream  # noqa: E402
 from implicit_image_tpu.coding.range_coder import range_encode  # noqa: E402
-
-
-def tensor_planes(arr: np.ndarray) -> list[bytes]:
-    """Byte planes of one tensor (plane k = k-th byte of every element)."""
-    flat = np.ascontiguousarray(arr).reshape(-1)
-    if flat.size == 0:
-        return [b""]
-    if flat.dtype.itemsize == 1:
-        return [flat.tobytes()]
-    mat = flat.view(np.uint8).reshape(-1, flat.dtype.itemsize).T
-    return [np.ascontiguousarray(row).tobytes() for row in mat]
 
 
 def scheme_sizes(raw: dict) -> dict:

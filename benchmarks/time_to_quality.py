@@ -120,10 +120,14 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
 
 
 def main(kv) -> None:
+    from implicit_image_tpu.data import stable_seed
     from implicit_image_tpu.sparsity import MaskingConfig
 
     h = w = 512
-    img = synthetic_image(h, w, seed=0)
+    # img=<name> selects the named benchmark stand-in (same content the
+    # finals ladders use: deterministic synthetic keyed by image name)
+    seed = stable_seed(kv["img"]) if "img" in kv else 0
+    img = synthetic_image(h, w, seed=seed)
     grid = get_grid(h, w)
     report = {}
     budgets = tuple(int(x) for x in kv.get("budgets", "1000,1500,2000").split(","))
