@@ -26,6 +26,9 @@ import numpy as np
 
 __all__ = [
     "layer_flops",
+    "conv_output_size",
+    "conv_layer_flops",
+    "conv_param_bits",
     "inference_flops",
     "dense_flops",
     "sparse_param_bits",
@@ -51,6 +54,80 @@ def layer_flops(
     if activation:
         mults += fan_out  # 'relu' accounting (micronet_challenge.py:106-110)
     return mults, adds
+
+
+def conv_output_size(
+    image_size: int, kernel_size: int, padding: str = "same", stride: int = 1
+) -> int:
+    """Spatial output size of a square conv (micronet_challenge.py
+    get_conv_output_size :139-158). padding is 'same' (pad = k//2) or
+    'valid' (pad = 0)."""
+    if padding == "same":
+        pad = kernel_size // 2
+    elif padding == "valid":
+        pad = 0
+    else:
+        raise ValueError(f"padding must be 'same' or 'valid', got {padding!r}")
+    return int(np.ceil((image_size - kernel_size + 1.0 + 2 * pad) / stride))
+
+
+def conv_layer_flops(
+    image_size: int,
+    kernel_size: int,
+    c_in: int,
+    c_out: int,
+    stride: int = 1,
+    padding: str = "same",
+    sparsity: float = 0.0,
+    has_bias: bool = True,
+    activation: bool = True,
+    depthwise: bool = False,
+) -> Tuple[float, float]:
+    """(mults, adds) per input image for one (possibly sparse) square conv.
+
+    Semantics of the reference's Conv2D / DepthWiseConv2D branches of
+    count_ops (micronet_challenge.py:161-285): each output element is one
+    dot product of the flattened kernel patch (effective length scaled by
+    1 - sparsity) — n mults, n-1 adds — plus one add per output for bias
+    and the 'relu' activation cost (1 mult) per output element. For
+    depthwise convs (groups == c_in) the patch spans one channel and
+    c_out == c_in channels are produced independently.
+    """
+    if depthwise:
+        vector_length = kernel_size * kernel_size * (1.0 - sparsity)
+        n_out = conv_output_size(image_size, kernel_size, padding, stride) ** 2 * c_in
+    else:
+        vector_length = kernel_size * kernel_size * c_in * (1.0 - sparsity)
+        n_out = conv_output_size(image_size, kernel_size, padding, stride) ** 2 * c_out
+    mults = vector_length * n_out
+    adds = (vector_length - 1.0) * n_out
+    if has_bias:
+        adds += n_out
+    if activation:
+        mults += n_out  # 'relu' accounting (micronet_challenge.py:106-110)
+    return mults, adds
+
+
+def conv_param_bits(
+    kernel_size: int,
+    c_in: int,
+    c_out: int,
+    sparsity: float = 0.0,
+    has_bias: bool = True,
+    param_bits: int = 32,
+    depthwise: bool = False,
+) -> float:
+    """Bits to store a (possibly sparse) conv kernel + bias
+    (get_sparse_size applied to the kernel shape, ops.py:37-67)."""
+    n_elements = kernel_size * kernel_size * (c_in if not depthwise else 1) * (
+        c_out if not depthwise else c_in
+    )
+    bits = n_elements * param_bits * (1.0 - sparsity)
+    if sparsity > 0:
+        bits += n_elements  # 1-bit mask
+    if has_bias:
+        bits += (c_out if not depthwise else c_in) * param_bits
+    return bits
 
 
 def _mask_sparsity(weight, mask) -> float:

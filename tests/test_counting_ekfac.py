@@ -261,3 +261,67 @@ def test_micronet_summary_matches_reference_counter():
     sparse_score = micronet_score(params, masks, param_bits=16,
                                   add_bits=16, mul_bits=16)
     assert sparse_score < 1.0
+
+
+def test_conv_counting_matches_reference_counter():
+    """Gold parity: conv_layer_flops / conv_param_bits equal the
+    reference's Conv2D and DepthWiseConv2D branches of count_ops
+    (micronet_challenge.py:161-285) across geometry, stride, padding,
+    sparsity, and bit width."""
+    import importlib.util
+    import os
+
+    path = ("/root/reference/implicit_image/pipeline/masking/counting/"
+            "micronet_challenge.py")
+    if not os.path.exists(path):
+        pytest.skip("reference not mounted")
+    spec = importlib.util.spec_from_file_location("ref_micronet2", path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from implicit_image_tpu.sparsity.counting import (
+        conv_layer_flops,
+        conv_output_size,
+        conv_param_bits,
+    )
+
+    cases = [
+        # (img, k, c_in, c_out, stride, padding, sparsity, bias, act, bits)
+        (32, 3, 8, 16, 1, "same", 0.0, True, True, 32),
+        (32, 3, 8, 16, 2, "same", 0.5, True, True, 32),
+        (17, 5, 4, 12, 1, "valid", 0.25, False, True, 16),
+        (64, 1, 16, 8, 1, "same", 0.0, True, False, 32),
+        (28, 7, 3, 10, 3, "valid", 0.9, True, True, 16),
+    ]
+    for img, k, ci, co, st, pad, s, bias, act, bits in cases:
+        op = ref.Conv2D(img, [k, k, ci, co], [st, st], pad, bias,
+                        "relu" if act else None)
+        ref_pc, ref_m, ref_a = ref.count_ops(op, s, bits)
+        got_m, got_a = conv_layer_flops(
+            img, k, ci, co, stride=st, padding=pad, sparsity=s,
+            has_bias=bias, activation=act)
+        got_pc = conv_param_bits(k, ci, co, sparsity=s, has_bias=bias,
+                                 param_bits=bits)
+        np.testing.assert_allclose(got_m, ref_m, rtol=1e-9)
+        np.testing.assert_allclose(got_a, ref_a, rtol=1e-9)
+        np.testing.assert_allclose(got_pc, ref_pc, rtol=1e-9)
+        assert conv_output_size(img, k, pad, st) == ref.get_conv_output_size(
+            img, k, pad, st)
+
+    # depthwise (groups == in_channels) branch
+    for img, k, ch, st, pad, s, bias, act, bits in [
+        (32, 3, 16, 1, "same", 0.0, True, True, 32),
+        (20, 5, 8, 2, "valid", 0.5, False, True, 16),
+        (15, 3, 4, 1, "same", 0.75, True, False, 32),
+    ]:
+        op = ref.DepthWiseConv2D(img, [k, k, ch, 1], [st, st], pad, bias,
+                                 "relu" if act else None)
+        ref_pc, ref_m, ref_a = ref.count_ops(op, s, bits)
+        got_m, got_a = conv_layer_flops(
+            img, k, ch, ch, stride=st, padding=pad, sparsity=s,
+            has_bias=bias, activation=act, depthwise=True)
+        got_pc = conv_param_bits(k, ch, ch, sparsity=s, has_bias=bias,
+                                 param_bits=bits, depthwise=True)
+        np.testing.assert_allclose(got_m, ref_m, rtol=1e-9)
+        np.testing.assert_allclose(got_a, ref_a, rtol=1e-9)
+        np.testing.assert_allclose(got_pc, ref_pc, rtol=1e-9)
