@@ -57,6 +57,7 @@ def save_checkpoint(
     mask_state: Optional[MaskState] = None,
     key=None,
     step: int = 0,
+    ekfac_state=None,
 ) -> None:
     out: Dict[str, np.ndarray] = {"meta.step": np.asarray(step),
                                   "meta.n_layers": np.asarray(len(params))}
@@ -67,6 +68,14 @@ def save_checkpoint(
         _flat_layers("mu", opt_state.mu, out)
         _flat_layers("nu", opt_state.nu, out)
         out["meta.count"] = np.asarray(opt_state.count)
+    if ekfac_state is not None and len(ekfac_state) and len(ekfac_state[0]):
+        # EKFAC preconditioner state (optim/ekfac.py EkfacState): per
+        # weighted layer KFE eigvecs + second moments; fewer entries than
+        # n_layers when some layers are bias-only, so record its own count
+        out["meta.ekfac_layers"] = np.asarray(len(ekfac_state.ua))
+        _flat_layers("ekfac_ua", ekfac_state.ua, out)
+        _flat_layers("ekfac_ug", ekfac_state.ug, out)
+        _flat_layers("ekfac_m2", ekfac_state.m2, out)
     if mask_state is not None:
         _flat_layers("mask", mask_state.masks, out)
         out["mask.baseline_nonzero"] = np.asarray(mask_state.baseline_nonzero)
@@ -104,6 +113,15 @@ def load_checkpoint(path) -> Dict[str, Any]:
             mu=_unflat_layers("mu", data, n),
             nu=_unflat_layers("nu", data, n),
             count=jnp.asarray(data["meta.count"]),
+        )
+    if "meta.ekfac_layers" in data:
+        from implicit_image_tpu.optim.ekfac import EkfacState
+
+        ne = int(data["meta.ekfac_layers"])
+        out["ekfac_state"] = EkfacState(
+            ua=_unflat_layers("ekfac_ua", data, ne),
+            ug=_unflat_layers("ekfac_ug", data, ne),
+            m2=_unflat_layers("ekfac_m2", data, ne),
         )
     if "mask.total_params" in data:
         out["mask_state"] = MaskState(

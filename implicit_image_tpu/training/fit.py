@@ -560,11 +560,13 @@ def fit(
 
     if checkpoint_path is not None or resume_from is not None:
         # mid-run checkpoint/resume rides the segment boundaries (the scan
-        # carry IS the training state); adam-only, no EKFAC state in the
-        # checkpoint format (training/checkpoint.py)
-        if optim_cfg.name != "adam" or optim_cfg.preconditioner:
+        # carry IS the training state); adam (optionally +EKFAC — the
+        # checkpoint format carries the KFE state, training/checkpoint.py)
+        if optim_cfg.name != "adam" or optim_cfg.preconditioner not in (
+            None, "", "ekfac",
+        ):
             raise ValueError(
-                "checkpoint/resume supports plain adam fits"
+                "checkpoint/resume supports adam fits (plain or ekfac)"
             )
 
     if watch is not None or checkpoint_path is not None or resume_from is not None:
@@ -640,8 +642,19 @@ def _fit_segmented(
         mask_state = ck.get("mask_state")
         if mask_state is None:
             mask_state = _dummy_mask_state(ck["params"])
+        if optim_cfg.preconditioner == "ekfac":
+            if "ekfac_state" not in ck:
+                raise ValueError(
+                    "resume with preconditioner='ekfac' needs a checkpoint "
+                    "written by an ekfac fit (no EKFAC state found in "
+                    f"{resume_from})"
+                )
+            ekfac_override = ck["ekfac_state"]
+        else:
+            ekfac_override = ()
         carry_override = (
-            ck["params"], ck["opt_state"], mask_state, ck["key"], (),
+            ck["params"], ck["opt_state"], mask_state, ck["key"],
+            ekfac_override,
         )
         start0 = ck["step"]
 
@@ -660,6 +673,7 @@ def _fit_segmented(
                     mask_state=mask_state if sparse else None,
                     key=carry[3],
                     step=next_step,
+                    ekfac_state=carry[4] if len(carry) > 4 else None,
                 )
             if watch is not None:
                 watch(params, opt_state, next_step)

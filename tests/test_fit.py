@@ -199,6 +199,38 @@ def test_checkpoint_resume_bit_exact(tmp_path, small_problem):
     assert np.asarray(resumed.metrics["loss"]).shape == (60,)
 
 
+@pytest.mark.slow
+def test_checkpoint_resume_ekfac_bit_exact(tmp_path, small_problem):
+    """EKFAC fits checkpoint/resume bit-exactly: the KFE state (eigvecs +
+    second moments) rides the checkpoint format alongside adam moments."""
+    grid, img, mdef, mcfg = small_problem
+    ck = tmp_path / "ckpt.npz"
+    ocfg = OptimConfig(lr=1e-3, preconditioner="ekfac", precond_interval=10)
+
+    full = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+               TrainConfig(num_steps=100, log_steps=25, segment_steps=40),
+               ocfg)
+    fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=40, log_steps=25, segment_steps=40),
+        ocfg, checkpoint_path=ck)
+    resumed = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+                  TrainConfig(num_steps=100, log_steps=25, segment_steps=40),
+                  ocfg, resume_from=ck)
+    for a, b in zip(jax.tree_util.tree_leaves(full.params),
+                    jax.tree_util.tree_leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a plain-adam checkpoint cannot seed an ekfac resume
+    ck2 = tmp_path / "plain.npz"
+    fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=40, log_steps=25, segment_steps=40),
+        OptimConfig(lr=1e-3), checkpoint_path=ck2)
+    with pytest.raises(ValueError, match="EKFAC state"):
+        fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+            TrainConfig(num_steps=100, log_steps=25, segment_steps=40),
+            ocfg, resume_from=ck2)
+
+
 def test_checkpoint_resume_rejects_unsupported_optim(small_problem, tmp_path):
     grid, img, mdef, mcfg = small_problem
     with pytest.raises(ValueError, match="adam"):
