@@ -12,6 +12,9 @@ backends the reference lacks:
               backend but left it a stub, __init__.py:51-52,64-65)
   * range   — adaptive order-1 binary range coder (native C++); beats
               zstd-22 on the actual fp16-weight / k-means-label payload
+  * rans    — static 2-way interleaved rANS (native C++): fractional-bit
+              rate at table-driven decode speed — the decode-latency-
+              optimized choice for serving
   * auto    — encodes with every backend, keeps the smallest (1-byte tag)
 
 Functional API instead of the reference's writer/reader classes: the whole
@@ -26,13 +29,15 @@ import zlib
 
 from implicit_image_tpu.coding.huffman import huffman_decode, huffman_encode
 from implicit_image_tpu.coding.range_coder import range_decode, range_encode
+from implicit_image_tpu.coding.rans import rans_decode, rans_encode
 
 __all__ = ["encode_stream", "decode_stream", "backend_names"]
 
-backend_names = ("plain", "zstd", "lzma", "huffman", "range", "auto")
+backend_names = ("plain", "zstd", "lzma", "huffman", "range", "rans", "auto")
 
 # Candidate set for the `auto` backend; tag byte = index in this tuple.
-_AUTO_ORDER = ("zstd", "lzma", "huffman", "range", "plain")
+# Append-only: existing tags are burned into already-written containers.
+_AUTO_ORDER = ("zstd", "lzma", "huffman", "range", "plain", "rans")
 
 
 def encode_stream(name: str, raw: bytes, level: int = 22, **kwargs) -> bytes:
@@ -51,6 +56,8 @@ def encode_stream(name: str, raw: bytes, level: int = 22, **kwargs) -> bytes:
         return huffman_encode(raw)
     if name == "range":
         return range_encode(raw)
+    if name == "rans":
+        return rans_encode(raw)
     if name == "auto":
         best_tag, best = 0, None
         for tag, backend in enumerate(_AUTO_ORDER):
@@ -88,6 +95,8 @@ def decode_stream(name: str, blob: bytes, **kwargs) -> bytes:
         return huffman_decode(blob)
     if name == "range":
         return range_decode(blob)
+    if name == "rans":
+        return rans_decode(blob)
     if name == "auto":
         if not blob:
             raise ValueError("empty auto-coded stream")

@@ -77,6 +77,67 @@ def test_range_coder_native_python_interop():
     assert range_encode(data) == _rc_py_encode(data)
 
 
+@pytest.mark.parametrize(
+    "data",
+    [b"", b"x", b"ab" * 500, bytes(range(256)) * 7, b"\x00" * 4096],
+    ids=["empty", "single", "two-sym", "uniform", "constant"],
+)
+def test_rans_edge_cases(data):
+    from implicit_image_tpu.coding.rans import (
+        _py_decode as _ra_py_decode,
+        _py_encode as _ra_py_encode,
+        rans_decode,
+        rans_encode,
+    )
+
+    assert rans_decode(rans_encode(data)) == data
+    assert _ra_py_decode(_ra_py_encode(data)) == data
+
+
+def test_rans_native_python_interop():
+    from implicit_image_tpu.coding.rans import (
+        _py_decode as _ra_py_decode,
+        _py_encode as _ra_py_encode,
+        rans_decode,
+        rans_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 8, size=5_000, dtype=np.uint8).tobytes()
+    # each implementation decodes the other's stream bit-identically
+    assert _ra_py_decode(rans_encode(data)) == data
+    assert rans_decode(_ra_py_encode(data)) == data
+    assert rans_encode(data) == _ra_py_encode(data)
+
+
+def test_rans_rate_beats_huffman_on_skewed_labels():
+    """The point of rANS: fractional-bit rate. On a skewed (k-means-label-
+    like) distribution the canonical-Huffman integer bit lengths must lose
+    to the rANS stream, and rANS must land within ~2% of the empirical
+    order-0 entropy floor."""
+    from implicit_image_tpu.coding.rans import rans_encode
+
+    rng = np.random.default_rng(4)
+    # Zipf-ish 8-symbol alphabet, strongly skewed
+    p = np.array([0.55, 0.2, 0.1, 0.06, 0.04, 0.025, 0.015, 0.01])
+    data = rng.choice(8, size=200_000, p=p).astype(np.uint8).tobytes()
+    freq = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
+    q = freq[freq > 0] / len(data)
+    h0_bytes = -(q * np.log2(q)).sum() * len(data) / 8
+    r = len(rans_encode(data))
+    h = len(huffman_encode(data))
+    assert r < h
+    assert r < h0_bytes * 1.02 + 64
+
+
+def test_auto_backend_tag_order_back_compat():
+    """auto-stream tags are burned into written containers: the candidate
+    order must stay append-only (zstd,lzma,huffman,range,plain,rans)."""
+    from implicit_image_tpu.coding.parsers import _AUTO_ORDER
+
+    assert _AUTO_ORDER[:5] == ("zstd", "lzma", "huffman", "range", "plain")
+
+
 def test_shuffle_plus_auto_beats_plain_zstd_on_fp16():
     """The headline rate win: byte-plane shuffle + auto backend must encode
     an fp16 weight-like payload strictly smaller than the reference
