@@ -52,31 +52,67 @@ def main() -> None:
 
     print(f"[bench] device={jax.devices()[0].device_kind}", file=sys.stderr)
 
+    # Every stage below is soft-failed: the driver depends on the one JSON
+    # line, so no protocol exception may abort before it is printed.
+
     # ---- quality bar: reference operating point, complete protocol ----
-    s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
-    ref = full_protocol(
-        "siren_ref", s_def, s_cfg, grid, img, 2000, OptimConfig(),
-        "outputs/bench/siren_ref", stream="zstd",
-    )
+    ref = None
+    try:
+        s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
+        ref = full_protocol(
+            "siren_ref", s_def, s_cfg, grid, img, 2000, OptimConfig(),
+            "outputs/bench/siren_ref", stream="zstd",
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] reference-point protocol failed: {e!r}",
+              file=sys.stderr)
 
     # ---- flagship: CoordX s4/w96, complete protocol ----
-    c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
-                               split_depth=4)
-    flag = full_protocol(
-        "coordx_w96_b1200", c_def, c_cfg, grid, img, 1200, OptimConfig(),
-        "outputs/bench/coordx_flagship", stream="huffman",
+    flag = None
+    try:
+        c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
+                                   split_depth=4)
+        flag = full_protocol(
+            "coordx_w96_b1200", c_def, c_cfg, grid, img, 1200, OptimConfig(),
+            "outputs/bench/coordx_flagship", stream="huffman",
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] flagship protocol failed: {e!r}", file=sys.stderr)
+
+    meets = bool(
+        ref is not None and flag is not None
+        and flag["decoded_psnr"] >= ref["decoded_psnr"]
+        and flag["bytes"] <= ref["bytes"]
     )
-    meets = (flag["decoded_psnr"] >= ref["decoded_psnr"]
-             and flag["bytes"] <= ref["bytes"])
 
     if meets:
         lead_value = flag["total_wall_s"]
         lead_metric = "complete_512px_protocol_to_ref_quality_wall"
-    else:  # honesty guard — never report the flagship on a failed bar
+    elif ref is not None:
+        # honesty guard — never report the flagship on a failed/unknown bar
         lead_value = ref["fit_wall_s"]
         lead_metric = "fit_512px_siren_d8w128_2000steps_wall"
         print("[bench] flagship missed the bar; falling back to the "
               "strict fit wall", file=sys.stderr)
+    elif flag is not None:
+        # bar run died; flagship wall is still a real measurement, but it
+        # cannot claim reference quality
+        lead_value = flag["total_wall_s"]
+        lead_metric = "complete_512px_protocol_wall_bar_unmeasured"
+    else:
+        # last resort: strict fit alone, no quant/coding stages
+        from implicit_image_tpu.training.fit import TrainConfig, fit
+
+        s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
+        res = fit(jax.random.PRNGKey(0), s_def, s_cfg, grid, img,
+                  TrainConfig(num_steps=2000, log_steps=500), OptimConfig())
+        p = np.asarray(res.metrics["psnr"])
+        ref = {"fit_wall_s": round(res.wall_seconds, 3),
+               "total_wall_s": round(res.wall_seconds, 3),
+               "fit_psnr": round(float(p[np.isfinite(p)][-1]), 2),
+               "decoded_psnr": None, "bytes": None}
+        lead_value = ref["fit_wall_s"]
+        lead_metric = "fit_512px_siren_d8w128_2000steps_wall"
 
     print(json.dumps({
         "metric": lead_metric,
@@ -86,16 +122,17 @@ def main() -> None:
         # the reference publishes no numbers; the divisor is the 40 s
         # RTX 2080 Ti fit-only estimate documented in BASELINE.md
         "baseline": "rtx2080ti-estimate-40s-fit-only",
-        "flagship_meets_bar": bool(meets),
-        "flagship_decoded_db": flag["decoded_psnr"],
-        "flagship_bytes": flag["bytes"],
-        "bar_decoded_db": ref["decoded_psnr"],
-        "bar_bytes": ref["bytes"],
+        "flagship_meets_bar": meets,
+        "flagship_decoded_db": flag["decoded_psnr"] if flag else None,
+        "flagship_bytes": flag["bytes"] if flag else None,
+        "bar_decoded_db": ref["decoded_psnr"] if ref else None,
+        "bar_bytes": ref["bytes"] if ref else None,
         # strict same-architecture numbers (previous rounds' headline)
-        "siren_fit_wall_s": ref["fit_wall_s"],
-        "siren_fit_vs_baseline": round(REF_ESTIMATE_S / ref["fit_wall_s"], 2),
-        "siren_protocol_wall_s": ref["total_wall_s"],
-        "siren_fit_psnr_db": ref["fit_psnr"],
+        "siren_fit_wall_s": ref["fit_wall_s"] if ref else None,
+        "siren_fit_vs_baseline": (
+            round(REF_ESTIMATE_S / ref["fit_wall_s"], 2) if ref else None),
+        "siren_protocol_wall_s": ref["total_wall_s"] if ref else None,
+        "siren_fit_psnr_db": ref["fit_psnr"] if ref else None,
         # throughput form: batched vmapped fits, 3.68 s/fit measured
         # (64 x 256^2 x 2000 steps; benchmarks/batched_throughput.py)
         "batched_s_per_fit": 3.68,

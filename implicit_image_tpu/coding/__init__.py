@@ -125,11 +125,11 @@ def _shuffle_tensor_bytes(arr: np.ndarray) -> bytes:
     run and the near-random mantissa bytes into another, which every
     entropy backend compresses ~5% smaller than element-interleaved bytes
     (measured in tests/test_coding.py). Identity for 1-byte dtypes.
+
+    Defined via _tensor_planes so format-2 (per-tensor shuffle) and
+    format-3 (global plane grouping) payload bytes can never diverge.
     """
-    arr = np.ascontiguousarray(arr).reshape(-1)
-    if arr.dtype.itemsize == 1 or arr.size == 0:
-        return arr.tobytes()
-    return arr.view(np.uint8).reshape(-1, arr.dtype.itemsize).T.tobytes()
+    return b"".join(_tensor_planes(arr))
 
 
 def _unshuffle_tensor_bytes(buf: bytes, dtype: np.dtype, size: int) -> np.ndarray:

@@ -115,6 +115,8 @@ def _py_encode(data: bytes) -> bytes:
 
 
 def _py_decode(blob: bytes) -> bytes:
+    if len(blob) < 14:
+        raise ValueError("truncated rans stream")
     magic, raw = struct.unpack_from("<IQ", blob, 0)
     if magic != _MAGIC:
         raise ValueError("bad rans magic")
@@ -122,6 +124,8 @@ def _py_decode(blob: bytes) -> bytes:
         return b""
     (n_syms,) = struct.unpack_from("<H", blob, 12)
     hp = 14
+    if len(blob) < hp + 3 * n_syms + 8:
+        raise ValueError("truncated rans stream")
     scaled = [0] * 256
     for _ in range(n_syms):
         s, f = struct.unpack_from("<BH", blob, hp)
@@ -174,17 +178,22 @@ def rans_encode(data: bytes) -> bytes:
 
 
 def rans_decode(blob: bytes) -> bytes:
+    # validate the header here so every corrupt path raises ValueError
+    # (the contract the other backends follow) before any allocation
+    if len(blob) < 14:
+        raise ValueError("truncated rans stream")
+    magic, raw = struct.unpack_from("<IQ", blob, 0)
+    if magic != _MAGIC:
+        raise ValueError("bad rans magic")
+    if raw == 0:
+        return b""
+    if raw > 1 << 40:  # corrupt size field would drive the allocation
+        raise ValueError(f"implausible rans raw size {raw}")
     lib = _load_native()
     if lib is None:
-        return _py_decode(blob)
-    raw = lib.iirans_decode(blob, len(blob), None, 0)
-    if raw == 0 and len(blob) >= 12:
-        (declared,) = struct.unpack_from("<Q", blob, 4)
-        if declared == 0:
-            return b""
         return _py_decode(blob)
     out = ctypes.create_string_buffer(raw)
     got = lib.iirans_decode(blob, len(blob), out, raw)
     if got != raw:
-        return _py_decode(blob)
+        return _py_decode(blob)  # raises ValueError with the root cause
     return out.raw[:raw]

@@ -48,9 +48,12 @@ def resolve_benchmark_path(path: str) -> str | None:
     if not path:
         return None
     base = os.path.basename(path)
-    for cand in (path, os.path.join("data", path),
-                 os.path.join("data", base),
-                 os.path.join("data", "rgb16bit", base)):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rels = (path, os.path.join("data", path), os.path.join("data", base),
+            os.path.join("data", "rgb16bit", base))
+    # CWD-relative first (user paths / repo-root invocation), then
+    # repo-anchored so tools keep resolving from any working directory
+    for cand in rels + tuple(os.path.join(repo, r) for r in rels[1:]):
         if os.path.exists(cand):
             return cand
     return None

@@ -79,18 +79,15 @@ def fleet_fit(
     """Fit a fleet of images across all processes; every process returns
     the fleet-wide PSNR vector (allgathered once over DCN).
 
-    imgs: (B_global, H, W, C). Process p fits its contiguous shard on its
-    local devices via batched_fit (vmap over the local "image" mesh axis).
-    Per-image RNG keys are split GLOBALLY so the fleet result is identical
-    to a single-process run over the same list.
+    imgs: (B_global, H, W, C). Process p fits its contiguous shard with
+    ONE compiled fit program reused across the shard. Per-image RNG keys
+    are split GLOBALLY so the fleet result is identical to a
+    single-process run over the same list.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import multihost_utils
-    from jax.sharding import Mesh
-
-    from implicit_image_tpu.parallel.batched import batched_fit
 
     nproc = jax.process_count()
     pid = jax.process_index()
@@ -104,28 +101,20 @@ def fleet_fit(
     local_psnrs = []
     local_params = []
     if hi > lo:
-        local = jax.local_devices()
-        mesh = (
-            Mesh(np.asarray(local[: hi - lo]).reshape(hi - lo, 1),
-                 ("image", "pixel"))
-            if (hi - lo) <= len(local)
-            else None
-        )
-        # batched_fit takes ONE key and splits per image internally; to
-        # keep fleet == single-process we fit each image with its global
-        # key (the shard sizes are small: a fleet shard per host)
-        for i in range(hi - lo):
-            from implicit_image_tpu.training.fit import fit
+        from implicit_image_tpu.training.fit import make_fit_fn
 
-            res = fit(
-                keys[lo + i], mdef, mcfg, grid, local_imgs[i],
-                train_cfg, optim_cfg, masking_cfg,
-            )
-            p = np.asarray(res.metrics["psnr"]).reshape(-1)
+        # fits in the fleet share one compiled program (pure in
+        # (key, img)); each image keeps its GLOBAL key so fleet results
+        # equal a single-process run over the same list
+        fit_fn = jax.jit(make_fit_fn(
+            mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg,
+        ))
+        for i in range(hi - lo):
+            params, _, _, metrics = fit_fn(keys[lo + i], local_imgs[i])
+            p = np.asarray(metrics["psnr"]).reshape(-1)
             p = p[np.isfinite(p)]
             local_psnrs.append(float(p[-1]) if p.size else float("nan"))
-            local_params.append(res.params)
-        del mesh
+            local_params.append(params)
 
     # one DCN exchange: fixed-size per-process slot vector, summed
     # globally (absent slots are zero) -> every process sees every PSNR

@@ -172,7 +172,8 @@ class CMAES:
     counterpart). Naturally batched: ask() yields a full population per
     generation, which the batched ask-tell loop evaluates as ONE vmapped
     program when the space permits (run_sweep). Categorical dimensions
-    fall back to weighted random draws from the good set.
+    are drawn randomly with weights tilted toward values seen in the
+    top-μ (selected) proposals of earlier generations.
 
     Standard Hansen update equations (rank-μ + rank-1 covariance update,
     cumulative step-size adaptation), maximization convention.
@@ -187,8 +188,9 @@ class CMAES:
         self.rng = rng
         n = max(len(self.keys), 1)
         self.n = n
-        self.lam = popsize or (4 + int(3 * math.log(n)))
-        self.mu = self.lam // 2
+        # λ ≥ 2 / μ ≥ 1 always: popsize 1 would give μ=0 → μ_eff = 1/0
+        self.lam = max(popsize or (4 + int(3 * math.log(n))), 2)
+        self.mu = max(self.lam // 2, 1)
         w = np.log(self.mu + 0.5) - np.log(np.arange(1, self.mu + 1))
         self.w = w / w.sum()
         self.mueff = 1.0 / (self.w**2).sum()
@@ -208,6 +210,12 @@ class CMAES:
         self.ps = np.zeros(n)
         self.gen = 0
         self._pending = None
+        self._pending_cats = None
+        # per-categorical-key counts of values among selected (top-μ)
+        # proposals; draw weights are 1 + count
+        self._cat_good = {
+            k: {} for k in self.cat_space if k != "__cont__"
+        }
 
     def ask(self, k=None):
         """Propose k points (default: the population size λ)."""
@@ -220,27 +228,42 @@ class CMAES:
         )
         ys = zs @ np.diag(d) @ B.T
         xs = np.clip(self.mean + self.sigma * ys, 0.0, 1.0)
+        values = [self._to_values(x) for x in xs]
         self._pending = (xs, ys)
-        return [self._to_values(x) for x in xs]
+        self._pending_cats = [
+            {k: v[k] for k in self._cat_good} for v in values
+        ]
+        return values
 
     def _to_values(self, x):
         out = {}
         for i, key in enumerate(self.keys):
             kind, args = self.cat_space["__cont__"][key]
             out[key] = _from_unit(kind, args, float(x[i]))
-        for key, (kind, args) in self.cat_space.items():
+        for key, spec in self.cat_space.items():
             if key == "__cont__":
                 continue
-            out[key] = self.rng.choice(args).strip()
+            _, args = spec
+            choices = [c.strip() for c in args]
+            good = self._cat_good[key]
+            weights = [1.0 + good.get(c, 0) for c in choices]
+            out[key] = self.rng.choices(choices, weights=weights, k=1)[0]
         return out
 
     def tell(self, objectives):
         """Update from the objectives of the last ask() batch (same order)."""
         np = self.np
         xs, ys = self._pending
+        # the tail round of a sweep may evaluate fewer than λ proposals;
+        # select among what was actually scored and renormalize weights
         order = np.argsort(-np.asarray(objectives))[: self.mu]
         y_sel = ys[order]
-        y_w = self.w @ y_sel
+        w = self.w[: len(order)]
+        w = w / w.sum()
+        for idx in order:
+            for key, val in self._pending_cats[int(idx)].items():
+                self._cat_good[key][val] = self._cat_good[key].get(val, 0) + 1
+        y_w = w @ y_sel
         self.mean = np.clip(self.mean + self.sigma * y_w, 0.0, 1.0)
         # step-size path (C^-1/2 y_w)
         d, B = np.linalg.eigh(self.C)
@@ -257,7 +280,7 @@ class CMAES:
         self.pc = (1 - self.cc) * self.pc + hsig * math.sqrt(
             self.cc * (2 - self.cc) * self.mueff
         ) * y_w
-        rank_mu = sum(w * np.outer(y, y) for w, y in zip(self.w, y_sel))
+        rank_mu = sum(wi * np.outer(y, y) for wi, y in zip(w, y_sel))
         self.C = (
             (1 - self.c1 - self.cmu) * self.C
             + self.c1
@@ -270,6 +293,7 @@ class CMAES:
         self.sigma = min(self.sigma, 1.0)
         self.gen += 1
         self._pending = None
+        self._pending_cats = None
 
 
 def ask_batch(space, history, rng, params, cma=None):
@@ -310,11 +334,13 @@ def run_sweep(evaluate_batch, space, params, rng=None):
     if str(params["sampler"]) == "cmaes":
         cont = {k: v for k, v in space.items() if v[0] != "choice"}
         cats = {k: v for k, v in space.items() if v[0] == "choice"}
+        b = int(params.get("batch", 1))
         cma = CMAES(
             list(cont),
             {"__cont__": cont, **cats},
             rng,
-            popsize=max(int(params.get("batch", 1)), 0) or None,
+            # batch<=1 means "no explicit population": use the default λ
+            popsize=b if b > 1 else None,
         )
     history: List[Tuple[Dict[str, object], float]] = []
     trials = []

@@ -299,6 +299,90 @@ def test_cmaes_beats_random_on_quadratic():
     assert cma >= rnd, (cma, rnd)
 
 
+def test_cmaes_mixed_space_any_dim_and_batch():
+    """Regression: cmaes on a ONE-continuous-dim space with a categorical
+    and batch=1 (default popsize) must neither crash on the '__cont__'
+    entry nor emit NaN proposals, and categorical draws must tilt toward
+    values seen in selected proposals."""
+    import math
+
+    from implicit_image_tpu.sweep import run_sweep
+
+    space = {"masking.density": ("loguniform", ["0.05", "0.95"]),
+             "quant": ("choice", ["kmeans", "qat"])}
+
+    def evaluate(batch_values):
+        out = []
+        for v in batch_values:
+            d = float(v["masking.density"])
+            # category dominates the objective so the good-set tilt is
+            # observable; density adds a small smooth term
+            bonus = 10.0 if v["quant"] == "kmeans" else 0.0
+            out.append((bonus - (d - 0.3) ** 2, 10000))
+        return out
+
+    for batch in (1, 3):
+        params = {"n_trials": 24, "seed": 0, "lambda_kb": 0.0,
+                  "sampler": "cmaes", "n_startup": 5, "gamma": 0.25,
+                  "batch": batch}
+        trials, best = run_sweep(evaluate, space, params)
+        assert len(trials) == 24
+        for t in trials:
+            assert not math.isnan(float(t["values"]["masking.density"]))
+    # the rewarded category must dominate the later proposals
+    late = trials[len(trials) // 2:]
+    km = sum(t["values"]["quant"] == "kmeans" for t in late)
+    assert km >= len(late) // 2, km
+    assert best[1]["quant"] == "kmeans"
+
+
+def test_bench_always_prints_json_line(monkeypatch, capsys, tmp_path):
+    """Regression: the driver depends on bench.py's single JSON line; a
+    protocol exception must soft-fail into the strict-fit fallback, never
+    abort before the line is printed."""
+    import json as _json
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    _sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+    import bench
+    import time_to_quality
+
+    def boom(*a, **k):
+        raise RuntimeError("protocol exploded")
+
+    monkeypatch.setattr(time_to_quality, "full_protocol", boom)
+    # tiny shapes + tiny last-resort fit so the fallback is fast on CPU
+    import importlib
+
+    from implicit_image_tpu import data as data_mod
+
+    # (attribute `fit` on the package shadows the submodule name)
+    fit_mod = importlib.import_module("implicit_image_tpu.training.fit")
+
+    real_img, real_grid = data_mod.synthetic_image, data_mod.get_grid
+    monkeypatch.setattr(data_mod, "synthetic_image",
+                        lambda h, w, **k: real_img(32, 32, **k))
+    monkeypatch.setattr(data_mod, "get_grid",
+                        lambda h, w: real_grid(32, 32))
+    real_fit = fit_mod.fit
+
+    def tiny_fit(key, mdef, mcfg, grid, img, tcfg, ocfg, *a, **k):
+        tcfg = type(tcfg)(num_steps=5, log_steps=5)
+        return real_fit(key, mdef, mcfg, grid, img, tcfg, ocfg, *a, **k)
+
+    monkeypatch.setattr(fit_mod, "fit", tiny_fit)
+    monkeypatch.chdir(tmp_path)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = _json.loads(out[-1])
+    assert rec["metric"] == "fit_512px_siren_d8w128_2000steps_wall"
+    assert rec["flagship_meets_bar"] is False
+    assert rec["value"] > 0
+
+
 def test_batched_ask_tell_driver_counts_and_batches():
     """run_sweep asks B points per round, evaluates each round in ONE
     evaluator call, and stops exactly at n_trials (trimming the last

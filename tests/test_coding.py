@@ -130,6 +130,25 @@ def test_rans_rate_beats_huffman_on_skewed_labels():
     assert r < h0_bytes * 1.02 + 64
 
 
+def test_rans_corrupt_blob_raises_valueerror():
+    """Corrupt/truncated rans streams raise ValueError (the backends'
+    shared contract), never struct.error or a giant allocation."""
+    from implicit_image_tpu.coding.rans import rans_decode, rans_encode
+
+    with pytest.raises(ValueError):
+        rans_decode(b"IIRA" + b"\x00" * 5)  # truncated header
+    with pytest.raises(ValueError):
+        rans_decode(b"XXXX" + b"\x00" * 10)  # bad magic
+    import struct as _struct
+
+    huge = _struct.pack("<IQH", 0x41524949, 1 << 50, 0)
+    with pytest.raises(ValueError):
+        rans_decode(huge)  # implausible raw size
+    good = bytearray(rans_encode(b"hello world" * 10))
+    with pytest.raises(ValueError):
+        rans_decode(bytes(good[:20]))  # truncated body/table
+
+
 def test_auto_backend_tag_order_back_compat():
     """auto-stream tags are burned into written containers: the candidate
     order must stay append-only (zstd,lzma,huffman,range,plain,rans)."""
