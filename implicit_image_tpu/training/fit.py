@@ -212,6 +212,15 @@ def make_train_step(
         k = train_cfg.pixel_chunks
         if n % k:
             raise ValueError(f"pixel_chunks={k} must divide pixel count {n}")
+        # separable models (CoordX) keep their O(H+W) factorized branches
+        # under chunking when chunks are whole row blocks: each contiguous
+        # H/k-row slice of a tensor-product grid is itself a tensor
+        # product, so the chunk loss runs the separable grid path with the
+        # same memory bound ((H/k)·W fused activations per chunk)
+        sub_hw = None
+        if (grid_hw is not None and mdef.separable
+                and not train_cfg.use_pallas and grid_hw[0] % k == 0):
+            sub_hw = (grid_hw[0] // k, grid_hw[1])
         coords_c = coords.reshape(k, n // k, coords.shape[-1])
         target_c = target_flat.reshape(k, n // k, target_flat.shape[-1])
 
@@ -220,6 +229,7 @@ def make_train_step(
                 return make_loss_fn(
                     mdef, mcfg, c, t, compute_dtype,
                     train_cfg.use_pallas, train_cfg.remat,
+                    grid_hw=sub_hw,
                 )(p)
 
             def body(acc, ct):
@@ -431,7 +441,7 @@ def make_fit_segments(
         train_step = make_train_step(
             mdef, mcfg, coords, target_flat, train_cfg, optim_cfg,
             masking_cfg if sparse else None,
-            grid_hw=(h, w) if train_cfg.pixel_chunks == 1 else None,
+            grid_hw=(h, w),
         )
         steps = jnp.asarray(start, jnp.int32) + jnp.arange(length)
         return jax.lax.scan(train_step, carry, steps)

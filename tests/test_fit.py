@@ -137,6 +137,28 @@ def test_pixel_chunks_matches_full_batch(small_problem):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_pixel_chunks_separable_rows_match_full_batch():
+    """Row-aligned chunking keeps CoordX's factorized branch path and is
+    numerically equivalent to the full-grid separable gradient."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+
+    grid = get_grid(32, 32)
+    img = jnp.asarray(synthetic_image(32, 32, seed=1, complexity=3))
+    mdef, mcfg = build_model("coordx", depth=6, hidden_size=24, split_depth=3)
+    kwargs = dict(num_steps=20, log_steps=10)
+    r1 = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+             TrainConfig(**kwargs), OptimConfig())
+    # 4 chunks: 32 rows % 4 == 0 -> separable row chunking
+    r2 = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+             TrainConfig(**kwargs, pixel_chunks=4), OptimConfig())
+    for a, b in zip(jax.tree_util.tree_leaves(r1.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    p1 = np.asarray(r1.metrics["psnr"]); p1 = p1[np.isfinite(p1)]
+    p2 = np.asarray(r2.metrics["psnr"]); p2 = p2[np.isfinite(p2)]
+    np.testing.assert_allclose(p1, p2, atol=0.05)
+
+
 def test_pixel_chunks_must_divide():
     from implicit_image_tpu.data import get_grid, synthetic_image
 
