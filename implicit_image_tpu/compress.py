@@ -94,15 +94,45 @@ def _load_image(img_cfg) -> np.ndarray:
 
 def _auto_segment_steps(cfg) -> int:
     """Per-step cost grows ~quadratically with hidden width (the matmul
-    chain is K=width-bound, BASELINE.md shape ceiling); scale the default
-    2000-step segment so one execution stays well under the runtime's
-    ~60 s wall budget at any width. An explicit train.segment_steps wins."""
+    chain is K=width-bound, BASELINE.md shape ceiling) and ~linearly with
+    pixel count; scale the default 2000-step segment so one execution stays
+    well under the runtime's ~60 s wall budget at any operating point. An
+    explicit train.segment_steps wins."""
     explicit = cfg.train.get("segment_steps")
     if explicit is not None:
         return int(explicit)
     width = int(cfg.mlp.get("hidden_size", 128))
     scale = min(1.0, (128.0 / max(width, 1)) ** 2)
+    pixels = int(cfg.img.get("height", 512)) * int(cfg.img.get("width", 512))
+    scale *= min(1.0, (512.0 * 512.0) / max(pixels, 1))
     return max(25, int(2000 * scale))
+
+
+# At most this many pixels per gradient chunk under pixel_chunks="auto":
+# a 1024x1024 (2^20-pixel) full-grid fit+backward is measured safe in v5e
+# HBM at the protocol widths (BASELINE.md large-image table); beyond that
+# the unchunked 2048^2 run crashes the worker.
+_AUTO_CHUNK_PIXELS = 1 << 20
+
+
+def _auto_pixel_chunks(h: int, w: int) -> int:
+    """Smallest row-aligned chunk count bounding each chunk to
+    _AUTO_CHUNK_PIXELS. Row alignment (k | H) keeps CoordX's separable
+    chunk path (fit.py:215-223) and guarantees k divides H*W."""
+    if h * w <= _AUTO_CHUNK_PIXELS:
+        return 1
+    need = -(-(h * w) // _AUTO_CHUNK_PIXELS)  # ceil
+    for k in range(need, h + 1):
+        if h % k == 0:
+            return k
+    return h  # one row per chunk (unreachable for any h >= need)
+
+
+def _resolve_pixel_chunks(raw, h: int, w: int) -> int:
+    """train.pixel_chunks: an int, or "auto"/0 -> _auto_pixel_chunks."""
+    if raw in ("auto", None) or (isinstance(raw, (int, float)) and int(raw) == 0):
+        return _auto_pixel_chunks(h, w)
+    return int(raw)
 
 
 def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
@@ -153,7 +183,9 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         multiplier=mult,
         save_weights=cfg.train.get("save_weights", True),
         use_pallas=bool(cfg.train.get("use_pallas", False)) and cfg.mlp.name == "siren",
-        pixel_chunks=int(cfg.train.get("pixel_chunks", 1)),
+        pixel_chunks=_resolve_pixel_chunks(
+            cfg.train.get("pixel_chunks", "auto"), h, w
+        ),
         segment_steps=_auto_segment_steps(cfg),
     )
     # PyYAML parses bare "3e-4" as a string; coerce fields that LOOK
@@ -255,6 +287,7 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             params, img, mdef, mcfg, grid, quant_cfg, optim_cfg,
             masks=masks,
             compute_dtype=jnp.bfloat16 if train_cfg.compute_dtype else None,
+            pixel_chunks=train_cfg.pixel_chunks,
         )
         qpsnr = float(np.asarray(qres.metrics["quant_psnr"]))
         logger.log(

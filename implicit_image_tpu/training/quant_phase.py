@@ -72,15 +72,23 @@ def make_quant_fit_fn(
     optim_cfg: OptimConfig,
     masks: Optional[Tuple] = None,
     compute_dtype=None,
+    pixel_chunks: int = 1,
 ):
     """Build quant_fit(params, img) -> (final params, codebooks, metrics).
 
     Pure in (params, img): vmap/shard it like the fit itself.
     `masks` is the (static-structure) mask tuple from the sparse fit, or
-    None for dense models.
+    None for dense models. `pixel_chunks` bounds HBM exactly as in the fit
+    (training/fit.py TrainConfig.pixel_chunks): the finetune loss/grad is
+    accumulated over equal pixel chunks — row-aligned blocks when possible
+    so CoordX keeps its factorized-grid path per chunk.
     """
     h, w, c = grid.shape
-    coords = grid.reshape(h * w, c)
+    n = h * w
+    coords = grid.reshape(n, c)
+    k = int(pixel_chunks)
+    if k > 1 and n % k:
+        raise ValueError(f"pixel_chunks={k} must divide pixel count {n}")
     # quantize-mode scheduler: StepLR(1000, 0.5) (train_helper.py:79-80)
     schedule = step_lr(optim_cfg.lr, 1000, 0.5)
 
@@ -97,14 +105,96 @@ def make_quant_fit_fn(
         def _forward(params):
             return mdef.apply_flat(params, coords, mcfg, compute_dtype)
 
+    if k > 1:
+        # contiguous row blocks of a tensor-product grid are themselves
+        # tensor products, so separable models keep the O(H+W) branch path
+        # per chunk whenever k divides H (same reasoning as fit.py:215-223)
+        if mdef.separable and h % k == 0:
+            chunk_inputs = grid.reshape(k, h // k, w, c)
+
+            def _forward_chunk(params, g):
+                return mdef.apply(params, g, mcfg, compute_dtype).reshape(
+                    (h // k) * w, -1
+                )
+        else:
+            chunk_inputs = coords.reshape(k, n // k, c)
+
+            def _forward_chunk(params, cc):
+                return mdef.apply_flat(params, cc, mcfg, compute_dtype)
+
+    def _make_grad_fn(transform, target_flat):
+        """value_and_grad of mse(_forward(transform(state)), target),
+        chunk-accumulated when pixel_chunks > 1 (equal chunks -> the mean
+        of chunk means equals the full-batch mean exactly)."""
+        if k == 1:
+            return jax.value_and_grad(
+                lambda st: mse(_forward(transform(st)), target_flat)
+            )
+        target_c = target_flat.reshape(k, n // k, target_flat.shape[-1])
+
+        def grad_fn(st):
+            def chunk_loss(s, g, t):
+                return mse(_forward_chunk(transform(s), g), t)
+
+            def body(acc, gt):
+                g, t = gt
+                l, gr = jax.value_and_grad(chunk_loss)(st, g, t)
+                acc_l, acc_g = acc
+                return (
+                    acc_l + l,
+                    jax.tree_util.tree_map(jnp.add, acc_g, gr),
+                ), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, st)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body,
+                (jnp.zeros((), jnp.float32), zero_g),
+                (chunk_inputs, target_c),
+            )
+            inv = 1.0 / k
+            return loss_sum * inv, jax.tree_util.tree_map(
+                lambda g: g * inv, grad_sum
+            )
+
+        return grad_fn
+
     def _final_metrics(params_q, target_flat, metrics):
-        pred = _forward(params_q)
-        qloss = mse(pred, target_flat)
+        if k == 1:
+            pred = _forward(params_q)
+            qloss = mse(pred, target_flat)
+            return {
+                **metrics,
+                "quant_loss": qloss,
+                "quant_psnr": 10.0 * jnp.log10(1.0 / qloss),
+                "quant_psnr_8bit": psnr_8bit(pred, target_flat),
+            }
+        # chunked eval: equal chunks -> mean of per-chunk MSEs is the
+        # full-image MSE (float and 8-bit alike)
+        target_c = target_flat.reshape(k, n // k, target_flat.shape[-1])
+
+        def body(acc, gt):
+            g, t = gt
+            pred = _forward_chunk(params_q, g)
+            d = pred.astype(jnp.float32) - t.astype(jnp.float32)
+            d8 = (
+                (t * 255.0).astype(jnp.int32) - (pred * 255.0).astype(jnp.int32)
+            ).astype(jnp.float32)
+            return (
+                acc[0] + jnp.mean(d * d),
+                acc[1] + jnp.mean(d8 * d8),
+            ), None
+
+        (mse_sum, mse8_sum), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            (chunk_inputs, target_c),
+        )
+        qloss = mse_sum / k
         return {
             **metrics,
             "quant_loss": qloss,
             "quant_psnr": 10.0 * jnp.log10(1.0 / qloss),
-            "quant_psnr_8bit": psnr_8bit(pred, target_flat),
+            "quant_psnr_8bit": 10.0 * jnp.log10(255.0**2 / (mse8_sum / k)),
         }
 
     def _kmeans_quant_fit(params, img):
@@ -146,11 +236,7 @@ def make_quant_fit_fn(
             out = tuple(out)
             return apply_masks(out, masks) if masks is not None else out
 
-        def loss_fn(st):
-            pred = _forward(reconstruct(st))
-            return mse(pred, target_flat)
-
-        grad_fn = jax.value_and_grad(loss_fn)
+        grad_fn = _make_grad_fn(reconstruct, target_flat)
         opt_state = opt_init(state, optim_cfg)
 
         def step_fn(carry, step):
@@ -185,7 +271,7 @@ def make_quant_fit_fn(
         """Uniform fake-quant QAT (fbgemm stand-in): STE on latent weights."""
         target_flat = img.reshape(h * w, -1)
 
-        def loss_fn(latent):
+        def ste_transform(latent):
             snapped = quantize_params(latent, quant_cfg)
             ste = jax.tree_util.tree_map(
                 lambda q, w: jax.lax.stop_gradient(q) + w - jax.lax.stop_gradient(w),
@@ -194,10 +280,9 @@ def make_quant_fit_fn(
             )
             if masks is not None:
                 ste = apply_masks(ste, masks)
-            pred = _forward(ste)
-            return mse(pred, target_flat)
+            return ste
 
-        grad_fn = jax.value_and_grad(loss_fn)
+        grad_fn = _make_grad_fn(ste_transform, target_flat)
         opt_state = opt_init(params, optim_cfg)
 
         def step_fn(carry, step):
@@ -239,10 +324,12 @@ def quant_finetune(
     optim_cfg: OptimConfig,
     masks=None,
     compute_dtype=None,
+    pixel_chunks: int = 1,
 ) -> QuantResult:
     """Compile + run the quant phase once (single image)."""
     fn = jax.jit(
-        make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg, masks, compute_dtype)
+        make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg, masks,
+                          compute_dtype, pixel_chunks=pixel_chunks)
     )
     img = jnp.asarray(img)
     compiled = fn.lower(params, img).compile()

@@ -402,3 +402,37 @@ def test_multirun_threaded_launcher_matches_serial(tmp_path, monkeypatch):
     # identical member results modulo the output_dir override in the tag
     strip = lambda ls: [l.split("] ")[1] for l in ls]
     assert strip(serial) == strip(threaded)
+
+
+def test_auto_pixel_chunks_resolution():
+    """pixel_chunks="auto" (the default) bounds each gradient chunk to
+    2^20 pixels with a row-aligned chunk count; <=1Mpix grids stay
+    unchunked so the 512^2 protocol behavior is unchanged."""
+    from implicit_image_tpu.compress import (
+        _auto_pixel_chunks,
+        _auto_segment_steps,
+        _resolve_pixel_chunks,
+    )
+
+    assert _auto_pixel_chunks(512, 512) == 1
+    assert _auto_pixel_chunks(1024, 1024) == 1
+    assert _auto_pixel_chunks(2048, 2048) == 4
+    assert _auto_pixel_chunks(4096, 4096) == 16
+    # non-power-of-two: chunk count must divide H (row alignment)
+    k = _auto_pixel_chunks(1500, 1400)
+    assert 1500 % k == 0 and (1500 // k) * 1400 <= (1 << 20)
+    # prime H larger than the bound: falls back to legal divisors only
+    k = _auto_pixel_chunks(1031, 1031)
+    assert 1031 % k == 0 and k > 1
+
+    assert _resolve_pixel_chunks("auto", 2048, 2048) == 4
+    assert _resolve_pixel_chunks(0, 2048, 2048) == 4
+    assert _resolve_pixel_chunks(None, 2048, 2048) == 4
+    assert _resolve_pixel_chunks(8, 2048, 2048) == 8
+    assert _resolve_pixel_chunks("2", 512, 512) == 2
+
+    # segment auto-scaling shrinks with pixel count (runtime ~60 s wall):
+    # 2048^2 runs ~16x slower per step than 512^2 at equal width
+    cfg_small = compose([])
+    cfg_big = compose(["img.height=2048", "img.width=2048"])
+    assert _auto_segment_steps(cfg_big) * 16 == _auto_segment_steps(cfg_small)

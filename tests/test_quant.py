@@ -380,3 +380,78 @@ def test_qat_per_channel_container_roundtrip(tmp_path):
             back[f"layers.{i}.weight"], np.asarray(res.params[i]["w"]),
             atol=1e-6,
         )
+
+
+def test_quant_finetune_pixel_chunks_matches_full_batch():
+    """Chunked quant finetune (pixel_chunks>1) equals the full-batch
+    finetune: equal chunks average exactly (quant_phase._make_grad_fn),
+    so params/metrics must agree to float tolerance. Covers the kmeans
+    path on both a separable (CoordX, row-aligned chunk fast path) and a
+    flat (SIREN) model, and the STE/QAT path on SIREN."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+
+    for name, qname in (("coordx", "KMeans"), ("siren", "KMeans"),
+                        ("siren", "QAT")):
+        depth = 5 if name == "coordx" else 4  # coordx needs split_depth<=depth-2
+        mdef, mcfg = build_model(name, depth=depth, hidden_size=16)
+        res = fit(
+            jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+            TrainConfig(num_steps=50, log_steps=50), OptimConfig(lr=1e-3),
+        )
+        # single step: chunk accumulation is bit-near the full-batch grad
+        # (exactly equal in f64; fp32 leaves ~1e-9 reduction-order noise)
+        q1 = QuantConfig(name=qname, bits=4, num_steps=1)
+        full1 = quant_finetune(res.params, img, mdef, mcfg, grid, q1,
+                               OptimConfig(lr=1e-3))
+        chunk1 = quant_finetune(res.params, img, mdef, mcfg, grid, q1,
+                                OptimConfig(lr=1e-3), pixel_chunks=4)
+        if qname == "KMeans":
+            # (QAT's convert() snaps latents to the uniform grid, so a
+            # ~1e-9 grad difference can flip a weight sitting on a bin
+            # boundary — covered by the metrics band below instead)
+            for lf, lc in zip(full1.params, chunk1.params):
+                for k in lf:
+                    np.testing.assert_allclose(
+                        np.asarray(lf[k]), np.asarray(lc[k]), atol=1e-5,
+                        err_msg=f"{name}/{qname}/{k}",
+                    )
+
+        # multi-step: Adam's sqrt nonlinearity amplifies that noise, so the
+        # bound is a small dB band, not bitwise
+        qcfg = QuantConfig(name=qname, bits=4, num_steps=8)
+        full = quant_finetune(res.params, img, mdef, mcfg, grid, qcfg,
+                              OptimConfig(lr=1e-3))
+        chunked = quant_finetune(res.params, img, mdef, mcfg, grid, qcfg,
+                                 OptimConfig(lr=1e-3), pixel_chunks=4)
+        np.testing.assert_allclose(
+            float(np.asarray(full.metrics["quant_psnr"])),
+            float(np.asarray(chunked.metrics["quant_psnr"])),
+            atol=0.1,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(full.metrics["quant_psnr_8bit"])),
+            float(np.asarray(chunked.metrics["quant_psnr_8bit"])),
+            atol=0.1,
+        )
+
+
+def test_quant_finetune_pixel_chunks_must_divide():
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(10, 10, seed=0)
+    grid = get_grid(10, 10)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=8)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    with pytest.raises(ValueError, match="pixel_chunks"):
+        quant_finetune(params, img, mdef, mcfg, grid,
+                       QuantConfig(bits=4, num_steps=2),
+                       OptimConfig(lr=1e-3), pixel_chunks=3)
