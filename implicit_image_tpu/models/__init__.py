@@ -86,11 +86,29 @@ def _coordx_def() -> ModelDef:
     )
 
 
+def _hashgrid_def() -> ModelDef:
+    from implicit_image_tpu.models.hashgrid import (
+        HashGridConfig,
+        hashgrid_apply,
+        hashgrid_apply_flat,
+        init_hashgrid,
+    )
+
+    return ModelDef(
+        "hashgrid",
+        HashGridConfig,
+        init_hashgrid,
+        hashgrid_apply,
+        hashgrid_apply_flat,
+    )
+
+
 registry = {
     "siren": _siren_def,
     "fourier": _fourier_def,
     "wavelet_siren": _wavelet_siren_def,
     "coordx": _coordx_def,
+    "hashgrid": _hashgrid_def,
 }
 
 

@@ -436,3 +436,37 @@ def test_auto_pixel_chunks_resolution():
     cfg_small = compose([])
     cfg_big = compose(["img.height=2048", "img.width=2048"])
     assert _auto_segment_steps(cfg_big) * 16 == _auto_segment_steps(cfg_small)
+
+
+def test_cli_hashgrid_run_is_decodable(tmp_path):
+    """hashgrid (arXiv:2201.05989) end-to-end: fit -> kmeans (table
+    included via quant.skip_layers=[]) -> entropy code -> CLI decode."""
+    from implicit_image_tpu.compress import main
+    from implicit_image_tpu.decompress import decode_run
+
+    cfg = compose(
+        [
+            "img=synthetic",
+            "img.height=32",
+            "img.width=32",
+            "mlp=hashgrid",
+            "mlp.n_levels=4",
+            "mlp.log2_table_size=8",
+            "mlp.base_resolution=4",
+            "mlp.finest_resolution=32",
+            "mlp.hidden_size=16",
+            "masking=none",
+            "quant=kmeans",
+            "quant.bits=4",
+            "quant.skip_layers=[]",
+            "optim.lr=1e-2",
+            "optim.epsilon=1e-15",
+            "train.num_steps=60",
+            "train.log_steps=20",
+            "entropy_coding=auto",
+        ]
+    )
+    psnr, nbytes = main(cfg, run_dir=str(tmp_path))
+    assert nbytes > 0
+    img, stats = decode_run(tmp_path)
+    assert img.shape == (32, 32, 3)

@@ -145,3 +145,117 @@ def test_quant_skips_sub_codebook_layers():
     # both 1x32 branch-entry layers (0 and 3) skipped, as are first/last
     assert 0 not in qidx and 3 not in qidx
     assert all(params[i]["w"].size >= 4 * 256 for i in qidx)
+
+
+# ---------------------------------------------------------------------------
+# hashgrid (multiresolution hash encoding, arXiv:2201.05989)
+
+
+def _np_pyramid(table, coords, cfg):
+    """Independent numpy mirror of models/hashgrid._pyramid_features."""
+    out = np.zeros((coords.shape[0], cfg.n_levels * cfg.features), np.float32)
+    cap = 1 << cfg.log2_table_size
+    for l, (res, tsize, off) in enumerate(
+        zip(cfg.level_resolutions, cfg.level_table_sizes, cfg.level_offsets)
+    ):
+        pos = coords * res
+        p0 = np.clip(np.floor(pos), 0, res - 1)
+        frac = pos - p0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cy = (p0[:, 0] + dy).astype(np.uint64)
+                cx = (p0[:, 1] + dx).astype(np.uint64)
+                if tsize < cap or (res + 1) ** 2 <= cap:
+                    idx = cy * (res + 1) + cx
+                else:
+                    idx = (cx ^ (cy * 2654435761)) % cap
+                wgt = (frac[:, 0] if dy else 1 - frac[:, 0]) * (
+                    frac[:, 1] if dx else 1 - frac[:, 1]
+                )
+                f = table[(off + idx).astype(np.int64)]
+                out[:, l * cfg.features : (l + 1) * cfg.features] += (
+                    f * wgt[:, None]
+                )
+    return out
+
+
+def test_hashgrid_registry_and_shapes():
+    mdef, cfg = build_model(
+        "hashgrid", n_levels=6, log2_table_size=10, base_resolution=8,
+        finest_resolution=64, depth=3, hidden_size=32,
+    )
+    assert not mdef.separable
+    params = mdef.init(jax.random.PRNGKey(0), cfg)
+    assert len(params) == 1 + 3  # table + depth MLP layers
+    assert params[0]["w"].shape == (cfg.table_rows, cfg.features)
+    assert "b" not in params[0]
+    assert params[1]["w"].shape == (cfg.n_levels * cfg.features, 32)
+    assert params[-1]["w"].shape == (32, 3)
+    # level geometry: NGP schedule endpoints + dense-until-cap table sizes
+    assert cfg.level_resolutions[0] == 8
+    assert cfg.level_resolutions[-1] == 64
+    cap = 1 << 10
+    for r, t in zip(cfg.level_resolutions, cfg.level_table_sizes):
+        assert t == min((r + 1) ** 2, cap)
+    assert cfg.level_offsets[0] == 0
+    assert cfg.table_rows == sum(cfg.level_table_sizes)
+    out = mdef.apply(params, get_grid(6, 9), cfg)
+    assert out.shape == (6, 9, 3)
+
+
+def test_hashgrid_pyramid_matches_numpy_mirror():
+    """The fused one-gather pyramid lookup equals a straightforward
+    per-level numpy implementation, including the direct/hashed split and
+    the coords==1.0 boundary (clipped to the last cell)."""
+    from implicit_image_tpu.models.hashgrid import _pyramid_features
+
+    mdef, cfg = build_model(
+        "hashgrid", n_levels=5, log2_table_size=8, base_resolution=4,
+        finest_resolution=48, depth=2, hidden_size=8,
+    )
+    # both regimes must be exercised
+    cap = 1 << cfg.log2_table_size
+    assert any((r + 1) ** 2 <= cap for r in cfg.level_resolutions)
+    assert any((r + 1) ** 2 > cap for r in cfg.level_resolutions)
+    params = mdef.init(jax.random.PRNGKey(3), cfg)
+    table = np.asarray(params[0]["w"])
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 1, (257, 2)).astype(np.float32)
+    coords[:4] = [[0, 0], [1, 1], [0, 1], [1, 0]]  # exact corners
+    got = np.asarray(_pyramid_features(jnp.asarray(table), jnp.asarray(coords), cfg))
+    want = _np_pyramid(table, coords, cfg)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_hashgrid_grad_reaches_every_level():
+    mdef, cfg = build_model(
+        "hashgrid", n_levels=4, log2_table_size=8, base_resolution=4,
+        finest_resolution=32, depth=2, hidden_size=8,
+    )
+    params = mdef.init(jax.random.PRNGKey(0), cfg)
+    grid = get_grid(16, 16)
+
+    def loss(p):
+        return jnp.mean(mdef.apply(p, grid, cfg) ** 2)
+
+    g = np.asarray(jax.grad(loss)(params)[0]["w"])
+    for l, (t, off) in enumerate(zip(cfg.level_table_sizes, cfg.level_offsets)):
+        assert np.abs(g[off : off + t]).sum() > 0, f"level {l} got no gradient"
+
+
+def test_hashgrid_fit_converges():
+    from implicit_image_tpu.data import synthetic_image
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    mdef, cfg = build_model(
+        "hashgrid", n_levels=6, log2_table_size=10, base_resolution=8,
+        finest_resolution=64, depth=3, hidden_size=32,
+    )
+    img = synthetic_image(64, 64, seed=0)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, cfg, get_grid(64, 64), img,
+        TrainConfig(num_steps=300, log_steps=100),
+        OptimConfig(lr=1e-2, epsilon=1e-15),
+    )
+    p = np.asarray(res.metrics["psnr"])
+    assert p[~np.isnan(p)][-1] > 30.0
