@@ -270,6 +270,12 @@ def build_ladder_args(cfg) -> dict:
             num_steps=int(quant_raw.get("num_steps", 100)),
             log_steps=int(quant_raw.get("log_steps", 10)),
             ecvq_lambda=float(quant_raw.get("ecvq_lambda", 0.0)),
+            qscheme=str(quant_raw.get("qscheme", "per_channel")),
+            skip_layers=(
+                tuple(int(i) for i in quant_raw["skip_layers"])
+                if quant_raw.get("skip_layers") is not None
+                else None
+            ),
         )
     ec = cfg.get("entropy_coding") or {}
     stream_name = ec.get("stream_name", "zstd")

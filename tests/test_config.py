@@ -470,3 +470,49 @@ def test_cli_hashgrid_run_is_decodable(tmp_path):
     assert nbytes > 0
     img, stats = decode_run(tmp_path)
     assert img.shape == (32, 32, 3)
+
+
+def test_auto_segment_steps_hashgrid():
+    """hashgrid is gather/scatter-bound (~0.4 s/step at 512^2 x 12 levels,
+    BASELINE.md) — the auto segment length must drop to ~80 steps there,
+    scaling with pixels x levels, or default CLI runs blow the runtime's
+    ~60 s execution watchdog."""
+    from implicit_image_tpu.compress import _auto_segment_steps
+
+    cfg = compose(["mlp=hashgrid"])
+    assert _auto_segment_steps(cfg) == 80
+    cfg = compose(["mlp=hashgrid", "mlp.n_levels=6"])
+    assert _auto_segment_steps(cfg) == 160
+    cfg = compose(["mlp=hashgrid", "img.height=256", "img.width=256"])
+    assert _auto_segment_steps(cfg) == 320
+    # explicit override still wins
+    cfg = compose(["mlp=hashgrid", "train.segment_steps=500"])
+    assert _auto_segment_steps(cfg) == 500
+    # matmul families keep the 2000-step default
+    cfg = compose([])
+    assert _auto_segment_steps(cfg) == 2000
+
+
+def test_cli_quant_skip_layers_reaches_pipeline(tmp_path):
+    """quant.skip_layers must plumb from the CLI into QuantConfig
+    (regression: it was silently dropped, so hashgrid tables — params[0],
+    skipped by the default first/last rule — stayed unquantized)."""
+    from implicit_image_tpu.compress import main
+
+    base = [
+        "img=synthetic", "img.height=32", "img.width=32",
+        "mlp=hashgrid", "mlp.n_levels=4", "mlp.log2_table_size=8",
+        "mlp.base_resolution=4", "mlp.finest_resolution=32",
+        "mlp.hidden_size=16", "masking=none", "quant=kmeans",
+        "quant.bits=4", "quant.num_steps=5", "train.num_steps=30",
+        "train.log_steps=10", "optim.lr=1e-2", "entropy_coding=plain",
+    ]
+    _, bytes_default = main(
+        compose(base), run_dir=str(tmp_path / "default")
+    )
+    _, bytes_all = main(
+        compose(base + ["quant.skip_layers=[]"]), run_dir=str(tmp_path / "all")
+    )
+    # quantizing the table (4-bit labels vs raw floats) must shrink the
+    # stream by a wide margin
+    assert bytes_all < 0.6 * bytes_default, (bytes_all, bytes_default)
