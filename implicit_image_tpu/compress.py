@@ -303,6 +303,9 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             masks=masks,
             compute_dtype=jnp.bfloat16 if train_cfg.compute_dtype else None,
             pixel_chunks=train_cfg.pixel_chunks,
+            # same watchdog budget as the fit (only bites when the auto
+            # segment is shorter than quant.num_steps, e.g. hashgrid)
+            segment_steps=train_cfg.segment_steps,
         )
         qpsnr = float(np.asarray(qres.metrics["quant_psnr"]))
         logger.log(

@@ -197,14 +197,35 @@ def make_quant_fit_fn(
             "quant_psnr_8bit": 10.0 * jnp.log10(255.0**2 / (mse8_sum / k)),
         }
 
-    def _kmeans_quant_fit(params, img):
-        """Codebook finetune: cluster once, freeze labels, train centroids
-        + unquantized leaves."""
-        target_flat = img.reshape(h * w, -1)
-        qidx = quantized_layer_indices(params, quant_cfg)
-        qset = set(qidx)
+    is_kmeans = quant_cfg.name == "KMeans"
 
-        labels = {}
+    # --- init / steps / final stages -------------------------------------
+    # The phase is factored so the scan can run either as ONE device
+    # execution (quant_fit below, the default) or CHAINED over shorter
+    # segments (quant_finetune(segment_steps=...)) when a single
+    # num_steps-long execution would blow the runtime's ~60 s watchdog
+    # (gather-bound hashgrid, very large grids) — same workaround as the
+    # fit's run_segment_chain (training/fit.py).
+    # Carry: kmeans (state, opt_state, labels) — labels ride the carry so
+    # segments stay pure; STE (latent, opt_state, ()).
+
+    def _reconstruct(st, labels):
+        out = []
+        for i, layer in enumerate(st):
+            if labels[i] is not None:
+                rest = {k: v for k, v in layer.items() if k != "centroids"}
+                out.append(rest | {"w": layer["centroids"][labels[i]]})
+            else:
+                out.append(layer)
+        out = tuple(out)
+        return apply_masks(out, masks) if masks is not None else out
+
+    def quant_init(params, img):
+        """Cluster (kmeans) / pass through (STE) -> segment carry."""
+        if not is_kmeans:
+            return (params, opt_init(params, optim_cfg), ())
+        qset = set(quantized_layer_indices(params, quant_cfg))
+        labels = []
         state = []
         for i, layer in enumerate(params):
             if i in qset:
@@ -216,101 +237,101 @@ def make_quant_fit_fn(
                         layer["w"], book,
                         quant_cfg.ecvq_lambda, quant_cfg.ecvq_iters,
                     )
-                labels[i] = book.labels
+                labels.append(book.labels)
                 state.append(
                     {k: v for k, v in layer.items() if k != "w"}
                     | {"centroids": book.centroids}
                 )
             else:
+                labels.append(None)
                 state.append(dict(layer))
         state = tuple(state)
+        return (state, opt_init(state, optim_cfg), tuple(labels))
 
-        def reconstruct(st):
-            out = []
-            for i, layer in enumerate(st):
-                if i in qset:
-                    rest = {k: v for k, v in layer.items() if k != "centroids"}
-                    out.append(rest | {"w": layer["centroids"][labels[i]]})
-                else:
-                    out.append(layer)
-            out = tuple(out)
-            return apply_masks(out, masks) if masks is not None else out
-
-        grad_fn = _make_grad_fn(reconstruct, target_flat)
-        opt_state = opt_init(state, optim_cfg)
-
-        def step_fn(carry, step):
-            st, opt_state = carry
-            loss, grads = grad_fn(st)
-            # pruned weights point at centroid 0: keep it exactly zero
-            grads = tuple(
-                layer | {"centroids": layer["centroids"].at[0].set(0.0)}
-                if i in qset
-                else layer
-                for i, layer in enumerate(grads)
-            )
-            st, opt_state = opt_update(
-                grads, opt_state, st, schedule(step), optim_cfg
-            )
-            return (st, opt_state), {"loss": loss}
-
-        (state, _), metrics = jax.lax.scan(
-            step_fn, (state, opt_state), jnp.arange(quant_cfg.num_steps)
-        )
-
-        params_q = reconstruct(state)
-        codebooks = tuple(
-            LayerCodebook(centroids=state[i]["centroids"], labels=labels[i])
-            if i in qset
-            else None
-            for i in range(len(params))
-        )
-        return params_q, codebooks, _final_metrics(params_q, target_flat, metrics)
-
-    def _ste_quant_fit(params, img):
-        """Uniform fake-quant QAT (fbgemm stand-in): STE on latent weights."""
+    def quant_steps(carry, img, start, length: int):
+        """Run `length` finetune steps [start, start+length) on the carry."""
         target_flat = img.reshape(h * w, -1)
+        st0, opt_state, labels = carry
 
-        def ste_transform(latent):
-            snapped = quantize_params(latent, quant_cfg)
-            ste = jax.tree_util.tree_map(
-                lambda q, w: jax.lax.stop_gradient(q) + w - jax.lax.stop_gradient(w),
-                snapped,
-                latent,
-            )
-            if masks is not None:
-                ste = apply_masks(ste, masks)
-            return ste
+        if is_kmeans:
+            grad_fn = _make_grad_fn(lambda st: _reconstruct(st, labels),
+                                    target_flat)
 
-        grad_fn = _make_grad_fn(ste_transform, target_flat)
-        opt_state = opt_init(params, optim_cfg)
+            def step_fn(inner, step):
+                st, opt_state = inner
+                loss, grads = grad_fn(st)
+                # pruned weights point at centroid 0: keep it exactly zero
+                grads = tuple(
+                    layer | {"centroids": layer["centroids"].at[0].set(0.0)}
+                    if "centroids" in layer
+                    else layer
+                    for layer in grads
+                )
+                st, opt_state = opt_update(
+                    grads, opt_state, st, schedule(step), optim_cfg
+                )
+                return (st, opt_state), {"loss": loss}
 
-        def step_fn(carry, step):
-            latent, opt_state = carry
-            loss, grads = grad_fn(latent)
-            if masks is not None:
-                grads = mask_grads(grads, masks)
-            latent, opt_state = opt_update(
-                grads, opt_state, latent, schedule(step), optim_cfg
-            )
-            if masks is not None:
-                latent = apply_masks(latent, masks)
-            return (latent, opt_state), {"loss": loss}
+        else:
 
-        (latent, _), metrics = jax.lax.scan(
-            step_fn, (params, opt_state), jnp.arange(quant_cfg.num_steps)
+            def ste_transform(latent):
+                snapped = quantize_params(latent, quant_cfg)
+                ste = jax.tree_util.tree_map(
+                    lambda q, w: jax.lax.stop_gradient(q)
+                    + w
+                    - jax.lax.stop_gradient(w),
+                    snapped,
+                    latent,
+                )
+                if masks is not None:
+                    ste = apply_masks(ste, masks)
+                return ste
+
+            grad_fn = _make_grad_fn(ste_transform, target_flat)
+
+            def step_fn(inner, step):
+                latent, opt_state = inner
+                loss, grads = grad_fn(latent)
+                if masks is not None:
+                    grads = mask_grads(grads, masks)
+                latent, opt_state = opt_update(
+                    grads, opt_state, latent, schedule(step), optim_cfg
+                )
+                if masks is not None:
+                    latent = apply_masks(latent, masks)
+                return (latent, opt_state), {"loss": loss}
+
+        (st, opt_state), metrics = jax.lax.scan(
+            step_fn, (st0, opt_state), jnp.arange(length) + start
         )
+        return (st, opt_state, labels), metrics
 
-        params_q, codebooks = convert(latent, quant_cfg)
-        if masks is not None:
-            params_q = apply_masks(params_q, masks)
+    def quant_final(carry, img, metrics):
+        """Freeze codebooks/labels, snap params, compute decode metrics."""
+        target_flat = img.reshape(h * w, -1)
+        st, _, labels = carry
+        if is_kmeans:
+            params_q = _reconstruct(st, labels)
+            codebooks = tuple(
+                LayerCodebook(centroids=layer["centroids"], labels=lab)
+                if lab is not None
+                else None
+                for layer, lab in zip(st, labels)
+            )
+        else:
+            params_q, codebooks = convert(st, quant_cfg)
+            if masks is not None:
+                params_q = apply_masks(params_q, masks)
         return params_q, codebooks, _final_metrics(params_q, target_flat, metrics)
 
     def quant_fit(params, img):
-        if quant_cfg.name == "KMeans":
-            return _kmeans_quant_fit(params, img)
-        return _ste_quant_fit(params, img)
+        carry = quant_init(params, img)
+        carry, metrics = quant_steps(
+            carry, img, jnp.int32(0), quant_cfg.num_steps
+        )
+        return quant_final(carry, img, metrics)
 
+    quant_fit.stages = (quant_init, quant_steps, quant_final)
     return quant_fit
 
 
@@ -325,16 +346,51 @@ def quant_finetune(
     masks=None,
     compute_dtype=None,
     pixel_chunks: int = 1,
+    segment_steps: Optional[int] = None,
 ) -> QuantResult:
-    """Compile + run the quant phase once (single image)."""
-    fn = jax.jit(
-        make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg, masks,
-                          compute_dtype, pixel_chunks=pixel_chunks)
+    """Compile + run the quant phase (single image).
+
+    `segment_steps` < num_steps chains the finetune scan over shorter
+    device executions (runtime ~60 s watchdog workaround, exactly like the
+    fit's run_segment_chain) — numerically the same steps, just split; the
+    default single execution is unchanged.
+    """
+    quant_fit = make_quant_fit_fn(
+        mdef, mcfg, grid, quant_cfg, optim_cfg, masks,
+        compute_dtype, pixel_chunks=pixel_chunks,
     )
     img = jnp.asarray(img)
-    compiled = fn.lower(params, img).compile()
+    seg = int(segment_steps) if segment_steps else quant_cfg.num_steps
+    if seg >= quant_cfg.num_steps:
+        fn = jax.jit(quant_fit)
+        compiled = fn.lower(params, img).compile()
+        t0 = time.perf_counter()
+        params_q, codebooks, metrics = compiled(params, img)
+        jax.block_until_ready(params_q)
+        return QuantResult(
+            params=params_q,
+            codebooks=codebooks,
+            metrics=metrics,
+            wall_seconds=time.perf_counter() - t0,
+        )
+
+    quant_init, quant_steps, quant_final = quant_fit.stages
+    jinit = jax.jit(quant_init)
+    jstep = jax.jit(quant_steps, static_argnums=3)  # one compile per length
+    jfinal = jax.jit(quant_final)
     t0 = time.perf_counter()
-    params_q, codebooks, metrics = compiled(params, img)
+    carry = jinit(params, img)
+    chunks = []
+    start = 0
+    while start < quant_cfg.num_steps:
+        length = min(seg, quant_cfg.num_steps - start)
+        carry, m = jstep(carry, img, jnp.int32(start), length)
+        chunks.append(m)
+        start += length
+    metrics = {
+        k: jnp.concatenate([c[k] for c in chunks]) for k in chunks[0]
+    }
+    params_q, codebooks, metrics = jfinal(carry, img, metrics)
     jax.block_until_ready(params_q)
     return QuantResult(
         params=params_q,

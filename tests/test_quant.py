@@ -455,3 +455,57 @@ def test_quant_finetune_pixel_chunks_must_divide():
         quant_finetune(params, img, mdef, mcfg, grid,
                        QuantConfig(bits=4, num_steps=2),
                        OptimConfig(lr=1e-3), pixel_chunks=3)
+
+
+def test_quant_finetune_segmented_matches_single_execution():
+    """segment_steps chains the finetune scan over shorter device
+    executions (watchdog workaround, mirroring fit's run_segment_chain) —
+    the steps are numerically the same, so params/codebooks/metrics must
+    match the single-execution path to float tolerance. Covers kmeans and
+    the STE/QAT path, plus a masked (sparse) kmeans run."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.sparsity import MaskingConfig
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+
+    for qname, masking in (("KMeans", None), ("QAT", None),
+                           ("KMeans", MaskingConfig(density=0.5, end_when=30))):
+        mdef, mcfg = build_model("siren", depth=4, hidden_size=16)
+        res = fit(
+            jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+            TrainConfig(num_steps=40, log_steps=40), OptimConfig(lr=1e-3),
+            masking,
+        )
+        masks = res.mask_state.masks if res.mask_state is not None else None
+        qcfg = QuantConfig(name=qname, bits=4, num_steps=10)
+        single = quant_finetune(res.params, img, mdef, mcfg, grid, qcfg,
+                                OptimConfig(lr=1e-3), masks=masks)
+        seg = quant_finetune(res.params, img, mdef, mcfg, grid, qcfg,
+                             OptimConfig(lr=1e-3), masks=masks,
+                             segment_steps=4)  # 4+4+2
+        for lf, lc in zip(single.params, seg.params):
+            for k in lf:
+                np.testing.assert_allclose(
+                    np.asarray(lf[k]), np.asarray(lc[k]), atol=1e-6,
+                    err_msg=f"{qname}/{k}",
+                )
+        np.testing.assert_allclose(
+            np.asarray(single.metrics["loss"]),
+            np.asarray(seg.metrics["loss"]), atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(single.metrics["quant_psnr"])),
+            float(np.asarray(seg.metrics["quant_psnr"])), atol=1e-4,
+        )
+        if qname == "KMeans":
+            for bs, bc in zip(single.codebooks, seg.codebooks):
+                assert (bs is None) == (bc is None)
+                if bs is not None:
+                    np.testing.assert_allclose(
+                        np.asarray(bs.centroids), np.asarray(bc.centroids),
+                        atol=1e-6,
+                    )
