@@ -100,6 +100,11 @@ def _hashgrid_def() -> ModelDef:
         init_hashgrid,
         hashgrid_apply,
         hashgrid_apply_flat,
+        # apply evaluates tensor-product grids as per-level dense grids +
+        # separable interpolation matmuls (no per-pixel gather; hashed
+        # levels' backward is a static transpose-gather) — strictly
+        # cheaper than apply_flat on the same pixels, like CoordX
+        separable=True,
     )
 
 

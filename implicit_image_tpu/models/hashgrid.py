@@ -9,13 +9,30 @@ through a tiny ReLU MLP. Almost all capacity lives in the tables, so the
 per-step FLOP count is tiny compared to a SIREN of equal parameter count
 — the cost moves to memory-system gathers instead of MXU matmuls.
 
-TPU mapping: the ENTIRE pyramid lookup is ONE fused `jnp.take` — all
-levels' tables are concatenated into a single (ΣT_l, F) tensor and the
-(N, L, 4) corner indices (direct indexing where the level grid fits,
-NGP spatial hashing above that) are computed vectorized over levels with
-static per-level select masks, so XLA sees one big gather (and one big
-scatter-add in the backward pass) rather than L small ones. The MLP is a
-standard (N, L·F) @ (…) matmul ladder.
+TPU mapping — two paths:
+
+* `hashgrid_apply_flat` (arbitrary (N, 2) coords): the ENTIRE pyramid
+  lookup is ONE fused `jnp.take` — all levels' tables are concatenated
+  into a single (ΣT_l, F) tensor and the (N, L, 4) corner indices
+  (direct indexing where the level grid fits, NGP spatial hashing above
+  that) are computed vectorized over levels with static per-level select
+  masks, so XLA sees one big gather (and one big scatter-add in the
+  backward pass) rather than L small ones.
+* `hashgrid_apply` (tensor-product grid, THE training/render path): the
+  per-pixel gather is eliminated entirely. Each level first materializes
+  its dense virtual grid G_l of shape (r+1, r+1, F) — a reshape for
+  direct levels, a STATIC-index gather of only (r+1)² rows for hashed
+  ones — and the bilinear blend becomes two separable interpolation
+  MATMULS `A_rows @ G_l @ A_colsᵀ` that run on the MXU. This drops the
+  memory-system work from N·L·4 gathered rows (+ an equally large
+  backward scatter-add, the measured v5e killer: ~80 M gathers/s /
+  ~12 M scatter-updates/s) to Σ(r+1)² rows, ~20× fewer at 512²×12
+  levels, and the hashed levels' backward scatter-add is replaced by a
+  precomputed TRANSPOSE-GATHER (per hash bucket, gather+sum its cells
+  from the upstream grad via a padded static index table — a custom VJP)
+  so no scatter remains anywhere on the training path.
+
+The MLP is a standard (N, L·F) @ (…) matmul ladder in both paths.
 
 Container/pipeline integration: params keep the framework's flat
 tuple-of-{"w","b"} layout — params[0]["w"] IS the fused table (2-D, so
@@ -28,12 +45,14 @@ runs set `quant.skip_layers` explicitly (conf/mlp/hashgrid.yaml notes).
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["HashGridConfig", "init_hashgrid", "hashgrid_apply", "hashgrid_apply_flat"]
 
@@ -193,12 +212,7 @@ def _pyramid_features(table, coords, cfg: HashGridConfig, compute_dtype=None):
     return (g * wgt[..., None]).sum(axis=2).reshape(n, -1)
 
 
-def hashgrid_apply_flat(
-    params: Params, coords: jnp.ndarray, cfg: HashGridConfig, compute_dtype=None
-) -> jnp.ndarray:
-    """(N, 2) coords in [0, 1] -> (N, out)."""
-    z = _pyramid_features(params[0]["w"], coords, cfg, compute_dtype)
-    mlp = params[1:]
+def _mlp_ladder(mlp, z, compute_dtype=None):
     for i, layer in enumerate(mlp):
         w, b = layer["w"], layer["b"]
         if compute_dtype is not None:
@@ -211,9 +225,137 @@ def hashgrid_apply_flat(
     return z.astype(jnp.float32)
 
 
+def hashgrid_apply_flat(
+    params: Params, coords: jnp.ndarray, cfg: HashGridConfig, compute_dtype=None
+) -> jnp.ndarray:
+    """(N, 2) coords in [0, 1] -> (N, out)."""
+    z = _pyramid_features(params[0]["w"], coords, cfg, compute_dtype)
+    return _mlp_ladder(params[1:], z, compute_dtype)
+
+
+# --- separable (tensor-product grid) path --------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _hashed_level_tables(r: int, cap: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static index tables for one hashed level (grid (r+1)² > cap rows).
+
+    Returns (idx, inv):
+      idx (cells,) int32 — NGP hash bucket of every dense-grid cell, in the
+        same row-major (y, x) order and exact uint32 arithmetic as
+        `_pyramid_features`' traced version.
+      inv (cap, M) int32 — per bucket, the (padded) list of cells that hash
+        to it; pad entries point at `cells` (a zero row appended to the
+        upstream grad), so the level's table gradient is
+        `dG_padded[inv].sum(axis=1)` — a static-index transpose-GATHER
+        instead of XLA's default scatter-add (v5e: ~80 M gathers/s vs
+        ~12 M scatter-updates/s, BASELINE.md gather/scatter ceiling).
+    """
+    side = r + 1
+    yy, xx = np.meshgrid(
+        np.arange(side, dtype=np.uint32),
+        np.arange(side, dtype=np.uint32),
+        indexing="ij",
+    )
+    idx = ((xx ^ (yy * np.uint32(_HASH_P2))) & np.uint32(cap - 1)).reshape(-1)
+    cells = side * side
+    counts = np.bincount(idx, minlength=cap)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    order = np.argsort(idx, kind="stable")
+    inv = np.full((cap, int(counts.max())), cells, np.int32)
+    pos = np.arange(cells) - np.repeat(starts, counts)
+    inv[idx[order], pos] = order
+    return idx.astype(np.int32), inv
+
+
+@functools.lru_cache(maxsize=None)
+def _hashed_materializer(r: int, cap: int):
+    """tbl (cap, F) -> dense grid ((r+1)², F) with a transpose-gather VJP."""
+    idx, inv = _hashed_level_tables(r, cap)
+
+    @jax.custom_vjp
+    def materialize(tbl):
+        return jnp.take(tbl, idx, axis=0, mode="clip")
+
+    def fwd(tbl):
+        return materialize(tbl), None
+
+    def bwd(_, dg):
+        dg_pad = jnp.concatenate(
+            [dg, jnp.zeros((1, dg.shape[-1]), dg.dtype)], axis=0
+        )
+        return (jnp.take(dg_pad, inv, axis=0, mode="clip").sum(axis=1),)
+
+    materialize.defvjp(fwd, bwd)
+    return materialize
+
+
+def _interp_matrix(axis_coords, r: int, compute_dtype=None):
+    """(K,) axis coords in [0, 1] -> (K, r+1) two-nonzero bilinear rows.
+
+    Same floor/clip/frac semantics as `_pyramid_features` per axis:
+    coord==1.0 lands on the last cell with frac 1.0."""
+    pos = axis_coords * jnp.float32(r)
+    p0 = jnp.clip(jnp.floor(pos), 0.0, float(r - 1))
+    f = pos - p0
+    i0 = p0.astype(jnp.int32)
+    lanes = jnp.arange(r + 1, dtype=jnp.int32)[None, :]
+    a = jnp.where(lanes == i0[:, None], 1.0 - f[:, None], 0.0) + jnp.where(
+        lanes == i0[:, None] + 1, f[:, None], 0.0
+    )
+    return a if compute_dtype is None else a.astype(compute_dtype)
+
+
+def _pyramid_features_grid(table, rows, cols, cfg: HashGridConfig,
+                           compute_dtype=None):
+    """Tensor-product grid (rows (H,), cols (W,)) -> (H, W, L·F) features.
+
+    Per level: materialize the dense virtual grid G_l ((r+1, r+1, F) —
+    reshape for direct levels, static-index gather + transpose-gather VJP
+    for hashed ones) and run the bilinear blend as two interpolation
+    matmuls A_rows @ G_l @ A_colsᵀ on the MXU. Numerically the same blend
+    as `_pyramid_features` (weights factorize exactly: w_corner = wy·wx),
+    evaluated with Σ(r+1)² memory-system rows instead of H·W·L·4."""
+    cap = 1 << cfg.log2_table_size
+    t = table if compute_dtype is None else table.astype(compute_dtype)
+    feats = []
+    for r, size, off in zip(
+        cfg.level_resolutions, cfg.level_table_sizes, cfg.level_offsets
+    ):
+        side = r + 1
+        tbl = jax.lax.slice_in_dim(t, off, off + size)
+        if side * side <= cap:
+            g = tbl.reshape(side, side, cfg.features)
+        else:
+            g = _hashed_materializer(r, cap)(tbl).reshape(
+                side, side, cfg.features
+            )
+        a_r = _interp_matrix(rows, r, compute_dtype)  # (H, side)
+        a_c = _interp_matrix(cols, r, compute_dtype)  # (W, side)
+        f1 = jnp.einsum(
+            "hr,rcf->hcf", a_r, g, preferred_element_type=jnp.float32
+        )
+        if compute_dtype is not None:
+            f1 = f1.astype(compute_dtype)
+        f2 = jnp.einsum(
+            "hcf,wc->hwf", f1, a_c, preferred_element_type=jnp.float32
+        )
+        feats.append(f2 if compute_dtype is None else f2.astype(compute_dtype))
+    return jnp.concatenate(feats, axis=-1)
+
+
 def hashgrid_apply(
     params: Params, grid: jnp.ndarray, cfg: HashGridConfig, compute_dtype=None
 ) -> jnp.ndarray:
-    h, w, c = grid.shape
-    out = hashgrid_apply_flat(params, grid.reshape(h * w, c), cfg, compute_dtype)
+    """(H, W, 2) tensor-product grid -> (H, W, out), separable fast path.
+
+    `grid` must be a tensor product (grid[y, x] == (rows[y], cols[x]), the
+    framework's get_grid/row-chunk layout) — the fit/quant/decode drivers
+    guarantee this whenever they route through `apply` (ModelDef.separable
+    semantics, training/fit.py make_loss_fn)."""
+    h, w, _ = grid.shape
+    z = _pyramid_features_grid(
+        params[0]["w"], grid[:, 0, 0], grid[0, :, 1], cfg, compute_dtype
+    )
+    out = _mlp_ladder(params[1:], z.reshape(h * w, -1), compute_dtype)
     return out.reshape(h, w, -1)

@@ -184,7 +184,7 @@ def test_hashgrid_registry_and_shapes():
         "hashgrid", n_levels=6, log2_table_size=10, base_resolution=8,
         finest_resolution=64, depth=3, hidden_size=32,
     )
-    assert not mdef.separable
+    assert mdef.separable  # apply runs the interpolation-matmul grid path
     params = mdef.init(jax.random.PRNGKey(0), cfg)
     assert len(params) == 1 + 3  # table + depth MLP layers
     assert params[0]["w"].shape == (cfg.table_rows, cfg.features)
@@ -225,6 +225,98 @@ def test_hashgrid_pyramid_matches_numpy_mirror():
     got = np.asarray(_pyramid_features(jnp.asarray(table), jnp.asarray(coords), cfg))
     want = _np_pyramid(table, coords, cfg)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_hashgrid_separable_apply_matches_flat():
+    """The separable grid path (per-level dense grids + interpolation
+    matmuls, static transpose-gather VJP) is the SAME function as the
+    per-pixel gather path: forward outputs and table/MLP gradients must
+    agree on a full grid and on a row-chunk sub-grid (the pixel_chunks
+    layout), in both the direct and hashed level regimes."""
+    mdef, cfg = build_model(
+        "hashgrid", n_levels=5, log2_table_size=8, base_resolution=4,
+        finest_resolution=48, depth=3, hidden_size=16,
+    )
+    cap = 1 << cfg.log2_table_size
+    assert any((r + 1) ** 2 <= cap for r in cfg.level_resolutions)
+    assert any((r + 1) ** 2 > cap for r in cfg.level_resolutions)
+    params = mdef.init(jax.random.PRNGKey(7), cfg)
+    # non-trivial table so grads differ per level
+    params = (params[0] | {
+        "w": params[0]["w"]
+        + 0.01 * jax.random.normal(jax.random.PRNGKey(8),
+                                   params[0]["w"].shape)
+    },) + params[1:]
+
+    for grid in (get_grid(33, 17), get_grid(32, 32)[10:18]):
+        h, w, _ = grid.shape
+        out_sep = np.asarray(mdef.apply(params, grid, cfg))
+        out_flat = np.asarray(
+            mdef.apply_flat(params, grid.reshape(h * w, 2), cfg)
+        ).reshape(h, w, -1)
+        np.testing.assert_allclose(out_sep, out_flat, atol=2e-5)
+
+        tgt = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, out_sep.shape), jnp.float32
+        )
+        g_sep = jax.grad(
+            lambda p: jnp.mean((mdef.apply(p, grid, cfg) - tgt) ** 2)
+        )(params)
+        g_flat = jax.grad(
+            lambda p: jnp.mean(
+                (mdef.apply_flat(p, grid.reshape(h * w, 2), cfg)
+                 - tgt.reshape(h * w, -1)) ** 2
+            )
+        )(params)
+        for ls, lf in zip(g_sep, g_flat):
+            for k in ls:
+                np.testing.assert_allclose(
+                    np.asarray(ls[k]), np.asarray(lf[k]), atol=2e-6,
+                    err_msg=k,
+                )
+
+
+def test_hashgrid_transpose_gather_tables():
+    """Static inverse tables: every dense-grid cell appears exactly once
+    across the buckets' padded lists, and bucket membership matches the
+    hash; the transpose-gather grad therefore equals XLA's scatter-add."""
+    from implicit_image_tpu.models.hashgrid import _hashed_level_tables
+
+    r, cap = 48, 256
+    idx, inv = _hashed_level_tables(r, cap)
+    cells = (r + 1) ** 2
+    assert idx.shape == (cells,) and inv.shape[0] == cap
+    real = inv[inv < cells]
+    assert real.size == cells and np.unique(real).size == cells
+    for b in (0, 7, cap - 1):
+        members = inv[b][inv[b] < cells]
+        assert np.all(idx[members] == b)
+        assert set(members) == set(np.flatnonzero(idx == b))
+
+
+def test_hashgrid_separable_under_vmap_and_fit():
+    """batched_fit vmaps the loss over a params batch — the custom-VJP
+    transpose-gather must batch correctly (value_and_grad under vmap)."""
+    mdef, cfg = build_model(
+        "hashgrid", n_levels=4, log2_table_size=6, base_resolution=4,
+        finest_resolution=24, depth=2, hidden_size=8,
+    )
+    grid = get_grid(12, 12)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    pbatch = jax.vmap(lambda k: mdef.init(k, cfg))(keys)
+    tgt = jnp.zeros((12, 12, 3))
+
+    def loss(p):
+        return jnp.mean((mdef.apply(p, grid, cfg) - tgt) ** 2)
+
+    lb, gb = jax.vmap(jax.value_and_grad(loss))(pbatch)
+    for i in range(3):
+        p_i = jax.tree_util.tree_map(lambda x: x[i], pbatch)
+        l_i, g_i = jax.value_and_grad(loss)(p_i)
+        np.testing.assert_allclose(float(lb[i]), float(l_i), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gb[0]["w"][i]), np.asarray(g_i[0]["w"]), atol=1e-7
+        )
 
 
 def test_hashgrid_grad_reaches_every_level():

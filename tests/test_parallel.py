@@ -347,6 +347,36 @@ def test_coordx_batched_and_sharded():
     )
 
 
+def test_hashgrid_batched_and_sharded():
+    """hashgrid's separable path (static-gather dense grids + interp
+    matmuls, transpose-gather custom VJP) must compile and agree under
+    both SPMD layouts — custom_vjp under vmap AND under GSPMD row
+    sharding."""
+    from implicit_image_tpu.parallel.sharded import sharded_fit
+
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model(
+        "hashgrid", n_levels=4, log2_table_size=6, base_resolution=4,
+        finest_resolution=24, depth=2, hidden_size=8,
+    )
+    assert any((r + 1) ** 2 > 64 for r in mcfg.level_resolutions)  # hashed
+    tc, oc = TrainConfig(num_steps=20, log_steps=10), OptimConfig(lr=1e-2)
+    key = jax.random.PRNGKey(0)
+
+    imgs = _imgs(2)
+    bres = batched_fit(key, mdef, mcfg, grid, imgs, tc, oc,
+                       mesh=make_mesh(image=2, pixel=1))
+    assert np.isfinite(np.asarray(bres.metrics["loss"])).all()
+
+    sres = sharded_fit(key, make_mesh(image=1, pixel=4), mdef, mcfg, grid,
+                       imgs[0], tc, oc)
+    single = fit(key, mdef, mcfg, grid, imgs[0], tc, oc)
+    np.testing.assert_allclose(
+        np.asarray(sres.params[0]["w"]), np.asarray(single.params[0]["w"]),
+        rtol=2e-5, atol=1e-6,
+    )
+
+
 def test_pipeline_forwards_coding_kwargs(tmp_path, monkeypatch):
     """Backend kwargs (e.g. zstd `level`) must reach the encoder AND the
     decoder from every SPMD pipeline entry, matching the single-run
