@@ -10,9 +10,11 @@ RUN on the same chip:
     (SIREN d8/w128, 2000 full-grid steps — conf/mlp/siren.yaml — then
     kmeans-8 + zstd-22 + decode), giving (bar_db, bar_bytes) and the
     strict same-architecture fit wall that earlier rounds reported;
-  * the flagship: CoordX s4/w96 (models/coordx.py), 1200 steps, kmeans-8
-    + native huffman coding. Measured 3.8 s total vs the bar's 54.49 dB
-    @ 99.4 KB — +1.1 dB at −10% rate (BASELINE.md "time-to-quality").
+  * the flagship: CoordX s5/w96 (models/coordx.py), RigL d=0.85,
+    1200 steps, kmeans-8 + native huffman coding. Measured 2.85 s total
+    vs the bar's 54.49 dB @ 99.4 KB — +1.5 dB at −7% rate; margins
+    confirmed on the big_building (+0.90 dB, −8.8%) and bridge
+    (+0.23 dB, −8.7%) stand-ins (BASELINE.md "time-to-quality").
 
 vs_baseline divides the documented 40 s RTX 2080 Ti estimate for the
 reference's 2000-step fit ALONE (fit-only, i.e. conservative: the
@@ -67,14 +69,17 @@ def main() -> None:
         print(f"[bench] reference-point protocol failed: {e!r}",
               file=sys.stderr)
 
-    # ---- flagship: CoordX s4/w96, complete protocol ----
+    # ---- flagship: CoordX s5/w96 @ RigL d=0.85, complete protocol ----
     flag = None
     try:
+        from implicit_image_tpu.sparsity import MaskingConfig
+
         c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
-                                   split_depth=4)
+                                   split_depth=5)
         flag = full_protocol(
-            "coordx_w96_b1200", c_def, c_cfg, grid, img, 1200, OptimConfig(),
-            "outputs/bench/coordx_flagship", stream="huffman",
+            "coordx_s5w96_d085_b1200", c_def, c_cfg, grid, img, 1200,
+            OptimConfig(), "outputs/bench/coordx_flagship",
+            stream="huffman", masking_cfg=MaskingConfig(density=0.85),
         )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] flagship protocol failed: {e!r}", file=sys.stderr)

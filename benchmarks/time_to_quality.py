@@ -152,6 +152,12 @@ def main(kv) -> None:
     masking = None
     if density < 1.0:
         masking = MaskingConfig(density=density)
+    # flagship optimizer overrides: schedule=cosine warmup=50 lr=3e-4
+    flag_optim = OptimConfig(
+        lr=float(kv.get("lr", 3e-4)),
+        lr_schedule=kv.get("schedule", "step"),
+        lr_warmup=int(kv.get("warmup", 0)),
+    )
     report["candidates"] = []
     for width in widths:
         c_def, c_cfg = build_model(
@@ -159,10 +165,10 @@ def main(kv) -> None:
             split_depth=int(kv.get("split", 4)),
         )
         for b in budgets:
-            tag = f"coordx_w{width}_d{density}_b{b}"
+            tag = f"coordx_w{width}_d{density}_b{b}_{flag_optim.lr_schedule}"
             r = full_protocol(
                 tag, c_def, c_cfg, grid, img, int(b),
-                OptimConfig(), f"outputs/ttq/{tag}",
+                flag_optim, f"outputs/ttq/{tag}",
                 stream=stream, masking_cfg=masking,
             )
             r["meets_bar"] = bool(r["decoded_psnr"] >= bar

@@ -114,6 +114,11 @@ class OptimConfig:
     # StepLR params (train_helper.py:81-84)
     lr_step_size: int = 2000
     lr_gamma: float = 0.5
+    # "step" (reference parity, default) or "cosine" (opt-in: linear
+    # warmup + cosine decay over the FULL num_steps budget — pays at
+    # short time-to-quality budgets, see BASELINE.md)
+    lr_schedule: str = "step"
+    lr_warmup: int = 0
     # opt-in global-norm gradient clipping (0 = off, the reference's
     # behavior). Guard rail for the w=512 @ lr 3e-4 collapse documented
     # in BASELINE.md tracked config 2; see optim.clip_by_global_norm.
@@ -203,7 +208,17 @@ def make_train_step(
         train_cfg.remat,
         grid_hw=grid_hw,
     )
-    schedule = step_lr(optim_cfg.lr, optim_cfg.lr_step_size, optim_cfg.lr_gamma)
+    if getattr(optim_cfg, "lr_schedule", "step") == "cosine":
+        from implicit_image_tpu.optim import cosine_lr
+
+        schedule = cosine_lr(
+            optim_cfg.lr, train_cfg.num_steps,
+            warmup=int(getattr(optim_cfg, "lr_warmup", 0)),
+        )
+    else:
+        schedule = step_lr(
+            optim_cfg.lr, optim_cfg.lr_step_size, optim_cfg.lr_gamma
+        )
     sparse = masking_cfg is not None and not masking_cfg.dense
     decay_fn = build_decay(masking_cfg) if sparse else None
 

@@ -69,6 +69,51 @@ def test_step_lr():
     assert float(sched(25)) == 0.25
 
 
+def test_cosine_lr():
+    from implicit_image_tpu.optim import cosine_lr
+
+    sched = cosine_lr(1.0, num_steps=100, warmup=10)
+    # linear warmup 0 -> base over the first 10 steps
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-6)
+    # cosine midpoint: half the span at half the lr
+    np.testing.assert_allclose(float(sched(55)), 0.5, atol=1e-6)
+    # decays to ~0 at the budget and stays there
+    assert float(sched(100)) < 1e-6
+    assert float(sched(150)) < 1e-6
+    # final_frac floors the decay
+    sched2 = cosine_lr(1.0, num_steps=100, warmup=0, final_frac=0.1)
+    np.testing.assert_allclose(float(sched2(100)), 0.1, atol=1e-6)
+
+
+def test_cosine_schedule_fit_end_to_end():
+    """optim.lr_schedule=cosine trains through the compiled fit and
+    produces a different (finite) trajectory than the default StepLR."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    tcfg = TrainConfig(num_steps=30, log_steps=30)
+    r_step = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img, tcfg,
+                 OptimConfig(lr=1e-3))
+    r_cos = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img, tcfg,
+                OptimConfig(lr=1e-3, lr_schedule="cosine", lr_warmup=5))
+    p_step = np.asarray(r_step.metrics["psnr"]).reshape(-1)
+    p_cos = np.asarray(r_cos.metrics["psnr"]).reshape(-1)
+    assert np.isfinite(p_cos[np.isfinite(p_cos)]).all()
+    # different schedules -> different final params
+    d = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for la, lb in zip(r_step.params, r_cos.params)
+        for a, b in zip(la.values(), lb.values())
+    )
+    assert d > 0
+
+
 def test_frozen_leaf_not_updated():
     params = ({"B": jnp.ones((2, 2)), "w": jnp.ones((2, 2)), "b": jnp.zeros((2,))},)
     state = adam_init(params)
