@@ -54,7 +54,7 @@ from implicit_image_tpu.training.quant_phase import make_quant_fit_fn  # noqa: E
 
 def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
                   log_steps=None, stream="zstd", half="auto",
-                  masking_cfg=None):
+                  masking_cfg=None, quant_lr=None):
     """fit -> kmeans-8 codebook finetune -> entropy code -> decode.
     Returns dict with stage walls, decoded PSNR, rate. Every wall is the
     compiled-execution wall (compile excluded, as in BASELINE.md — the
@@ -76,7 +76,8 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     fit_psnr = float(p[np.isfinite(p)][-1])
     masks = res.mask_state.masks if res.mask_state is not None else None
 
-    qcfg = QuantConfig(name="KMeans", bits=8, num_steps=100, log_steps=100)
+    qcfg = QuantConfig(name="KMeans", bits=8, num_steps=100, log_steps=100,
+                       lr=quant_lr)
     qfn = jax.jit(make_quant_fit_fn(mdef, mcfg, grid, qcfg, optim_cfg, masks))
     qfn_c = qfn.lower(res.params, img).compile()
     t0 = time.perf_counter()
@@ -170,6 +171,8 @@ def main(kv) -> None:
                 tag, c_def, c_cfg, grid, img, int(b),
                 flag_optim, f"outputs/ttq/{tag}",
                 stream=stream, masking_cfg=masking,
+                quant_lr=(float(kv["quant_lr"])
+                          if kv.get("quant_lr") else None),
             )
             r["meets_bar"] = bool(r["decoded_psnr"] >= bar
                                   and r["bytes"] <= bar_bytes)

@@ -103,12 +103,14 @@ def _auto_segment_steps(cfg) -> int:
         return int(explicit)
     pixels = int(cfg.img.get("height", 512)) * int(cfg.img.get("width", 512))
     if cfg.mlp.get("name") == "hashgrid":
-        # gather/scatter-bound, not matmul-bound: measured ~0.4 s/step at
-        # 512^2 x 12 levels on v5e (BASELINE.md hash-grid section) — an
-        # unsegmented 2000-step scan would blow the watchdog by 10x
+        # separable path (the default): measured 11.35 ms/step at
+        # 512^2 x 12 levels on v5e — a 2000-step segment is ~23 s, well
+        # inside the watchdog. Scale down for bigger grids/pyramids the
+        # same way as the matmul models (per-step cost ~ pixels x levels).
         levels = int(cfg.mlp.get("n_levels", 12))
-        scale = (512.0 * 512.0 * 12.0) / max(pixels * max(levels, 1), 1)
-        return max(10, min(2000, int(80 * scale)))
+        scale = min(1.0, (512.0 * 512.0 * 12.0)
+                    / max(pixels * max(levels, 1), 1))
+        return max(25, min(2000, int(2000 * scale)))
     width = int(cfg.mlp.get("hidden_size", 128))
     scale = min(1.0, (128.0 / max(width, 1)) ** 2)
     scale *= min(1.0, (512.0 * 512.0) / max(pixels, 1))
@@ -288,6 +290,8 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             log_steps=int(quant_cfg_raw.get("log_steps", 10)),
             ecvq_lambda=float(quant_cfg_raw.get("ecvq_lambda", 0.0)),
             qscheme=str(quant_cfg_raw.get("qscheme", "per_channel")),
+            lr=(float(quant_cfg_raw["lr"])
+                if quant_cfg_raw.get("lr") is not None else None),
             # None = the reference's first/last-layer skip; an explicit
             # list (e.g. [] for hashgrid, whose capacity is params[0])
             # overrides it

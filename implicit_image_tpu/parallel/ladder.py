@@ -271,6 +271,8 @@ def build_ladder_args(cfg) -> dict:
             log_steps=int(quant_raw.get("log_steps", 10)),
             ecvq_lambda=float(quant_raw.get("ecvq_lambda", 0.0)),
             qscheme=str(quant_raw.get("qscheme", "per_channel")),
+            lr=(float(quant_raw["lr"])
+                if quant_raw.get("lr") is not None else None),
             skip_layers=(
                 tuple(int(i) for i in quant_raw["skip_layers"])
                 if quant_raw.get("skip_layers") is not None

@@ -78,6 +78,13 @@ class QuantConfig:
     # (per-output-channel symmetric int8, quant/uniform.py, gold-tested
     # vs torch.quantization); "per_tensor" = round-1's affine stand-in.
     qscheme: str = "per_channel"
+    # Finetune base lr; None = inherit optim.lr, the reference's behavior
+    # (compress.py:174-177 builds the quant optimizer from cfg.optim).
+    # Setting it decouples the finetune step size from the fit's — the
+    # lever that lets a cosine-annealed fit keep its converged params
+    # through the codebook finetune (BASELINE.md cosine A/B: fresh Adam
+    # at the fit lr drifts an annealed model ~1 dB).
+    lr: Optional[float] = None
 
     def __post_init__(self):
         assert self.name in ("KMeans", "QAT"), self.name

@@ -89,8 +89,10 @@ def make_quant_fit_fn(
     k = int(pixel_chunks)
     if k > 1 and n % k:
         raise ValueError(f"pixel_chunks={k} must divide pixel count {n}")
-    # quantize-mode scheduler: StepLR(1000, 0.5) (train_helper.py:79-80)
-    schedule = step_lr(optim_cfg.lr, 1000, 0.5)
+    # quantize-mode scheduler: StepLR(1000, 0.5) (train_helper.py:79-80);
+    # quant.lr (when set) overrides the inherited fit lr — see QuantConfig
+    base_lr = optim_cfg.lr if quant_cfg.lr is None else float(quant_cfg.lr)
+    schedule = step_lr(base_lr, 1000, 0.5)
 
     if mdef.separable:
         # CoordX-family fast path: evaluate through the factorized grid

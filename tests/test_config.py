@@ -473,18 +473,21 @@ def test_cli_hashgrid_run_is_decodable(tmp_path):
 
 
 def test_auto_segment_steps_hashgrid():
-    """hashgrid is gather/scatter-bound (~0.4 s/step at 512^2 x 12 levels,
-    BASELINE.md) — the auto segment length must drop to ~80 steps there,
-    scaling with pixels x levels, or default CLI runs blow the runtime's
-    ~60 s execution watchdog."""
+    """hashgrid's default separable path is measured at 11.35 ms/step at
+    512^2 x 12 levels (benchmarks/hashgrid_speed.py, BASELINE.md) — the
+    standard 2000-step segment (~23 s) fits the runtime's ~60 s execution
+    watchdog, and larger pixels x levels workloads scale the segment down
+    proportionally."""
     from implicit_image_tpu.compress import _auto_segment_steps
 
     cfg = compose(["mlp=hashgrid"])
-    assert _auto_segment_steps(cfg) == 80
+    assert _auto_segment_steps(cfg) == 2000
+    # smaller pyramids/images do NOT grow past the 2000-step default
     cfg = compose(["mlp=hashgrid", "mlp.n_levels=6"])
-    assert _auto_segment_steps(cfg) == 160
-    cfg = compose(["mlp=hashgrid", "img.height=256", "img.width=256"])
-    assert _auto_segment_steps(cfg) == 320
+    assert _auto_segment_steps(cfg) == 2000
+    # 4x the pixels -> quarter the segment
+    cfg = compose(["mlp=hashgrid", "img.height=1024", "img.width=1024"])
+    assert _auto_segment_steps(cfg) == 500
     # explicit override still wins
     cfg = compose(["mlp=hashgrid", "train.segment_steps=500"])
     assert _auto_segment_steps(cfg) == 500

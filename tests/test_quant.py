@@ -509,3 +509,45 @@ def test_quant_finetune_segmented_matches_single_execution():
                         np.asarray(bs.centroids), np.asarray(bc.centroids),
                         atol=1e-6,
                     )
+
+
+def test_quant_lr_override_changes_finetune_scale():
+    """quant.lr decouples the finetune step size from the fit lr: lr=0
+    freezes the finetune (params == post-clustering snap), while the
+    default (None -> optim.lr) trains the codebook (QuantConfig.lr;
+    reference behavior is inherit, compress.py:174-177)."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=50, log_steps=50), OptimConfig(lr=1e-3),
+    )
+
+    def run(qlr):
+        return quant_finetune(
+            res.params, img, mdef, mcfg, grid,
+            QuantConfig(bits=4, num_steps=20, lr=qlr),
+            OptimConfig(lr=1e-3),
+        )
+
+    inherit, frozen, tiny = run(None), run(0.0), run(1e-6)
+    d_frozen_tiny = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for la, lb in zip(frozen.params, tiny.params)
+        for a, b in zip(la.values(), lb.values())
+    )
+    d_frozen_inherit = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for la, lb in zip(frozen.params, inherit.params)
+        for a, b in zip(la.values(), lb.values())
+    )
+    # the override is live: a tiny lr moves params a tiny amount, the
+    # inherited 1e-3 moves them orders of magnitude more
+    assert 0 < d_frozen_tiny < 1e-3
+    assert d_frozen_inherit > 10 * d_frozen_tiny
