@@ -62,21 +62,35 @@ def main(steps: int = 100) -> None:
         )
         params = res.params
 
-    # render (decode) wall: separable vs flat, post-compile median of 5
-    for name, fn in (
-        ("render-separable", jax.jit(lambda p: mdef.apply(p, grid, mcfg))),
+    # render (decode) wall: separable vs flat. Steady-state device rate —
+    # K renders inside ONE dispatch with a scalar readback (the same
+    # methodology as coding.decode_and_render): a per-frame full-image
+    # np.asarray readback would add the ~3 MB device->host tunnel transfer
+    # (~70 ms) to every frame and swamp the device wall.
+    reps = 8
+    for name, apply_one in (
+        ("render-separable", lambda p: mdef.apply(p, grid, mcfg)),
         ("render-flat",
-         jax.jit(lambda p: mdef.apply_flat(
-             p, grid.reshape(h * w, 2), mcfg))),
+         lambda p: mdef.apply_flat(p, grid.reshape(h * w, 2), mcfg)),
     ):
-        np.asarray(fn(params))  # compile + warm
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(fn(params))  # host readback forces completion
-            ts.append(time.perf_counter() - t0)
-        print(f"{name:17s} {1e3 * float(np.median(ts)):7.2f} ms/frame",
-              flush=True)
+        @jax.jit
+        def render_many(p, apply_one=apply_one):
+            def body(c, _):
+                pc = jax.tree_util.tree_map(
+                    lambda x: x * (1.0 + c * 1e-38), p)
+                out = apply_one(pc)
+                return c + jnp.ravel(out)[0], None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), None, length=reps)
+            return acc
+
+        np.asarray(render_many(params))  # warm-up compile
+        t0 = time.perf_counter()
+        np.asarray(render_many(params))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{name:17s} {1e3 * dt:7.2f} ms/frame "
+              f"({h * w / dt / 1e6:.0f} Mpix/s)", flush=True)
 
 
 if __name__ == "__main__":
