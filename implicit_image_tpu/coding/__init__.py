@@ -23,7 +23,7 @@ import os
 import time
 from collections import OrderedDict
 from pathlib import Path
-from typing import Dict, Tuple, Union
+from typing import Any, Dict, Tuple, Union
 
 import numpy as np
 
@@ -320,6 +320,29 @@ def params_from_state_dict(state_dict: Dict[str, np.ndarray]) -> Tuple[dict, ...
     return tuple(layers[i] for i in sorted(layers))
 
 
+# Compiled render programs keyed by VALUE (ModelDef/configs are frozen
+# dataclasses): a fresh `jax.jit(lambda ...)` per call would retrace —
+# and through the tunnel recompile (~15-20 s) — for EVERY decode, which
+# made batched_compress's per-image decode loop ~4x slower than its
+# whole batched fit. Entries are tiny (a closed jitted callable); the
+# model zoo is small, so no eviction.
+_render_cache: Dict[tuple, Any] = {}
+
+
+def _get_render(mdef, mcfg, height: int, width: int):
+    import jax
+
+    from implicit_image_tpu.data import get_grid
+
+    key = (mdef, mcfg, int(height), int(width))
+    fn = _render_cache.get(key)
+    if fn is None:
+        grid = get_grid(height, width)
+        fn = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
+        _render_cache[key] = fn
+    return fn
+
+
 def decode_and_render(
     dir_name: Union[str, Path],
     stream_name: str,
@@ -354,8 +377,8 @@ def decode_and_render(
         np_.asarray(jnp.ravel(next(iter(params[-1].values())))[0])
     t1 = time.perf_counter()
     grid = get_grid(height, width)
-    render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
-    img = np_.asarray(render(params))  # compile + first render + readback
+    render = _get_render(mdef, mcfg, height, width)
+    img = np_.asarray(render(params))  # (compile +) first render + readback
     t2 = time.perf_counter()
     if not benchmark:
         return img, {
