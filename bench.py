@@ -70,19 +70,27 @@ def main() -> None:
               file=sys.stderr)
 
     # ---- flagship: CoordX s5/w96 @ RigL d=0.85, complete protocol ----
-    flag = None
+    # Stage walls through the tunnel vary +-20% run to run (BASELINE.md);
+    # quality/bytes are seed-deterministic. Run the protocol three times
+    # (compiles cache after the first) and report the MEDIAN wall.
+    flag, flag_walls, runs = None, [], []
     try:
         from implicit_image_tpu.sparsity import MaskingConfig
 
         c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
                                    split_depth=5)
-        flag = full_protocol(
-            "coordx_s5w96_d085_b1200", c_def, c_cfg, grid, img, 1200,
-            OptimConfig(), "outputs/bench/coordx_flagship",
-            stream="huffman", masking_cfg=MaskingConfig(density=0.85),
-        )
+        for rep in range(3):
+            runs.append(full_protocol(
+                "coordx_s5w96_d085_b1200", c_def, c_cfg, grid, img, 1200,
+                OptimConfig(), "outputs/bench/coordx_flagship",
+                stream="huffman", masking_cfg=MaskingConfig(density=0.85),
+            ))
     except Exception as e:  # noqa: BLE001
         print(f"[bench] flagship protocol failed: {e!r}", file=sys.stderr)
+    if runs:  # median wall among completed repeats (quality is identical)
+        flag_walls = sorted(r["total_wall_s"] for r in runs)
+        median = flag_walls[len(flag_walls) // 2]
+        flag = next(r for r in runs if r["total_wall_s"] == median)
 
     meets = bool(
         ref is not None and flag is not None
@@ -130,6 +138,9 @@ def main() -> None:
         "flagship_meets_bar": meets,
         "flagship_decoded_db": flag["decoded_psnr"] if flag else None,
         "flagship_bytes": flag["bytes"] if flag else None,
+        # sorted per-repeat protocol walls (lead value = the median;
+        # tunnel wall noise is +-20%, quality/bytes are deterministic)
+        "flagship_wall_runs": flag_walls,
         "bar_decoded_db": ref["decoded_psnr"] if ref else None,
         "bar_bytes": ref["bytes"] if ref else None,
         # strict same-architecture numbers (previous rounds' headline)
