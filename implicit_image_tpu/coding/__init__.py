@@ -23,7 +23,7 @@ import os
 import time
 from collections import OrderedDict
 from pathlib import Path
-from typing import Any, Dict, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import numpy as np
 
@@ -42,6 +42,7 @@ __all__ = [
     "read_raw_container",
     "params_from_state_dict",
     "decode_and_render",
+    "render_region",
     "backend_names",
     "sparsity",
 ]
@@ -416,3 +417,65 @@ def decode_and_render(
         "mpix_per_s": (height * width) / max(render_s, 1e-9) / 1e6,
     }
     return img, stats
+
+
+def _get_region_render(mdef, mcfg):
+    """One jit wrapper per (model, config), shared across render_region
+    calls — grid is a traced argument, so every band/window shape reuses
+    the same cache and identical shapes never recompile."""
+    import jax
+
+    key = ("region", mdef, mcfg)
+    fn = _render_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, g: mdef.apply(p, g, mcfg))
+        _render_cache[key] = fn
+    return fn
+
+
+def render_region(
+    mdef,
+    mcfg,
+    params,
+    height: int,
+    width: int,
+    roi: Optional[Tuple[int, int, int, int]] = None,
+    tile_rows: int = 0,
+) -> "np.ndarray":
+    """Render (a window of) an arbitrary H×W lattice from decoded params.
+
+    The INR artifact is resolution-free: `height`/`width` need not match
+    the fitted size (super-resolution / thumbnail decode), and `roi =
+    (row0, row1, col0, col1)` selects an axis-aligned window of that
+    lattice — the window render is bit-identical to the corresponding
+    slice of the full render (get_grid_window semantics). `tile_rows > 0`
+    renders row bands of at most that many rows per device call and
+    stitches on host, bounding device memory for huge outputs (gigapixel
+    decode from a KB-scale bitstream). The reference has no counterpart:
+    its decode path can only re-evaluate the full training grid
+    (SURVEY.md §3.2, reference entropy_coding/__init__.py:123-186).
+
+    Not supported for fixed-geometry families (wavelet_siren asserts the
+    training grid shape — models/wavelet_siren.py).
+    """
+    from implicit_image_tpu.data import get_grid_window
+
+    r0, r1, c0, c1 = roi if roi is not None else (0, height, 0, width)
+    if not (0 <= r0 < r1 <= height and 0 <= c0 < c1 <= width):
+        raise ValueError(f"roi {roi} out of bounds for {height}x{width}")
+    render = _get_region_render(mdef, mcfg)
+    if tile_rows <= 0 or tile_rows >= r1 - r0:
+        grid = get_grid_window(height, width, r0, r1, c0, c1)
+        return np.asarray(render(params, grid))
+    # Row-band tiling: every full band shares ONE compiled program; a
+    # shorter remainder band (if any) costs one extra compile. Dispatch is
+    # async, so keeping a small window of bands in flight overlaps device
+    # compute with host readback while still bounding device memory.
+    bands, pending = [], []
+    for y in range(r0, r1, tile_rows):
+        g = get_grid_window(height, width, y, min(y + tile_rows, r1), c0, c1)
+        pending.append(render(params, g))
+        if len(pending) > 2:
+            bands.append(np.asarray(pending.pop(0)))
+    bands.extend(np.asarray(b) for b in pending)
+    return np.concatenate(bands, axis=0)

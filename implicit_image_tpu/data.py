@@ -28,6 +28,7 @@ import jax.numpy as jnp
 __all__ = [
     "load_img",
     "get_grid",
+    "get_grid_window",
     "pixel_batches",
     "synthetic_image",
     "stable_seed",
@@ -228,6 +229,36 @@ def get_grid(height: int, width: int, dtype=jnp.float32) -> jax.Array:
     coords_w = jnp.linspace(0.0, 1.0, width, dtype=dtype)
     gh = jnp.broadcast_to(coords_h[:, None], (height, width))
     gw = jnp.broadcast_to(coords_w[None, :], (height, width))
+    return jnp.stack([gh, gw], axis=-1)
+
+
+def get_grid_window(
+    height: int,
+    width: int,
+    row0: int,
+    row1: int,
+    col0: int,
+    col1: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Coordinate grid of the axis-aligned window [row0,row1)x[col0,col1)
+    of the H×W unit-square lattice — bit-identical to
+    `get_grid(height, width)[row0:row1, col0:col1]` without materializing
+    the full grid. Remains a tensor product (grid[y, x] == (rows[y],
+    cols[x])), so separable model families (CoordX, hashgrid) keep their
+    fast path on windows. Used by region-of-interest decode
+    (coding.render_region); the reference can only evaluate the full
+    training grid (SURVEY.md §3.2)."""
+    if not (0 <= row0 < row1 <= height and 0 <= col0 < col1 <= width):
+        raise ValueError(
+            f"window [{row0},{row1})x[{col0},{col1}) out of bounds for "
+            f"{height}x{width}"
+        )
+    coords_h = jnp.linspace(0.0, 1.0, height, dtype=dtype)[row0:row1]
+    coords_w = jnp.linspace(0.0, 1.0, width, dtype=dtype)[col0:col1]
+    hh, ww = row1 - row0, col1 - col0
+    gh = jnp.broadcast_to(coords_h[:, None], (hh, ww))
+    gw = jnp.broadcast_to(coords_w[None, :], (hh, ww))
     return jnp.stack([gh, gw], axis=-1)
 
 

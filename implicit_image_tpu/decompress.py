@@ -5,7 +5,13 @@ calling decompress_state_dict by hand and re-running eval); this makes the
 compressed run directory self-contained:
 
     python -m implicit_image_tpu.decompress outputs/<img>/<exp>/<run> \
-        [--out decoded.png]
+        [--out decoded.png] [--scale 4] [--size HxW] \
+        [--roi row0:row1,col0:col1] [--tile-rows N]
+
+Resolution-free decode (single-run only): the INR weights render ANY
+lattice — `--scale`/`--size` for super-resolution or thumbnails, `--roi`
+for an axis-aligned window (bit-identical to the slice of the full
+render), `--tile-rows` to bound device memory for gigapixel outputs.
 
 Reads `config.json` (written by compress.py) to rebuild the model and the
 stream backend, decodes `model_quantized/`, renders on the TPU, reports
@@ -34,8 +40,19 @@ from implicit_image_tpu.utils import catch_error_decorator
 log = logging.getLogger("implicit_image_tpu")
 
 
-def decode_run(run_dir, out_path=None):
-    """Decode one compress.py run directory; returns (image, stats)."""
+def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
+               tile_rows=0):
+    """Decode one compress.py run directory; returns (image, stats).
+
+    Geometry options (the INR artifact is resolution-free — the reference
+    decoder can only re-evaluate the training grid):
+      scale:     render the lattice at scale× the fitted size
+      size:      (H, W) explicit lattice size (overrides scale)
+      roi:       (row0, row1, col0, col1) window of that lattice
+      tile_rows: row-band tiling to bound device memory on huge outputs
+    """
+    import time
+
     run_dir = Path(run_dir)
     cfg = json.loads((run_dir / "config.json").read_text())
     stream = cfg.get("entropy_coding", {}).get("stream_name", "zstd")
@@ -44,9 +61,35 @@ def decode_run(run_dir, out_path=None):
     mdef, mcfg = build_model_from_config(cfg)
     h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
 
-    img, stats = decode_and_render(
-        run_dir / "model_quantized", stream, mdef, mcfg, h, w
-    )
+    if scale or size or roi or tile_rows:
+        from implicit_image_tpu.coding import (
+            decompress_state_dict,
+            params_from_state_dict,
+            render_region,
+        )
+
+        rh, rw = size if size else (h, w)
+        if scale:
+            rh, rw = round(rh * scale), round(rw * scale)
+        t0 = time.perf_counter()
+        state = decompress_state_dict(run_dir / "model_quantized", stream)
+        params = params_from_state_dict(state)
+        t1 = time.perf_counter()
+        img = render_region(mdef, mcfg, params, rh, rw, roi=roi,
+                            tile_rows=tile_rows)
+        t2 = time.perf_counter()
+        stats = {
+            "decode_s": t1 - t0,
+            "upload_s": 0.0,
+            "render_s": t2 - t1,  # includes compile (one-shot path)
+            "mpix_per_s": img.shape[0] * img.shape[1] / max(t2 - t1, 1e-9) / 1e6,
+            "lattice": (rh, rw),
+            "window": tuple(roi) if roi else (0, rh, 0, rw),
+        }
+    else:
+        img, stats = decode_and_render(
+            run_dir / "model_quantized", stream, mdef, mcfg, h, w
+        )
     out_path = Path(out_path) if out_path else run_dir / "decoded.png"
     save_img(str(out_path), np.asarray(img))
     stats["out"] = str(out_path)
@@ -115,23 +158,45 @@ def decode_runs(run_dirs):
 def cli(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     argv = list(sys.argv[1:] if argv is None else argv)
-    out = None
-    if "--out" in argv:
-        i = argv.index("--out")
+
+    def take_opt(name):
+        if name not in argv:
+            return None
+        i = argv.index(name)
         if i + 1 >= len(argv):
             print(__doc__)
             raise SystemExit(2)
-        out = argv[i + 1]
+        val = argv[i + 1]
         del argv[i : i + 2]
+        return val
+
+    out = take_opt("--out")
+    scale = take_opt("--scale")
+    size = take_opt("--size")
+    roi = take_opt("--roi")
+    tile_rows = take_opt("--tile-rows")
+    geometry = dict(
+        scale=float(scale) if scale else None,
+        size=tuple(int(x) for x in size.split("x")) if size else None,
+        roi=tuple(int(x) for x in roi.replace(",", ":").split(":")) if roi else None,
+        tile_rows=int(tile_rows) if tile_rows else 0,
+    )
+    if geometry["size"] is not None and len(geometry["size"]) != 2:
+        raise SystemExit("--size expects HxW, e.g. --size 1024x1024")
+    if geometry["roi"] is not None and len(geometry["roi"]) != 4:
+        raise SystemExit("--roi expects row0:row1,col0:col1")
     if len(argv) == 0:
         print(__doc__)
         raise SystemExit(2)
     if len(argv) > 1:
-        if out is not None:
-            raise SystemExit("--out is only valid with a single run dir")
+        if out is not None or any(v for v in geometry.values()):
+            raise SystemExit(
+                "--out/--scale/--size/--roi/--tile-rows are only valid "
+                "with a single run dir"
+            )
         decode_runs(argv)
         return
-    _, stats = decode_run(argv[0], out)
+    _, stats = decode_run(argv[0], out, **geometry)
     log.info(
         "decoded %s: host %.1f ms + upload %.1f ms, render %.2f ms (%.0f Mpix/s) -> %s",
         argv[0],
