@@ -1,6 +1,6 @@
 from implicit_image_tpu.parallel.mesh import make_mesh
 from implicit_image_tpu.parallel.batched import make_batched_fit_fn, batched_fit
-from implicit_image_tpu.parallel.sharded import make_sharded_fit_fn
+from implicit_image_tpu.parallel.sharded import make_sharded_fit_fn, sharded_render
 from implicit_image_tpu.parallel.pipeline import (
     PipelineResult,
     batched_compress,
@@ -11,6 +11,7 @@ __all__ = [
     "make_batched_fit_fn",
     "batched_fit",
     "make_sharded_fit_fn",
+    "sharded_render",
     "PipelineResult",
     "batched_compress",
     "sharded_compress",

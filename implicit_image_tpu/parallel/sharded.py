@@ -30,7 +30,48 @@ from implicit_image_tpu.training.fit import (
     make_fit_fn,
 )
 
-__all__ = ["make_sharded_fit_fn", "sharded_fit"]
+__all__ = ["make_sharded_fit_fn", "sharded_fit", "sharded_render"]
+
+
+def sharded_render(
+    mesh: Mesh,
+    mdef: ModelDef,
+    mcfg,
+    params,
+    height: int,
+    width: int,
+    roi=None,
+):
+    """Multi-chip decode: render (a window of) an H×W lattice with rows
+    sharded over the mesh "pixel" axis.
+
+    The decode counterpart of make_sharded_fit_fn — params are replicated,
+    each chip renders rows/n of the (optionally ROI-windowed,
+    data.get_grid_window) lattice, and the output stays row-sharded, so
+    lattices whose per-pixel activations exceed one chip's HBM render
+    across the mesh (e.g. gigapixel resolution-free decode; single-chip
+    tiling is coding.render_region). Separable families (CoordX/hashgrid)
+    keep their fast path: GSPMD gathers the column-coordinate vector
+    where needed. The reference is single-device throughout (SURVEY.md
+    §2.8)."""
+    from implicit_image_tpu.data import get_grid_window
+
+    r0, r1, c0, c1 = roi if roi is not None else (0, height, 0, width)
+    n_pixel = mesh.shape["pixel"]
+    if (r1 - r0) % n_pixel != 0:
+        raise ValueError(
+            f"window rows {r1 - r0} not divisible by pixel axis {n_pixel}"
+        )
+    grid = get_grid_window(height, width, r0, r1, c0, c1)
+    fn = jax.jit(
+        lambda p, g: mdef.apply(p, g, mcfg),
+        in_shardings=(
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P("pixel")),
+        ),
+        out_shardings=NamedSharding(mesh, P("pixel")),
+    )
+    return fn(params, grid)
 
 
 def make_sharded_fit_fn(
