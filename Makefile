@@ -7,7 +7,7 @@ PY ?= python
 IMG ?= synthetic
 DENSITIES ?= 0.01,0.02,0.05,0.1,0.2,0.3,0.4,0.5,0.75,0.95
 
-.PHONY: test test-all bench siren prune sweep decode vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.% finals.real verify.benchmarks
+.PHONY: test test-all bench siren prune sweep target decode vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.% finals.real verify.benchmarks
 
 # default gate: excludes tests marked `slow` (heavyweight redundancy /
 # finals-protocol checks); measured 5m25s on a 1-core box. `make test-all`
@@ -47,6 +47,13 @@ ladder.%:
 sweep:
 	$(PY) -m implicit_image_tpu.sweep n_trials=15 img=$(IMG) \
 	    masking.density='loguniform(0.05,0.95)'
+
+# compress to a byte budget (TARGET_BYTES=) or quality bar (TARGET_DB=):
+# one-compile ladder search on the density axis (implicit_image_tpu/target.py)
+target:
+	$(PY) -m implicit_image_tpu.target img=$(IMG) \
+	    $(if $(TARGET_BYTES),target.bytes=$(TARGET_BYTES)) \
+	    $(if $(TARGET_DB),target.db=$(TARGET_DB))
 
 # validate the rgb16bit drop-in files against data/MANIFEST.json
 # (format + sha256, trust-on-first-use)
