@@ -44,7 +44,7 @@ from implicit_image_tpu.data import (
     synthetic_image,
 )
 from implicit_image_tpu.models import build_model_from_config
-from implicit_image_tpu.quant import QuantConfig
+from implicit_image_tpu.quant import QuantConfig, quantized_layer_indices
 from implicit_image_tpu.sparsity import MaskingConfig
 from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
 from implicit_image_tpu.training.quant_phase import quant_finetune
@@ -90,6 +90,48 @@ def _load_image(img_cfg) -> np.ndarray:
         log.warning("image %s not found; using synthetic stand-in", path)
     seed = stable_seed(img_cfg.get("name", "synthetic"))
     return synthetic_image(img_cfg.height, img_cfg.width, seed=seed)
+
+
+def _auto_alloc_dominates(
+    cfg, qres_auto, qres_uniform, mdef, mcfg, grid, img, run_dir
+) -> bool:
+    """Post-finetune A/B for quant.bit_alloc=auto: adopt the per-layer
+    allocation only if its (decoded PSNR, container bytes) operating point
+    dominates the uniform codebooks' — measured on the run's real entropy
+    backend. Without a coding stage the comparison degrades to quant PSNR
+    (the allocation's modeled rate is smaller by construction). Both probe
+    containers are left in the run dir (`bit_alloc_{auto,uniform}/`) as
+    audit artifacts; the winner is re-encoded to model_quantized/ by the
+    normal coding stage."""
+    ec = cfg.get("entropy_coding")
+    if not ec or ec.get("stream_name", "none") == "none":
+        return float(np.asarray(qres_auto.metrics["quant_psnr"])) >= float(
+            np.asarray(qres_uniform.metrics["quant_psnr"])
+        )
+    half = ec.get("half", "auto")
+    half = {"auto": "auto", True: True, False: False,
+            "true": True, "false": False}[half]
+    kwargs = {k: v for k, v in ec.items() if k not in ("stream_name", "half")}
+    h, w = grid.shape[:2]
+    img64 = np.asarray(img, np.float64)
+
+    def point(qr, tag):
+        state = linear_state_dict(qr.params, qr.codebooks, half=half)
+        d = Path(run_dir) / f"bit_alloc_{tag}"
+        nbytes = compress_state_dict(state, d, ec.stream_name, **kwargs)
+        dec, _ = decode_and_render(
+            d, ec.stream_name, mdef, mcfg, h, w, benchmark=False, **kwargs
+        )
+        err = float(np.mean((np.asarray(dec, np.float64) - img64) ** 2))
+        return 10.0 * np.log10(1.0 / max(err, 1e-12)), nbytes
+
+    db_a, by_a = point(qres_auto, "auto")
+    db_u, by_u = point(qres_uniform, "uniform")
+    log.info(
+        "bit_alloc A/B: auto %.3f dB @ %d B vs uniform %.3f dB @ %d B",
+        db_a, by_a, db_u, by_u,
+    )
+    return db_a >= db_u and by_a <= by_u
 
 
 def _auto_segment_steps(cfg) -> int:
@@ -300,10 +342,19 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
                 if quant_cfg_raw.get("skip_layers") is not None
                 else None
             ),
+            # explicit per-layer widths (list aligned to params indices;
+            # null entries fall back to `bits`) — see quant/allocate.py
+            bits_per_layer=(
+                tuple(
+                    int(b) if b is not None else None
+                    for b in quant_cfg_raw["bits_per_layer"]
+                )
+                if quant_cfg_raw.get("bits_per_layer") is not None
+                else None
+            ),
         )
         masks = res.mask_state.masks if res.mask_state is not None else None
-        qres = quant_finetune(
-            params, img, mdef, mcfg, grid, quant_cfg, optim_cfg,
+        quant_kwargs = dict(
             masks=masks,
             compute_dtype=jnp.bfloat16 if train_cfg.compute_dtype else None,
             pixel_chunks=train_cfg.pixel_chunks,
@@ -311,6 +362,57 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             # segment is shorter than quant.num_steps, e.g. hashgrid)
             segment_steps=train_cfg.segment_steps,
         )
+        qres = quant_finetune(
+            params, img, mdef, mcfg, grid, quant_cfg, optim_cfg,
+            **quant_kwargs,
+        )
+        # ---- automatic per-layer bit allocation (beyond reference) ----
+        # quant.bit_alloc=auto measures each layer's codebook R-D curve,
+        # solves the Lagrangian allocation (quant/allocate.py), finetunes
+        # the allocated codebooks too, and keeps the allocation ONLY if
+        # its post-finetune operating point dominates the uniform one
+        # (decoded PSNR >= AND bytes <=, on the run's real container) —
+        # the pre-finetune MSE guarantee alone does not survive the
+        # codebook finetune (measured: SIREN -0.57 dB for -1% rate;
+        # CoordX +0.09 dB at -0.64% — benchmarks/bit_alloc_ab.py).
+        if (
+            str(quant_cfg_raw.get("bit_alloc", "none")) == "auto"
+            and quant_cfg.name == "KMeans"
+            and quant_cfg.bits_per_layer is None
+        ):
+            import dataclasses
+
+            from implicit_image_tpu.quant.allocate import allocate_bits
+
+            report = allocate_bits(mdef, mcfg, params, grid, img, quant_cfg)
+            chosen = quant_cfg
+            if not report.chosen_uniform:
+                auto_cfg = dataclasses.replace(
+                    quant_cfg, bits_per_layer=report.bits_per_layer
+                )
+                qres_auto = quant_finetune(
+                    params, img, mdef, mcfg, grid, auto_cfg, optim_cfg,
+                    **quant_kwargs,
+                )
+                adopt = _auto_alloc_dominates(
+                    cfg, qres_auto, qres, mdef, mcfg, grid, img, run_dir
+                )
+                if adopt:
+                    qres, chosen = qres_auto, auto_cfg
+                log.info(
+                    "bit_alloc=auto: %s allocation %s",
+                    "adopted" if adopt else "rejected (uniform dominates)",
+                    report.bits_per_layer,
+                )
+            quant_cfg = chosen
+            effective = chosen.bits_per_layer or tuple(
+                chosen.bits if i in set(quantized_layer_indices(params, chosen))
+                else None
+                for i in range(len(params))
+            )
+            logger.summary({
+                "Bit Allocation": [-1 if b is None else b for b in effective],
+            })
         qpsnr = float(np.asarray(qres.metrics["quant_psnr"]))
         logger.log(
             num_steps,
@@ -384,12 +486,21 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         t8 = np.asarray(img, np.float64) * 255.0
         mse8 = float(np.mean((np.trunc(q8) - np.trunc(t8)) ** 2))
         decoded_psnr8 = float(10.0 * np.log10(255.0**2 / max(mse8, 1e-12)))
-        logger.log(
-            num_steps,
-            {"Decoded PSNR": decoded_psnr, "Decoded PSNR_8bit": decoded_psnr8},
-            prefix="Decoded",
-        )
-        logger.summary({"Decoded PSNR": decoded_psnr})
+        entry = {"Decoded PSNR": decoded_psnr,
+                 "Decoded PSNR_8bit": decoded_psnr8}
+        # MS-SSIM (beyond reference — the reference reports PSNR only):
+        # as many scales as the lattice supports, capped at the standard 5
+        lv = min(5, int(np.log2(max(min(h, w) // 11, 1))) + 1)
+        if lv >= 1 and min(h, w) >= 11:
+            from implicit_image_tpu.ops.ssim import ms_ssim
+
+            entry["Decoded MS-SSIM"] = float(
+                ms_ssim(jnp.asarray(dec_img), jnp.asarray(img), levels=lv)
+            )
+        logger.log(num_steps, entry, prefix="Decoded")
+        logger.summary({"Decoded PSNR": decoded_psnr,
+                        **({"Decoded MS-SSIM": entry["Decoded MS-SSIM"]}
+                           if "Decoded MS-SSIM" in entry else {})})
         test_psnr = decoded_psnr
 
     logger.close()

@@ -278,6 +278,17 @@ def build_ladder_args(cfg) -> dict:
                 if quant_raw.get("skip_layers") is not None
                 else None
             ),
+            # explicit per-layer widths ride the ladder unchanged;
+            # bit_alloc=auto is per-member work and stays a compress.py
+            # feature (the ladder shares ONE quant program across members)
+            bits_per_layer=(
+                tuple(
+                    int(b) if b is not None else None
+                    for b in quant_raw["bits_per_layer"]
+                )
+                if quant_raw.get("bits_per_layer") is not None
+                else None
+            ),
         )
     ec = cfg.get("entropy_coding") or {}
     stream_name = ec.get("stream_name", "zstd")

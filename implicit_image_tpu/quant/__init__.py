@@ -85,10 +85,31 @@ class QuantConfig:
     # through the codebook finetune (BASELINE.md cosine A/B: fresh Adam
     # at the fit lr drifts an annealed model ~1 dB).
     lr: Optional[float] = None
+    # Per-layer codebook-size override, indexed by params-tuple position:
+    # entry i (when not None) replaces `bits` for layer i. Beyond-reference
+    # R-D lever — the reference codes EVERY layer at the same bit width
+    # (conf/quant/kmeans.yaml bits: 8; 9 for two images) while layer
+    # sensitivity varies by >10x; quant/allocate.py searches this space
+    # (quant.bit_alloc=auto). KMeans mode only. The container needs no
+    # format change: centroid counts are per-tensor in the manifest.
+    bits_per_layer: Optional[Tuple[Optional[int], ...]] = None
 
     def __post_init__(self):
         assert self.name in ("KMeans", "QAT"), self.name
         assert self.qscheme in ("per_channel", "per_tensor"), self.qscheme
+        if self.bits_per_layer is not None:
+            assert self.name == "KMeans", "bits_per_layer is KMeans-only"
+            assert all(
+                b is None or 2 <= int(b) <= 16 for b in self.bits_per_layer
+            ), self.bits_per_layer
+
+    def layer_bits(self, i: int) -> int:
+        """Codebook bits for params-layer i (bits_per_layer override,
+        else the global `bits`)."""
+        bpl = self.bits_per_layer
+        if bpl is not None and i < len(bpl) and bpl[i] is not None:
+            return int(bpl[i])
+        return self.bits
 
 
 def quantized_layer_indices(params, cfg: QuantConfig) -> List[int]:
@@ -103,16 +124,17 @@ def quantized_layer_indices(params, cfg: QuantConfig) -> List[int]:
         skip = set(cfg.skip_layers)
     else:
         skip = {widx[0], widx[-1]} if widx else set()
-    skip |= {i for i in widx if params[i]["w"].size < 2**cfg.bits}
+    skip |= {i for i in widx if params[i]["w"].size < 2 ** cfg.layer_bits(i)}
     return [i for i in widx if i not in skip]
 
 
-def _snap(weight: jnp.ndarray, cfg: QuantConfig):
+def _snap(weight: jnp.ndarray, cfg: QuantConfig, i: int = -1):
+    bits = cfg.layer_bits(i) if i >= 0 else cfg.bits
     if cfg.name == "KMeans":
-        return quantize_weight(weight, cfg.bits, cfg.lloyd_iters)
+        return quantize_weight(weight, bits, cfg.lloyd_iters)
     if cfg.qscheme == "per_channel":
-        return per_channel_quantize_weight(weight, cfg.bits)
-    return uniform_quantize_weight(weight, cfg.bits)
+        return per_channel_quantize_weight(weight, bits)
+    return uniform_quantize_weight(weight, bits)
 
 
 def quantize_params(params, cfg: QuantConfig):
@@ -125,7 +147,7 @@ def quantize_params(params, cfg: QuantConfig):
     out = []
     for i, layer in enumerate(params):
         if i in qidx:
-            snapped, _ = _snap(layer["w"], cfg)
+            snapped, _ = _snap(layer["w"], cfg, i)
             out.append({**layer, "w": snapped})
         else:
             out.append(layer)
@@ -141,7 +163,7 @@ def convert(params, cfg: QuantConfig):
     out, books = [], []
     for i, layer in enumerate(params):
         if i in qidx:
-            snapped, book = _snap(layer["w"], cfg)
+            snapped, book = _snap(layer["w"], cfg, i)
             out.append({**layer, "w": snapped})
             books.append(book)
         else:

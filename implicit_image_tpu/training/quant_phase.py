@@ -232,7 +232,7 @@ def make_quant_fit_fn(
         for i, layer in enumerate(params):
             if i in qset:
                 _, book = quantize_weight(
-                    layer["w"], quant_cfg.bits, quant_cfg.lloyd_iters
+                    layer["w"], quant_cfg.layer_bits(i), quant_cfg.lloyd_iters
                 )
                 if quant_cfg.ecvq_lambda > 0.0:
                     book = ecvq_refine(

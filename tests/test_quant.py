@@ -551,3 +551,148 @@ def test_quant_lr_override_changes_finetune_scale():
     # inherited 1e-3 moves them orders of magnitude more
     assert 0 < d_frozen_tiny < 1e-3
     assert d_frozen_inherit > 10 * d_frozen_tiny
+
+
+# ---- per-layer bit allocation (quant.bit_alloc, quant/allocate.py) ----
+
+
+def test_bits_per_layer_overrides_codebook_sizes():
+    """QuantConfig.bits_per_layer controls each layer's codebook width."""
+    params = tuple(
+        {"w": jax.random.normal(jax.random.PRNGKey(i), (32, 32)),
+         "b": jnp.zeros((32,))}
+        for i in range(4)
+    )
+    cfg = QuantConfig(bits=8, bits_per_layer=(None, 4, 6, None))
+    assert cfg.layer_bits(0) == 8 and cfg.layer_bits(1) == 4
+    assert cfg.layer_bits(2) == 6 and cfg.layer_bits(3) == 8
+    _, books = convert(params, cfg)
+    assert books[0] is None and books[3] is None  # first/last skip
+    assert np.asarray(books[1].centroids).shape == (2**4,)
+    assert np.asarray(books[2].centroids).shape == (2**6,)
+    # degenerate-codebook guard uses the per-layer width
+    small = tuple(
+        {"w": jax.random.normal(jax.random.PRNGKey(i), (4, 4))}
+        for i in range(4)
+    )
+    idx = quantized_layer_indices(
+        small, QuantConfig(bits=3, bits_per_layer=(None, 3, 8, None))
+    )
+    assert idx == [1]  # layer 2 wants 256 > 16 weights -> skipped
+
+
+def test_quant_finetune_bits_per_layer_container_roundtrip(tmp_path):
+    """Mixed per-layer widths ride the quant phase and the container."""
+    from implicit_image_tpu.coding import (
+        compress_state_dict,
+        decompress_state_dict,
+        linear_state_dict,
+    )
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+    from implicit_image_tpu.training.quant_phase import quant_finetune
+
+    img = synthetic_image(24, 24, seed=0)
+    grid = get_grid(24, 24)
+    # hidden layers need >= 2^9 weights for the 9-bit probe (the
+    # degenerate-codebook guard skips layers smaller than the codebook)
+    mdef, mcfg = build_model("siren", depth=4, hidden_size=24)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=150, log_steps=50), OptimConfig(lr=1e-3),
+    )
+    qcfg = QuantConfig(bits=8, num_steps=20,
+                       bits_per_layer=(None, 4, 9, None))
+    qres = quant_finetune(res.params, img, mdef, mcfg, grid, qcfg,
+                          OptimConfig(lr=1e-3))
+    assert np.asarray(qres.codebooks[1].centroids).shape == (2**4,)
+    assert np.asarray(qres.codebooks[2].centroids).shape == (2**9,)
+
+    state = linear_state_dict(qres.params, qres.codebooks, half=False)
+    # 4-bit labels fit uint8; 9-bit labels need uint16 (coding/__init__.py)
+    assert state["layers.1.labeled_weight"].dtype == np.uint8
+    assert state["layers.2.labeled_weight"].dtype == np.uint16
+    compress_state_dict(state, tmp_path, "zstd")
+    dec = decompress_state_dict(tmp_path, "zstd")
+    np.testing.assert_allclose(
+        dec["layers.1.weight"], np.asarray(qres.params[1]["w"]), atol=0
+    )
+    np.testing.assert_allclose(
+        dec["layers.2.weight"], np.asarray(qres.params[2]["w"]), atol=0
+    )
+
+
+def test_allocate_bits_exploits_insensitive_layer():
+    """A layer whose weights barely matter should get a narrower codebook,
+    and the chosen allocation must dominate the uniform baseline in the
+    search's own (measured MSE, modeled bytes) terms — allocate_bits can
+    never return a worse joint operating point than uniform."""
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.quant.allocate import allocate_bits
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    img = synthetic_image(32, 32, seed=0)
+    grid = get_grid(32, 32)
+    mdef, mcfg = build_model("siren", depth=5, hidden_size=32)
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=200, log_steps=100), OptimConfig(lr=1e-3),
+    )
+    # make layer 3 nearly transparent: tiny weights -> its quantization
+    # error is invisible at any width (its contribution to the image is
+    # ~1e-4 of the residual); SIREN still renders through the +bias path
+    params = list(res.params)
+    params[3] = dict(params[3], w=params[3]["w"] * 1e-4)
+    params = tuple(params)
+
+    qcfg = QuantConfig(bits=8)
+    rep = allocate_bits(mdef, mcfg, params, grid, img, qcfg,
+                        candidates=(4, 5, 6, 7, 8))
+    assert not rep.chosen_uniform
+    assert rep.rate < rep.base_rate
+    assert rep.mse <= rep.base_mse * (1.0 + 1e-9)
+    # the transparent layer gets a strictly narrower codebook (its ΔD is
+    # noise at every width, so exactly which narrow width wins is
+    # arbitrary — the claim is that it never stays at the base width)
+    assert rep.bits_per_layer[3] <= 6
+    # non-quantized layers carry None
+    assert rep.bits_per_layer[0] is None
+    assert rep.bits_per_layer[-1] is None
+
+
+def test_cli_bit_alloc_auto(tmp_path):
+    """quant.bit_alloc=auto flows through the orchestrator end to end."""
+    import json
+
+    from implicit_image_tpu.compress import main
+    from implicit_image_tpu.config import compose
+
+    cfg = compose(
+        [
+            "img=synthetic",
+            "img.height=24",
+            "img.width=24",
+            "mlp.depth=4",
+            "mlp.hidden_size=16",
+            "train.num_steps=100",
+            "train.log_steps=50",
+            "train.use_pallas=False",
+            "train.mixed_precision=False",
+            "quant.num_steps=10",
+            "quant.bit_alloc=auto",
+            "entropy_coding=zstd",
+        ]
+    )
+    psnr, nbytes = main(cfg, run_dir=str(tmp_path))
+    assert np.isfinite(psnr) and nbytes > 0
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    alloc = summary["Bit Allocation"]
+    assert len(alloc) == 4 and alloc[0] == -1 and alloc[-1] == -1
+    assert all(2 <= b <= 16 for b in alloc[1:-1])
+    # the A/B probe containers are kept as audit artifacts
+    assert (tmp_path / "bit_alloc_auto" / "compressed_weights.data").exists()
+    assert (tmp_path / "bit_alloc_uniform" / "compressed_weights.data").exists()
+    # decoded MS-SSIM rides every coded run (ops/ssim.py)
+    assert 0.0 < summary["Decoded MS-SSIM"] <= 1.0
