@@ -11,10 +11,12 @@ RUN on the same chip:
     kmeans-8 + zstd-22 + decode), giving (bar_db, bar_bytes) and the
     strict same-architecture fit wall that earlier rounds reported;
   * the flagship: CoordX s5/w96 (models/coordx.py), RigL d=0.85,
-    1200 steps, kmeans-8 + native huffman coding. Measured 2.85 s total
-    vs the bar's 54.49 dB @ 99.4 KB — +1.5 dB at −7% rate; margins
-    confirmed on the big_building (+0.90 dB, −8.8%) and bridge
-    (+0.23 dB, −8.7%) stand-ins (BASELINE.md "time-to-quality").
+    1200 steps, kmeans-8 + `auto` entropy coding (picks the smallest of
+    the registered backends per stream; measured 89.3 KB vs huffman's
+    92.3 KB at identical decoded PSNR for +0.06 s host code wall — A/B
+    in BASELINE.md "time-to-quality"). Measured ~3 s total
+    vs the bar's 54.49 dB @ 99.4 KB — +1.5 dB at −10% rate; margins
+    confirmed on the big_building and bridge stand-ins.
 
 vs_baseline divides the documented 40 s RTX 2080 Ti estimate for the
 reference's 2000-step fit ALONE (fit-only, i.e. conservative: the
@@ -83,7 +85,7 @@ def main() -> None:
             runs.append(full_protocol(
                 "coordx_s5w96_d085_b1200", c_def, c_cfg, grid, img, 1200,
                 OptimConfig(), "outputs/bench/coordx_flagship",
-                stream="huffman", masking_cfg=MaskingConfig(density=0.85),
+                stream="auto", masking_cfg=MaskingConfig(density=0.85),
             ))
     except Exception as e:  # noqa: BLE001
         print(f"[bench] flagship protocol failed: {e!r}", file=sys.stderr)

@@ -33,17 +33,29 @@ def _psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(1.0 / max(mse, 1e-12))
 
 
-def traditional_rate_distortion(
-    img: np.ndarray, ext: str = "jpg"
-) -> List[Tuple[float, float]]:
-    """(kilobytes, PSNR) ladder for a standard codec, computed from the GT
-    in-memory exactly like the reference (cv2.imencode, :104-149).
+def _ms_ssim_np(a: np.ndarray, b: np.ndarray) -> float:
+    """MS-SSIM via ops/ssim.py (CPU jit), as many scales as the image fits."""
+    import jax.numpy as jnp
 
-    ext: 'jpg' | 'jp2' | 'webp'
+    from implicit_image_tpu.ops.ssim import ms_ssim
+
+    lv = min(5, int(np.log2(max(min(a.shape[:2]) // 11, 1))) + 1)
+    return float(ms_ssim(jnp.asarray(a), jnp.asarray(b), levels=lv))
+
+
+def traditional_rate_distortion(
+    img: np.ndarray, ext: str = "jpg", metric: str = "psnr"
+) -> List[Tuple[float, float]]:
+    """(kilobytes, distortion) ladder for a standard codec, computed from
+    the GT in-memory exactly like the reference (cv2.imencode, :104-149).
+
+    ext: 'jpg' | 'jp2' | 'webp'; metric: 'psnr' | 'ms_ssim' (the latter is
+    beyond reference — the reference plots PSNR only).
     """
     import cv2
 
     img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)[:, :, ::-1]  # RGB->BGR
+    score = _psnr if metric == "psnr" else _ms_ssim_np
     points = []
     for q in QUALITY_LADDER:
         if ext == "jpg":
@@ -60,28 +72,35 @@ def traditional_rate_distortion(
             continue
         dec = cv2.imdecode(buf, cv2.IMREAD_COLOR)
         points.append(
-            (len(buf) / 1024.0, _psnr(dec / 255.0, img8 / 255.0))
+            (len(buf) / 1024.0, score(dec / 255.0, img8 / 255.0))
         )
     return points
 
 
 def ours_rate_distortion(
-    outputs_root="outputs", img_name: Optional[str] = None
+    outputs_root="outputs", img_name: Optional[str] = None,
+    metric: str = "psnr",
 ) -> List[Tuple[float, float]]:
-    """(kilobytes, PSNR) from local runs carrying the rate+distortion
+    """(kilobytes, distortion) from local runs carrying the rate+distortion
     summary keys (reference reads 'Quant PSNR' + 'Compressed Bytes' from
     W&B, :45-101). We plot 'Decoded PSNR' — the distortion a decoder of
     the written bitstream actually recovers — falling back to the
-    pre-container quant PSNR only for runs predating the decode check."""
+    pre-container quant PSNR only for runs predating the decode check.
+    metric='ms_ssim' reads 'Decoded MS-SSIM' (runs predating it are
+    skipped on that axis)."""
     runs = collect_runs(outputs_root, require=["Compressed Bytes"])
     points = []
     for run in runs:
         if img_name and img_name not in run["dir"]:
             continue
-        psnr = run.get("Decoded PSNR", run.get("Quant PSNR", run.get("PSNR")))
-        if psnr is None:
+        if metric == "ms_ssim":
+            val = run.get("Decoded MS-SSIM")
+        else:
+            val = run.get("Decoded PSNR",
+                          run.get("Quant PSNR", run.get("PSNR")))
+        if val is None:
             continue
-        points.append((run["Compressed Bytes"] / 1024.0, float(psnr)))
+        points.append((run["Compressed Bytes"] / 1024.0, float(val)))
     return sorted(points)
 
 
@@ -90,6 +109,7 @@ def plot_rate_distortion(
     outputs_root="outputs",
     img_name: Optional[str] = None,
     out_path: str = "outputs/plots/rate_distortion.pdf",
+    metric: str = "psnr",
 ):
     import matplotlib
 
@@ -99,19 +119,19 @@ def plot_rate_distortion(
     fig, ax = plt.subplots(figsize=(6, 4))
     for ext, label in [("jpg", "JPEG"), ("jp2", "JPEG2000"), ("webp", "WebP")]:
         try:
-            pts = traditional_rate_distortion(img, ext)
+            pts = traditional_rate_distortion(img, ext, metric=metric)
         except Exception as e:  # codec not built into this cv2
             log.warning("codec %s unavailable: %s", ext, e)
             continue
         if pts:
-            kb, psnr = zip(*sorted(pts))
-            ax.plot(kb, psnr, marker=".", label=label)
-    ours = ours_rate_distortion(outputs_root, img_name)
+            kb, val = zip(*sorted(pts))
+            ax.plot(kb, val, marker=".", label=label)
+    ours = ours_rate_distortion(outputs_root, img_name, metric=metric)
     if ours:
-        kb, psnr = zip(*ours)
-        ax.plot(kb, psnr, marker="o", linewidth=2, label="Ours (INR)")
+        kb, val = zip(*ours)
+        ax.plot(kb, val, marker="o", linewidth=2, label="Ours (INR)")
     ax.set_xlabel("Kilobytes")
-    ax.set_ylabel("PSNR (dB)")
+    ax.set_ylabel("MS-SSIM" if metric == "ms_ssim" else "PSNR (dB)")
     ax.set_title(f"Rate-Distortion{' — ' + img_name if img_name else ''}")
     ax.legend()
     ax.grid(alpha=0.3)
@@ -126,11 +146,16 @@ def main(argv=None):
     args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
     img_name = args.get("img", "synthetic")
     root = args.get("outputs_root", "outputs")
+    metric = args.get("metric", "psnr")  # psnr | ms_ssim
     from implicit_image_tpu.data import stable_seed, synthetic_image
 
     img = synthetic_image(512, 512, seed=stable_seed(img_name))
+    suffix = "_msssim" if metric == "ms_ssim" else ""
     out = plot_rate_distortion(
-        img, root, img_name, args.get("out", f"outputs/plots/{img_name}_rate_distortion.pdf")
+        img, root, img_name,
+        args.get("out",
+                 f"outputs/plots/{img_name}_rate_distortion{suffix}.pdf"),
+        metric=metric,
     )
     print(f"wrote {out}")
 

@@ -92,3 +92,18 @@ def test_ssim_jit_and_grad_safe():
     x, y = _pair(h=32, w=32)
     g = jax.grad(lambda a: ssim(a, jnp.asarray(y)))(jnp.asarray(x))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rate_distortion_ms_ssim_axis():
+    """visualize/rate_distortion.py accepts metric='ms_ssim' for both the
+    codec ladders and the run store."""
+    rng = np.random.default_rng(3)
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    from implicit_image_tpu.visualize.rate_distortion import (
+        traditional_rate_distortion,
+    )
+
+    pts = traditional_rate_distortion(img, "jpg", metric="ms_ssim")
+    assert pts and all(0.0 < v <= 1.0 for _, v in pts)
+    # higher quality -> higher MS-SSIM at the ladder extremes
+    assert pts[-1][1] >= pts[0][1]
