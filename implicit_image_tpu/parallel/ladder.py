@@ -14,15 +14,20 @@ shared image. B fits, one compile, zero cross-member traffic; with a
 mesh the member axis lays out over the "image" devices so a 10-point
 ladder spans the slice in a single launch.
 
-Not supported: decay_schedule="magnitude-prune" (the GMP preset) — the
-Zhu-Gupta schedule bakes final_density into the compiled program
-(sparsity/decay.py), so members would need different programs; run GMP
-ladders as plain multirun instead.
+GMP (decay_schedule="magnitude-prune") ladders sweep final_density
+instead: the Zhu-Gupta schedule reads MaskState.final_sparsity — a
+traced scalar in the carry (sparsity/decay.py) — so members with
+different final densities still share ONE compiled program; every
+member starts from the preset's (dense) init and prunes toward its own
+target.
 
-CLI (same overrides as compress.py; the density list IS the ladder):
+CLI (same overrides as compress.py; the density list IS the ladder —
+masking.density for RigL-style presets, masking.final_density for GMP):
 
     python -m implicit_image_tpu.parallel.ladder img=synthetic \
         masking=RigL masking.density=0.05,0.1,0.2,0.4 train.multiplier=5
+    python -m implicit_image_tpu.parallel.ladder img=synthetic \
+        masking=Pruning masking.final_density=0.1,0.25,0.5
 
 Each member writes a normal run dir (config.json + summary.json +
 model_quantized/ bitstream) under outputs/<img>/ladder_<exp>/d<density>,
@@ -62,12 +67,6 @@ log = logging.getLogger("implicit_image_tpu")
 def _check_ladder_cfg(masking_cfg) -> None:
     if masking_cfg is None or masking_cfg.dense:
         raise ValueError("ladder_fit needs a sparse masking config")
-    if masking_cfg.decay_schedule == "magnitude-prune":
-        raise ValueError(
-            "decay_schedule='magnitude-prune' bakes final_density into the "
-            "compiled program; a GMP ladder cannot share one program — use "
-            "multirun (compress.py -m) for it"
-        )
 
 
 def ladder_fit(
@@ -97,18 +96,24 @@ def ladder_fit(
     keys = jax.random.split(key, b)
 
     # per-density init: the density is static inside each init_fn (the
-    # ERK/random solvers run at trace time), so build one init per member
+    # ERK/random solvers run at trace time), so build one init per member.
+    # GMP sweeps final_density (members share the preset's dense-ish init;
+    # the per-member target rides MaskState.final_sparsity as a traced
+    # scalar), RigL-style presets sweep the init density.
+    gmp = masking_cfg.decay_schedule == "magnitude-prune"
+    axis = "final_density" if gmp else "density"
     carries = []
     for i, d in enumerate(densities):
-        cfg_d = dataclasses.replace(masking_cfg, density=float(d))
+        cfg_d = dataclasses.replace(masking_cfg, **{axis: float(d)})
         init_fn, _ = make_fit_segments(
             mdef, mcfg, grid, train_cfg, optim_cfg, cfg_d
         )
         carries.append(init_fn(keys[i], img))
     carry0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
 
-    # ONE segment program shared by every member (density-free; checked
-    # above), vmapped over the carry with the image broadcast
+    # ONE segment program shared by every member (density-free: the only
+    # member-varying inputs live in the stacked carry), vmapped over the
+    # carry with the image broadcast
     _, segment_fn = make_fit_segments(
         mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
     )
@@ -316,17 +321,36 @@ def cli(argv=None) -> None:
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
     )
     argv = list(sys.argv[1:] if argv is None else argv)
-    densities = [0.05, 0.1, 0.2, 0.4, 0.75]
+    density_list = final_list = None
     kept = []
     for a in argv:
         if a.startswith("masking.density="):
-            densities = [float(x) for x in a.split("=", 1)[1].split(",")]
+            density_list = [float(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("masking.final_density="):
+            final_list = [float(x) for x in a.split("=", 1)[1].split(",")]
         else:
             kept.append(a)
     cfg = compose(kept)
     if not cfg.get("masking") or cfg.masking.get("dense", False):
         kept = [a for a in kept if not a.startswith("masking=")]
         cfg = compose(kept + ["masking=RigL"])
+    # GMP ladders sweep final_density; everything else sweeps init density.
+    # A single value on the OTHER axis passes through as a plain override.
+    gmp = cfg.masking.get("decay_schedule") == "magnitude-prune"
+    axis_list, other_list, other_key = (
+        (final_list, density_list, "masking.density") if gmp
+        else (density_list, final_list, "masking.final_density")
+    )
+    if other_list is not None:
+        if len(other_list) != 1:
+            raise ValueError(
+                f"{other_key} is not the ladder axis for "
+                f"masking={cfg.masking.get('name')}; give a single value"
+            )
+        cfg = compose(kept + [f"{other_key}={other_list[0]}"])
+    densities = axis_list or (
+        [0.1, 0.25, 0.5] if gmp else [0.05, 0.1, 0.2, 0.4, 0.75]
+    )
 
     args = build_ladder_args(cfg)
     img, grid = args["img"], args["grid"]
@@ -349,7 +373,7 @@ def cli(argv=None) -> None:
     for d, r in zip(densities, results):
         run_dir = Path(r.stream_dir)
         member_cfg = json.loads(json.dumps(cfg, default=str))
-        member_cfg["masking"]["density"] = d
+        member_cfg["masking"]["final_density" if gmp else "density"] = d
         (run_dir / "config.json").write_text(json.dumps(member_cfg, indent=2))
         (run_dir / "summary.json").write_text(json.dumps({
             "PSNR": r.psnr,

@@ -97,6 +97,10 @@ class MaskState(NamedTuple):
     adjusted_growth: jnp.ndarray  # f32 scalar
     adj_sum: jnp.ndarray  # running sum of adjustments
     adj_count: jnp.ndarray  # running count of adjustments
+    # 1 - final_density as a TRACED scalar: pure config, carried here so
+    # the Zhu-Gupta (GMP) schedule reads it from the carry — which lets a
+    # final-density ladder share ONE compiled program (parallel/ladder.py)
+    final_sparsity: jnp.ndarray = jnp.nan
 
 
 def _masked_indices(params) -> List[int]:
@@ -159,6 +163,7 @@ def create_mask_state(
         adjusted_growth=zero,
         adj_sum=zero,
         adj_count=zero,
+        final_sparsity=jnp.asarray(1.0 - cfg.final_density, jnp.float32),
     )
 
 

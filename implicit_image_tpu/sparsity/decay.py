@@ -29,12 +29,15 @@ __all__ = [
     "registry",
 ]
 
-# prune_rate_fn signature: (step, current_sparsity) -> scalar prune rate
+# prune_rate_fn signature: (step, current_sparsity, final_sparsity) -> rate.
+# final_sparsity is an optional TRACED override consumed only by the
+# magnitude-prune schedule: it lets one compiled program serve ladder
+# members with different final densities (parallel/ladder.py).
 PruneRateFn = Callable
 
 
 def cosine_decay(prune_rate: float, T_max: int, eta_min: float = 0.0) -> PruneRateFn:
-    def fn(step, current_sparsity=None):
+    def fn(step, current_sparsity=None, final_sparsity=None):
         t = jnp.clip(jnp.asarray(step, jnp.float32), 0.0, float(T_max))
         return eta_min + (prune_rate - eta_min) * (1.0 + jnp.cos(jnp.pi * t / T_max)) / 2.0
 
@@ -42,7 +45,7 @@ def cosine_decay(prune_rate: float, T_max: int, eta_min: float = 0.0) -> PruneRa
 
 
 def linear_decay(prune_rate: float, T_max: int) -> PruneRateFn:
-    def fn(step, current_sparsity=None):
+    def fn(step, current_sparsity=None, final_sparsity=None):
         t = jnp.clip(jnp.asarray(step, jnp.float32), 0.0, float(T_max))
         return prune_rate * (1.0 - t / T_max)
 
@@ -71,15 +74,22 @@ def magnitude_prune_decay(
     interval: int,
     initial_sparsity: float = 0.0,
 ) -> PruneRateFn:
-    """Prune rate = max(cumulative_sparsity(t) - current_sparsity, 0)."""
+    """Prune rate = max(cumulative_sparsity(t) - current_sparsity, 0).
 
-    def fn(step, current_sparsity=None):
-        cum = cumulative_sparsity(step, initial_sparsity, final_sparsity, T_start, T_max)
+    The returned fn's `final_sparsity` kwarg, when given, REPLACES the
+    baked float with a traced scalar (MaskState.final_sparsity) — the
+    schedule then depends on the carry, not the program, so one compiled
+    fit serves a whole final-density ladder."""
+    baked = final_sparsity
+
+    def fn(step, current_sparsity=None, final_sparsity=None):
+        fs = final_sparsity if final_sparsity is not None else baked
+        cum = cumulative_sparsity(step, initial_sparsity, fs, T_start, T_max)
         if current_sparsity is None:
             current_sparsity = cumulative_sparsity(
                 jnp.asarray(step) - interval,
                 initial_sparsity,
-                final_sparsity,
+                fs,
                 T_start,
                 T_max,
             )

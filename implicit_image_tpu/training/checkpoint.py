@@ -83,6 +83,7 @@ def save_checkpoint(
         out["mask.adjusted_growth"] = np.asarray(mask_state.adjusted_growth)
         out["mask.adj_sum"] = np.asarray(mask_state.adj_sum)
         out["mask.adj_count"] = np.asarray(mask_state.adj_count)
+        out["mask.final_sparsity"] = np.asarray(mask_state.final_sparsity)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     # atomic replace: a crash mid-write must not destroy the previous good
@@ -131,5 +132,11 @@ def load_checkpoint(path) -> Dict[str, Any]:
             adjusted_growth=jnp.asarray(data["mask.adjusted_growth"]),
             adj_sum=jnp.asarray(data["mask.adj_sum"]),
             adj_count=jnp.asarray(data["mask.adj_count"]),
+            # pre-field checkpoints: NaN sentinel; the resume path re-seeds
+            # it from the masking config (training/fit.py), which is the
+            # source of truth — the value is pure config, not learned state
+            final_sparsity=jnp.asarray(
+                data.get("mask.final_sparsity", np.float32(np.nan))
+            ),
         )
     return out

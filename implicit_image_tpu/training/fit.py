@@ -324,7 +324,10 @@ def make_train_step(
                 opt_state = mask_momentum(opt_state, mask_state.masks)
 
             current_sparsity = 1.0 - total_density(mask_state)
-            prune_rate = decay_fn(step, current_sparsity)
+            prune_rate = decay_fn(
+                step, current_sparsity,
+                final_sparsity=mask_state.final_sparsity,
+            )
 
             def do_update(args):
                 params, opt_state, mask_state, key = args
@@ -548,6 +551,7 @@ def _dummy_mask_state(params) -> MaskState:
         adjusted_growth=zero,
         adj_sum=zero,
         adj_count=zero,
+        final_sparsity=zero,
     )
 
 
@@ -667,6 +671,14 @@ def _fit_segmented(
         mask_state = ck.get("mask_state")
         if mask_state is None:
             mask_state = _dummy_mask_state(ck["params"])
+        elif bool(jnp.isnan(mask_state.final_sparsity)):
+            # pre-field checkpoint: re-seed from config (pure config value)
+            mask_state = mask_state._replace(
+                final_sparsity=jnp.asarray(
+                    1.0 - (masking_cfg.final_density if sparse else 1.0),
+                    jnp.float32,
+                )
+            )
         if optim_cfg.preconditioner == "ekfac":
             if "ekfac_state" not in ck:
                 raise ValueError(

@@ -277,22 +277,43 @@ def test_ladder_fit_members_match_single_fits():
     )
 
 
-def test_ladder_rejects_gmp():
+def test_ladder_gmp_members_match_single_fits():
+    """GMP ladder: final_density rides MaskState.final_sparsity as a traced
+    scalar, so members with DIFFERENT Zhu-Gupta targets share one compiled
+    program and each equals an individual fit at its target."""
+    import dataclasses
+
     from implicit_image_tpu.parallel.ladder import ladder_fit
 
-    grid = get_grid(8, 8)
-    img = synthetic_image(8, 8, seed=0)
-    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    grid = get_grid(16, 16)
+    img = synthetic_image(16, 16, seed=0)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    tc = TrainConfig(num_steps=24, log_steps=8, segment_steps=16)
+    oc = OptimConfig(lr=1e-3)
     gmp = MaskingConfig(
-        name="Pruning", density=1.0, prune_mode="global-magnitude",
-        growth_mode="none", decay_schedule="magnitude-prune",
-        final_density=0.5, end_when=10, interval=2,
+        name="Pruning", density=1.0, sparse_init="random",
+        prune_mode="global-magnitude", growth_mode="none",
+        decay_schedule="magnitude-prune", final_density=0.5,
+        start_when=2, end_when=20, interval=4,
     )
-    with pytest.raises(ValueError, match="magnitude-prune"):
-        ladder_fit(
-            jax.random.PRNGKey(0), mdef, mcfg, grid, img,
-            TrainConfig(num_steps=4, log_steps=2), OptimConfig(), gmp,
-            [0.3, 0.6],
+    finals = [0.25, 0.75]
+    key = jax.random.PRNGKey(0)
+
+    res = ladder_fit(key, mdef, mcfg, grid, img, tc, oc, gmp, finals)
+    end_density = np.asarray(res.metrics["density"])[:, -1]
+    # members prune toward DIFFERENT targets inside one program
+    np.testing.assert_allclose(end_density, finals, atol=0.1)
+
+    keys = jax.random.split(key, len(finals))
+    for i in range(len(finals)):
+        single = fit(
+            keys[i], mdef, mcfg, grid, img, tc, oc,
+            dataclasses.replace(gmp, final_density=finals[i]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.params[0]["w"][i]),
+            np.asarray(single.params[0]["w"]),
+            rtol=2e-5, atol=1e-6,
         )
 
 
