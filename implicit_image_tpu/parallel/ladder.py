@@ -309,18 +309,15 @@ def build_ladder_args(cfg) -> dict:
     )
 
 
-def cli(argv=None) -> None:
-    """Compose the compress.py config, read the density comma-list as the
-    ladder axis, and write one standard run dir per member."""
-    import json
-    import sys
+def parse_ladder_cli(argv):
+    """(composed cfg, densities, gmp) from compress.py-style overrides.
 
+    The ladder axis is masking.density for RigL-style presets and
+    masking.final_density for GMP (decay magnitude-prune); a single value
+    on the OTHER axis passes through as a plain config override, a comma
+    list on it is an error."""
     from implicit_image_tpu.config import compose
 
-    logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
-    )
-    argv = list(sys.argv[1:] if argv is None else argv)
     density_list = final_list = None
     kept = []
     for a in argv:
@@ -334,8 +331,6 @@ def cli(argv=None) -> None:
     if not cfg.get("masking") or cfg.masking.get("dense", False):
         kept = [a for a in kept if not a.startswith("masking=")]
         cfg = compose(kept + ["masking=RigL"])
-    # GMP ladders sweep final_density; everything else sweeps init density.
-    # A single value on the OTHER axis passes through as a plain override.
     gmp = cfg.masking.get("decay_schedule") == "magnitude-prune"
     axis_list, other_list, other_key = (
         (final_list, density_list, "masking.density") if gmp
@@ -351,6 +346,20 @@ def cli(argv=None) -> None:
     densities = axis_list or (
         [0.1, 0.25, 0.5] if gmp else [0.05, 0.1, 0.2, 0.4, 0.75]
     )
+    return cfg, densities, gmp
+
+
+def cli(argv=None) -> None:
+    """Compose the compress.py config, read the density comma-list as the
+    ladder axis, and write one standard run dir per member."""
+    import json
+    import sys
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg, densities, gmp = parse_ladder_cli(argv)
 
     args = build_ladder_args(cfg)
     img, grid = args["img"], args["grid"]

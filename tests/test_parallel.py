@@ -449,3 +449,31 @@ def test_multihost_dryrun_two_processes():
         assert all(np.isfinite(p) for p in r["fleet_psnrs"])
     # both processes see the SAME fleet-wide result
     assert reports[0]["fleet_psnrs"] == reports[1]["fleet_psnrs"]
+
+
+def test_parse_ladder_cli_axes():
+    """RigL ladders sweep masking.density; GMP ladders sweep
+    masking.final_density; single values on the other axis pass through
+    and comma lists on it are rejected."""
+    from implicit_image_tpu.parallel.ladder import parse_ladder_cli
+
+    cfg, dens, gmp = parse_ladder_cli(
+        ["masking=RigL", "masking.density=0.1,0.3"]
+    )
+    assert not gmp and dens == [0.1, 0.3]
+
+    cfg, dens, gmp = parse_ladder_cli(
+        ["masking=Pruning", "masking.final_density=0.2,0.6",
+         "masking.density=0.9"]
+    )
+    assert gmp and dens == [0.2, 0.6]
+    assert float(cfg.masking.density) == 0.9  # init density passed through
+
+    # default masking (dense) falls back to RigL with the default ladder
+    cfg, dens, gmp = parse_ladder_cli([])
+    assert not gmp and cfg.masking.name == "RigL" and len(dens) == 5
+
+    with pytest.raises(ValueError, match="not the ladder axis"):
+        parse_ladder_cli(["masking=RigL", "masking.final_density=0.2,0.6"])
+    with pytest.raises(ValueError, match="not the ladder axis"):
+        parse_ladder_cli(["masking=Pruning", "masking.density=0.1,0.5"])
