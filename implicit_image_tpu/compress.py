@@ -281,6 +281,18 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         checkpoint_path=ck_path, resume_from=resume_from, watch=watch_cb
     )
 
+    init_path = cfg.train.get("init_path") or None
+    if init_path:
+        # meta-learned warm start (training/metainit.py): shared
+        # encoder-side state, zero bitstream cost — the container still
+        # carries full quantized weights, so decode needs nothing extra
+        from implicit_image_tpu.training.metainit import load_meta_init
+
+        fit_kwargs["init_params"] = load_meta_init(
+            init_path, expect_model=mdef.name, expect_mcfg=mcfg
+        )
+        log.info("fit: warm-starting from meta-init %s", init_path)
+
     if cfg.get("profile", False):
         # jax.profiler device trace of the whole fit (view with TensorBoard/
         # xprof) — the TPU-native replacement for the reference's

@@ -1,0 +1,282 @@
+"""Meta-learned initialization — amortize fit steps across images.
+
+Learned initializations for coordinate networks (Tancik et al.,
+arXiv:2012.02189) cut the per-image optimization budget by starting every
+fit from weights meta-trained over an image distribution instead of the
+random SIREN/CoordX init. The reference framework has no counterpart —
+every reference run pays its full step budget from scratch
+(/root/reference/implicit_image/compress.py:108-147 always constructs a
+fresh model) — so this is a beyond-reference capability measured in
+BASELINE.md ("Meta-learned initialization").
+
+TPU-first design: we use first-order REPTILE (Nichol et al.,
+arXiv:1803.02999) rather than MAML — the inner loop is a `lax.scan` of
+ordinary Adam steps (identical math to the production fit step), the
+meta-batch is a `vmap` over images, and a whole block of meta-steps
+compiles to ONE XLA program. MAML's second-order unroll would hold the
+full K-step graph for the backward pass; REPTILE's update
+(θ ← θ + ε·mean(adapted − θ)) needs no meta-gradient, so memory stays at
+one fit's footprint per vmapped lane and the MXU sees exactly the
+production matmul shapes.
+
+The artifact is a small .npz (the INR weights themselves) committed or
+shipped with the framework like a codec's fixed probability tables: it is
+shared encoder/decoder state, costs ZERO bits in any bitstream, and
+`train.init_path` starts any fit from it.
+
+Leakage discipline: `meta_pool` draws training images from the same
+synthetic family as the benchmark stand-ins but from disjoint,
+name-salted seeds, and refuses seeds colliding with any evaluation image.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from implicit_image_tpu.models import ModelDef, build_model
+from implicit_image_tpu.ops.metrics import mse
+from implicit_image_tpu.optim import opt_init, opt_update
+from implicit_image_tpu.training.fit import OptimConfig
+
+__all__ = [
+    "MetaConfig",
+    "meta_pool",
+    "make_meta_chunk",
+    "meta_train",
+    "save_meta_init",
+    "load_meta_init",
+]
+
+# evaluation images (bench.py / benchmarks/time_to_quality.py) — the meta
+# pool must never contain them
+_EVAL_NAMES = ("flower", "flower_foveon", "big_building", "bridge", "synthetic")
+
+
+@dataclass(frozen=True)
+class MetaConfig:
+    pool_size: int = 16
+    inner_steps: int = 100
+    inner_lr: float = 3e-4
+    outer_steps: int = 200
+    outer_lr: float = 1.0  # REPTILE interpolation rate, annealed linearly to 0
+    meta_batch: int = 4  # images per meta-step (vmapped lanes)
+    # meta-steps per device execution (runtime wall-time budget ~60 s);
+    # each meta-step costs meta_batch * inner_steps production train steps
+    chunk: int = 25
+    seed: int = 0
+
+
+def meta_pool(
+    height: int, width: int, n: int, extra_exclude: Tuple[str, ...] = ()
+) -> np.ndarray:
+    """(n, H, W, 3) float32 pool of synthetic meta-training images.
+
+    Seeds are `stable_seed(f"metatrain_{i}")` — disjoint by construction
+    from the evaluation stand-ins (seed 0 and `stable_seed(name)` for the
+    protocol names); any collision is refused loudly rather than silently
+    training on an eval image.
+    """
+    from implicit_image_tpu.data import stable_seed, synthetic_image
+
+    banned = {0} | {stable_seed(nm) for nm in _EVAL_NAMES + tuple(extra_exclude)}
+    imgs = []
+    i = 0
+    while len(imgs) < n:
+        s = stable_seed(f"metatrain_{i}")
+        i += 1
+        if s in banned:
+            continue
+        imgs.append(synthetic_image(height, width, seed=s))
+    return np.stack(imgs).astype(np.float32)
+
+
+def _make_loss(mdef: ModelDef, mcfg, grid):
+    h, w, c = grid.shape
+    coords = grid.reshape(h * w, c)
+    if mdef.separable:
+
+        def loss_fn(params, target_flat):
+            pred = mdef.apply(params, grid, mcfg, None)
+            return mse(pred.reshape(h * w, -1), target_flat)
+
+    else:
+
+        def loss_fn(params, target_flat):
+            return mse(mdef.apply_flat(params, coords, mcfg, None), target_flat)
+
+    return loss_fn
+
+
+def make_meta_chunk(mdef: ModelDef, mcfg, grid, meta_cfg: MetaConfig):
+    """Build the jitted meta-block: `chunk` REPTILE steps as ONE program.
+
+    (meta_params, pool(N,HW,C), key, start) ->
+        (meta_params, key, losses(chunk,)) where losses[j] is the mean
+    post-adaptation loss of meta-step start+j (the meta-training curve).
+    `start` is traced so every block reuses one compiled program.
+    """
+    loss_fn = _make_loss(mdef, mcfg, grid)
+    inner_optim = OptimConfig(lr=meta_cfg.inner_lr, lr_step_size=10**9)
+    k_inner = meta_cfg.inner_steps
+    b = meta_cfg.meta_batch
+    total = meta_cfg.outer_steps
+
+    def inner_adapt(meta_params, target_flat):
+        opt_state = opt_init(meta_params, inner_optim)
+
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, target_flat)
+            params, opt_state = opt_update(
+                grads, opt_state, params, meta_cfg.inner_lr, inner_optim
+            )
+            return (params, opt_state), loss
+
+        (params, _), losses = jax.lax.scan(
+            step, (meta_params, opt_state), None, length=k_inner
+        )
+        # post-adaptation loss (not losses[-1], which precedes the last
+        # update) — the meta-curve should reflect the adapted weights
+        return params, loss_fn(params, target_flat)
+
+    def chunk_fn(meta_params, pool, key, start):
+        n = pool.shape[0]
+
+        def body(carry, j):
+            meta_params, key = carry
+            key, skey = jax.random.split(key)
+            idx = jax.random.choice(skey, n, shape=(b,), replace=False)
+            targets = pool[idx]  # (B, HW, C)
+            adapted, post_loss = jax.vmap(inner_adapt, in_axes=(None, 0))(
+                meta_params, targets
+            )
+            # linear outer-lr anneal (REPTILE §5): eps_j = eps0 * (1 - j/T)
+            eps = meta_cfg.outer_lr * (
+                1.0 - jnp.asarray(j, jnp.float32) / total
+            )
+            meta_params = jax.tree_util.tree_map(
+                lambda m, a: m + eps * (a.mean(axis=0) - m),
+                meta_params,
+                adapted,
+            )
+            return (meta_params, key), post_loss.mean()
+
+        steps = jnp.asarray(start, jnp.int32) + jnp.arange(meta_cfg.chunk)
+        (meta_params, key), losses = jax.lax.scan(
+            body, (meta_params, key), steps
+        )
+        return meta_params, key, losses
+
+    return jax.jit(chunk_fn)
+
+
+def meta_train(
+    mdef: ModelDef,
+    mcfg,
+    grid,
+    pool: np.ndarray,
+    meta_cfg: MetaConfig,
+    log=None,
+):
+    """Run REPTILE meta-training; returns (meta_params, losses, wall_s).
+
+    The outer loop is chained `chunk`-sized compiled executions of one
+    program (same runtime-watchdog discipline as training/fit.py's
+    run_segment_chain).
+    """
+    n, h, w, c = pool.shape
+    if grid.shape[:2] != (h, w):
+        raise ValueError(f"grid {grid.shape} does not match pool {pool.shape}")
+    if meta_cfg.outer_steps % meta_cfg.chunk:
+        raise ValueError(
+            f"chunk={meta_cfg.chunk} must divide outer_steps={meta_cfg.outer_steps}"
+        )
+    if meta_cfg.meta_batch > n:
+        raise ValueError(
+            f"meta_batch={meta_cfg.meta_batch} exceeds pool size {n}"
+        )
+    key = jax.random.PRNGKey(meta_cfg.seed)
+    key, init_key = jax.random.split(key)
+    meta_params = mdef.init(init_key, mcfg)
+    pool_flat = jnp.asarray(pool.reshape(n, h * w, c))
+
+    chunk_fn = make_meta_chunk(mdef, mcfg, grid, meta_cfg)
+    chunk_fn.lower(
+        meta_params, pool_flat, key, jnp.int32(0)
+    ).compile()  # warm-compile outside the timed region
+
+    t0 = time.perf_counter()
+    losses = []
+    for start in range(0, meta_cfg.outer_steps, meta_cfg.chunk):
+        meta_params, key, chunk_losses = chunk_fn(
+            meta_params, pool_flat, key, jnp.int32(start)
+        )
+        losses.append(chunk_losses)
+        if log is not None:
+            log(start + meta_cfg.chunk, float(chunk_losses[-1]))
+    loss_curve = jnp.concatenate(losses)
+    np.asarray(loss_curve[-1])  # force completion before reading the clock
+    return meta_params, loss_curve, time.perf_counter() - t0
+
+
+def save_meta_init(path, params, model_name: str, mcfg) -> None:
+    """Persist a meta-init as a flat .npz (checkpoint.py conventions) with
+    the architecture recorded so a mismatched load fails loudly."""
+    import dataclasses
+
+    from implicit_image_tpu.training.checkpoint import _flat_layers
+
+    out = {
+        "meta.n_layers": np.asarray(len(params)),
+        "meta.model": np.asarray(model_name),
+    }
+    for f in dataclasses.fields(mcfg):
+        v = getattr(mcfg, f.name)
+        if isinstance(v, (int, float, bool)):
+            out[f"mcfg.{f.name}"] = np.asarray(v)
+    _flat_layers("params", params, out)
+    np.savez(path, **out)
+
+
+def load_meta_init(path, expect_model: Optional[str] = None, expect_mcfg=None):
+    """Load a meta-init .npz -> params pytree (tuple of layer dicts).
+
+    With expect_model/expect_mcfg the recorded architecture is checked
+    against the run's, so a w96 init can never silently enter a w128 fit
+    (the jit error that would otherwise surface is unreadable).
+    """
+    import dataclasses
+
+    from implicit_image_tpu.training.checkpoint import _unflat_layers
+
+    data = np.load(path, allow_pickle=False)
+    model = str(data["meta.model"])
+    if expect_model is not None and model != expect_model:
+        raise ValueError(
+            f"meta-init {path} was trained for model {model!r}, "
+            f"run configures {expect_model!r}"
+        )
+    if expect_mcfg is not None:
+        for f in dataclasses.fields(expect_mcfg):
+            k = f"mcfg.{f.name}"
+            if k not in data:
+                continue
+            have, want = data[k].item(), getattr(expect_mcfg, f.name)
+            if isinstance(want, (int, float, bool)) and have != want:
+                raise ValueError(
+                    f"meta-init {path} architecture mismatch: "
+                    f"{f.name}={have} but run configures {f.name}={want}"
+                )
+    n = int(data["meta.n_layers"])
+    return _unflat_layers("params", data, n)
+
+
+def build_meta_model(model_name: str, **mlp_kwargs):
+    """Convenience: (mdef, mcfg) for CLI/benchmark use."""
+    return build_model(model_name, **mlp_kwargs)
