@@ -54,7 +54,7 @@ from implicit_image_tpu.training.quant_phase import make_quant_fit_fn  # noqa: E
 
 def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
                   log_steps=None, stream="zstd", half="auto",
-                  masking_cfg=None, quant_lr=None):
+                  masking_cfg=None, quant_lr=None, init_params=None):
     """fit -> kmeans-8 codebook finetune -> entropy code -> decode.
     Returns dict with stage walls, decoded PSNR, rate. Every wall is the
     compiled-execution wall (compile excluded, as in BASELINE.md — the
@@ -70,7 +70,7 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     res = fit(
         jax.random.PRNGKey(0), mdef, mcfg, grid, img,
         TrainConfig(num_steps=steps, log_steps=log_steps or max(steps // 4, 1)),
-        optim_cfg, masking_cfg,
+        optim_cfg, masking_cfg, init_params=init_params,
     )
     p = np.asarray(res.metrics["psnr"]).reshape(-1)
     fit_psnr = float(p[np.isfinite(p)][-1])

@@ -41,13 +41,17 @@ def make_batched_fit_fn(
     optim_cfg: OptimConfig,
     masking_cfg=None,
     mesh: Optional[Mesh] = None,
+    init_params=None,
 ):
     """Build fit(keys (B,), imgs (B,H,W,C)) -> batched results, jitted.
 
     With a mesh, inputs/outputs are sharded over the "image" axis.
+    `init_params` (unbatched) warm-starts EVERY lane from the same
+    meta-learned init (training/metainit.py) — the fleet-encode use case.
     """
     fit_fn = jax.vmap(
-        make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg)
+        make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg,
+                    init_params)
     )
     if mesh is None:
         return jax.jit(fit_fn)
@@ -69,6 +73,7 @@ def batched_fit(
     optim_cfg: OptimConfig,
     masking_cfg=None,
     mesh: Optional[Mesh] = None,
+    init_params=None,
 ) -> FitResult:
     """Fit a batch of images concurrently; one compile, one launch.
 
@@ -89,7 +94,8 @@ def batched_fit(
 
     if n <= seg:
         fn = make_batched_fit_fn(
-            mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, mesh
+            mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, mesh,
+            init_params,
         )
         compiled = fn.lower(keys, imgs).compile()
         t0 = time.perf_counter()
@@ -107,7 +113,7 @@ def batched_fit(
     from implicit_image_tpu.training.fit import make_fit_segments
 
     init_fn, segment_fn = make_fit_segments(
-        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg
+        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, init_params
     )
     shard = NamedSharding(mesh, P("image")) if mesh is not None else None
 

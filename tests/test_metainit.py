@@ -148,6 +148,35 @@ def test_init_path_plumbs_through_compress(tmp_path):
     assert psnr_warm != psnr_cold
 
 
+def test_batched_fit_warm_start_matches_single_fits():
+    """batched_fit(init_params=meta) == per-image fit(init_params=meta):
+    the fleet-encode warm start is the same math as N single warm fits."""
+    from implicit_image_tpu.parallel.batched import batched_fit
+    from implicit_image_tpu.training.fit import (
+        OptimConfig, TrainConfig, make_fit_fn,
+    )
+
+    mdef, mcfg, grid = _tiny_problem()
+    meta = mdef.init(jax.random.PRNGKey(9), mcfg)
+    imgs = jnp.stack([
+        jnp.asarray(synthetic_image(24, 24, seed=s)) for s in (11, 12)
+    ])
+    tc = TrainConfig(num_steps=8, log_steps=8)
+    oc = OptimConfig()
+    key = jax.random.PRNGKey(3)
+    res = batched_fit(key, mdef, mcfg, grid, imgs, tc, oc, init_params=meta)
+
+    single = jax.jit(make_fit_fn(mdef, mcfg, grid, tc, oc, init_params=meta))
+    keys = jax.random.split(key, 2)
+    for i in range(2):
+        p_i = single(keys[i], imgs[i])[0]
+        for la, lb in zip(p_i, jax.tree_util.tree_map(lambda x: x[i], res.params)):
+            for k in la:
+                np.testing.assert_allclose(
+                    np.asarray(la[k]), np.asarray(lb[k]), atol=1e-6
+                )
+
+
 def test_meta_train_cli(tmp_path):
     from implicit_image_tpu.meta_train import run
     from implicit_image_tpu.config import compose
