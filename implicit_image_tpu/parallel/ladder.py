@@ -80,6 +80,7 @@ def ladder_fit(
     masking_cfg,
     densities: Sequence[float],
     mesh: Optional[Mesh] = None,
+    init_params=None,
 ) -> FitResult:
     """Fit ONE image at B init densities concurrently; returns a FitResult
     whose leaves carry a leading member axis aligned with `densities`.
@@ -106,7 +107,7 @@ def ladder_fit(
     for i, d in enumerate(densities):
         cfg_d = dataclasses.replace(masking_cfg, **{axis: float(d)})
         init_fn, _ = make_fit_segments(
-            mdef, mcfg, grid, train_cfg, optim_cfg, cfg_d
+            mdef, mcfg, grid, train_cfg, optim_cfg, cfg_d, init_params
         )
         carries.append(init_fn(keys[i], img))
     carry0 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
@@ -166,6 +167,7 @@ def ladder_compress(
     stream_root: str = "outputs/ladder",
     half="auto",
     coding_kwargs: Optional[dict] = None,
+    init_params=None,
 ) -> Sequence[PipelineResult]:
     """Full R-D ladder end-to-end: one vmapped fit + one vmapped quant
     finetune across all densities, then per-member host-side entropy
@@ -174,7 +176,7 @@ def ladder_compress(
     h, w = grid.shape[:2]
     res = ladder_fit(
         key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
-        densities, mesh,
+        densities, mesh, init_params=init_params,
     )
 
     params_q, codebooks_b, qpsnr = res.params, None, None
@@ -299,10 +301,19 @@ def build_ladder_args(cfg) -> dict:
     stream_name = ec.get("stream_name", "zstd")
     if stream_name == "none":
         stream_name = "zstd"
+    init_params = None
+    if cfg.train.get("init_path"):
+        # meta-learned warm start (training/metainit.py): every ladder
+        # member starts from the shared artifact
+        from implicit_image_tpu.training.metainit import load_meta_init
+
+        init_params = load_meta_init(
+            cfg.train["init_path"], expect_model=mdef.name, expect_mcfg=mcfg
+        )
     return dict(
         img=img, grid=grid, mdef=mdef, mcfg=mcfg, masking=masking,
         train_cfg=train_cfg, optim_cfg=optim_cfg, quant_cfg=quant_cfg,
-        stream_name=stream_name,
+        stream_name=stream_name, init_params=init_params,
         half=ec.get("half", "auto"),
         coding_kwargs={k: v for k, v in ec.items()
                        if k not in ("stream_name", "half")},
@@ -377,6 +388,7 @@ def cli(argv=None) -> None:
         mdef, mcfg, grid, img, train_cfg, optim_cfg, masking, densities,
         quant_cfg=quant_cfg, stream_name=stream_name, stream_root=str(root),
         half=args["half"], coding_kwargs=args["coding_kwargs"],
+        init_params=args["init_params"],
     )
     wall = time.perf_counter() - t0
     for d, r in zip(densities, results):

@@ -177,6 +177,43 @@ def test_batched_fit_warm_start_matches_single_fits():
                 )
 
 
+def test_ladder_warm_start_matches_single_fit():
+    """ladder_fit(init_params=meta) member == fit(init_params=meta) at the
+    member's density — warm starts compose with the one-compile ladder."""
+    from implicit_image_tpu.parallel.ladder import ladder_fit
+    from implicit_image_tpu.sparsity import MaskingConfig
+    from implicit_image_tpu.training.fit import (
+        OptimConfig, TrainConfig, make_fit_fn,
+    )
+
+    mdef, mcfg, grid = _tiny_problem()
+    meta = mdef.init(jax.random.PRNGKey(21), mcfg)
+    img = jnp.asarray(synthetic_image(24, 24, seed=31))
+    tc = TrainConfig(num_steps=12, log_steps=12)
+    oc = OptimConfig()
+    masking = MaskingConfig(density=0.5, interval=4, end_when=10)
+    key = jax.random.PRNGKey(2)
+    densities = [0.3, 0.6]
+    res = ladder_fit(key, mdef, mcfg, grid, img, tc, oc, masking,
+                     densities, init_params=meta)
+
+    keys = jax.random.split(key, len(densities))
+    for i, d in enumerate(densities):
+        import dataclasses
+        cfg_d = dataclasses.replace(masking, density=d)
+        single = jax.jit(
+            make_fit_fn(mdef, mcfg, grid, tc, oc, cfg_d, init_params=meta)
+        )
+        p_i = single(keys[i], img)[0]
+        for la, lb in zip(
+            p_i, jax.tree_util.tree_map(lambda x: x[i], res.params)
+        ):
+            for k in la:
+                np.testing.assert_allclose(
+                    np.asarray(la[k]), np.asarray(lb[k]), atol=1e-6
+                )
+
+
 def test_meta_train_cli(tmp_path):
     from implicit_image_tpu.meta_train import run
     from implicit_image_tpu.config import compose
