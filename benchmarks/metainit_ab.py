@@ -11,7 +11,7 @@ reported separately and amortizes over every image ever encoded.
 
 Usage:
   python benchmarks/metainit_ab.py [budgets=400,600,800,1200] \
-      [bar_db=54.49] [bar_bytes=99444] [outer=100] [inner=100] \
+      [bar_db=54.49] [bar_bytes=99444] [outer=300] [inner=50] [outer_lr=0.2] \
       [pool=16] [img=<name>] [density=0.85] [save=outputs/meta/coordx.npz]
 """
 from __future__ import annotations
@@ -64,10 +64,11 @@ def main(kv) -> None:
 
     meta_cfg = MetaConfig(
         pool_size=int(kv.get("pool", 16)),
-        inner_steps=int(kv.get("inner", 100)),
-        outer_steps=int(kv.get("outer", 100)),
+        inner_steps=int(kv.get("inner", 50)),
+        outer_steps=int(kv.get("outer", 300)),
         meta_batch=int(kv.get("batch", 4)),
-        chunk=int(kv.get("chunk", 10)),
+        outer_lr=float(kv.get("outer_lr", 0.2)),
+        chunk=int(kv.get("chunk", 25)),
     )
     pool = meta_pool(h, w, meta_cfg.pool_size)
     t0 = time.perf_counter()

@@ -60,11 +60,19 @@ _EVAL_NAMES = ("flower", "flower_foveon", "big_building", "bridge", "synthetic")
 
 @dataclass(frozen=True)
 class MetaConfig:
+    """Defaults are the v5e-measured operating point (BASELINE.md
+    "Meta-learned initialization"): K=50 inner steps, 300 outer steps,
+    outer_lr 0.2. Measured negative regimes to avoid: outer_lr=1.0
+    (full jump to the adapted mean) makes the post-adapt loss DIVERGE
+    (8.9e-5 -> 1.3e-4 over 100 steps) and the resulting init lands the
+    downstream fit in a ~45 dB basin 10 dB below a cold fit; K=16 is
+    too short for 512² INRs (warm-b400 42.7 dB vs cold 47.5)."""
+
     pool_size: int = 16
-    inner_steps: int = 100
+    inner_steps: int = 50
     inner_lr: float = 3e-4
-    outer_steps: int = 200
-    outer_lr: float = 1.0  # REPTILE interpolation rate, annealed linearly to 0
+    outer_steps: int = 300
+    outer_lr: float = 0.2  # REPTILE interpolation rate, annealed linearly to 0
     meta_batch: int = 4  # images per meta-step (vmapped lanes)
     # meta-steps per device execution (runtime wall-time budget ~60 s);
     # each meta-step costs meta_batch * inner_steps production train steps
