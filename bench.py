@@ -11,12 +11,15 @@ RUN on the same chip:
     kmeans-8 + zstd-22 + decode), giving (bar_db, bar_bytes) and the
     strict same-architecture fit wall that earlier rounds reported;
   * the flagship: CoordX s5/w96 (models/coordx.py), RigL d=0.85,
-    1200 steps, kmeans-8 + `auto` entropy coding (picks the smallest of
-    the registered backends per stream; measured 89.3 KB vs huffman's
-    92.3 KB at identical decoded PSNR for +0.06 s host code wall — A/B
-    in BASELINE.md "time-to-quality"). Measured ~3 s total
-    vs the bar's 54.49 dB @ 99.4 KB — +1.5 dB at −10% rate; margins
-    confirmed on the big_building and bridge stand-ins.
+    1000 steps from the committed meta-learned init
+    (assets/meta/coordx_s5w96_512.npz — REPTILE over non-eval synthetic
+    seeds, training/metainit.py; zero bitstream cost), kmeans-8 + `auto`
+    entropy coding. Measured ~3 s total vs the bar's 54.49 dB @ 99.4 KB
+    — +1.8 dB at −14% rate; margins confirmed on the big_building and
+    bridge stand-ins (warm beats the cold flagship on decoded PSNR AND
+    bytes AND steps on all three — BASELINE.md "Meta-learned
+    initialization"). Falls back to the cold 1200-step flagship if the
+    artifact is missing or the warm run misses the bar in-run.
 
 vs_baseline divides the documented 40 s RTX 2080 Ti estimate for the
 reference's 2000-step fit ALONE (fit-only, i.e. conservative: the
@@ -72,33 +75,80 @@ def main() -> None:
               file=sys.stderr)
 
     # ---- flagship: CoordX s5/w96 @ RigL d=0.85, complete protocol ----
+    # Two candidates, tried in order:
+    #   warm: 1000 steps from the committed meta-learned init
+    #     (assets/meta/coordx_s5w96_512.npz — REPTILE over non-eval
+    #     synthetic seeds, training/metainit.py; reproduce with
+    #     `python benchmarks/metainit_ab.py save=...`). Shared encoder
+    #     state, zero bitstream cost; measured to beat the cold flagship
+    #     on decoded PSNR AND bytes AND steps on all three stand-ins
+    #     (BASELINE.md "Meta-learned initialization").
+    #   cold: 1200 steps from the random init (round-3 flagship) — the
+    #     fallback if the artifact is missing or warm misses the bar.
     # Stage walls through the tunnel vary +-20% run to run (BASELINE.md);
-    # quality/bytes are seed-deterministic. Run the protocol three times
-    # (compiles cache after the first) and report the MEDIAN wall.
-    flag, flag_walls, runs = None, [], []
-    try:
-        from implicit_image_tpu.sparsity import MaskingConfig
+    # quality/bytes are seed-deterministic. Each candidate runs three
+    # times (compiles cache after the first); the MEDIAN wall reports.
+    from implicit_image_tpu.sparsity import MaskingConfig
 
-        c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
-                                   split_depth=5)
-        for rep in range(3):
-            runs.append(full_protocol(
-                "coordx_s5w96_d085_b1200", c_def, c_cfg, grid, img, 1200,
-                OptimConfig(), "outputs/bench/coordx_flagship",
-                stream="auto", masking_cfg=MaskingConfig(density=0.85),
-            ))
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] flagship protocol failed: {e!r}", file=sys.stderr)
-    if runs:  # median wall among completed repeats (quality is identical)
-        flag_walls = sorted(r["total_wall_s"] for r in runs)
-        median = flag_walls[len(flag_walls) // 2]
-        flag = next(r for r in runs if r["total_wall_s"] == median)
+    def run_flagship(tag, steps, init_params):
+        runs = []
+        try:
+            c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
+                                       split_depth=5)
+            for _ in range(3):
+                runs.append(full_protocol(
+                    tag, c_def, c_cfg, grid, img, steps,
+                    OptimConfig(), "outputs/bench/" + tag,
+                    stream="auto", masking_cfg=MaskingConfig(density=0.85),
+                    init_params=init_params,
+                ))
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] flagship protocol {tag} failed: {e!r}",
+                  file=sys.stderr)
+        if not runs:
+            return None, []
+        walls = sorted(r["total_wall_s"] for r in runs)
+        median = walls[len(walls) // 2]
+        return next(r for r in runs if r["total_wall_s"] == median), walls
 
-    meets = bool(
-        ref is not None and flag is not None
-        and flag["decoded_psnr"] >= ref["decoded_psnr"]
-        and flag["bytes"] <= ref["bytes"]
+    def meets_bar(r):
+        return bool(
+            ref is not None and r is not None
+            and r["decoded_psnr"] >= ref["decoded_psnr"]
+            and r["bytes"] <= ref["bytes"]
+        )
+
+    meta_params = None
+    meta_path = Path(__file__).resolve().parent / (
+        "assets/meta/coordx_s5w96_512.npz"
     )
+    try:
+        if meta_path.exists():
+            from implicit_image_tpu.models import build_model as _bm
+            from implicit_image_tpu.training.metainit import load_meta_init
+
+            _, _ccfg = _bm("coordx", depth=8, hidden_size=96, split_depth=5)
+            meta_params = load_meta_init(meta_path, "coordx", _ccfg)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] meta-init load failed: {e!r}", file=sys.stderr)
+
+    flag, flag_walls, flagship_tag = None, [], None
+    if meta_params is not None:
+        flag, flag_walls = run_flagship(
+            "coordx_s5w96_d085_b1000_warm", 1000, meta_params
+        )
+        flagship_tag = "warm_b1000"
+        if not meets_bar(flag):
+            print("[bench] warm flagship missed the bar; trying cold",
+                  file=sys.stderr)
+            flag = None
+    if flag is None:
+        flag, flag_walls = run_flagship(
+            "coordx_s5w96_d085_b1200", 1200, None
+        )
+        flagship_tag = "cold_b1200"
+
+    meets = meets_bar(flag)
 
     if meets:
         lead_value = flag["total_wall_s"]
@@ -138,6 +188,9 @@ def main() -> None:
         # RTX 2080 Ti fit-only estimate documented in BASELINE.md
         "baseline": "rtx2080ti-estimate-40s-fit-only",
         "flagship_meets_bar": meets,
+        # warm_b1000 = meta-learned warm start (committed artifact),
+        # cold_b1200 = random init; see BASELINE.md meta-init section
+        "flagship_config": flagship_tag,
         "flagship_decoded_db": flag["decoded_psnr"] if flag else None,
         "flagship_bytes": flag["bytes"] if flag else None,
         # sorted per-repeat protocol walls (lead value = the median;

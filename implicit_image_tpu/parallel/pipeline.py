@@ -140,16 +140,30 @@ def batched_compress(
     stream_root: str = "outputs/batched_streams",
     half="auto",
     coding_kwargs: Optional[dict] = None,
+    init_params=None,
+    member_subdir: str = "",
+    member_names: Optional[Sequence[str]] = None,
 ) -> Sequence[PipelineResult]:
     """A batch of images end-to-end; fits + quant compile once (vmap over
-    the "image" mesh axis), bitstreams written per image host-side."""
+    the "image" mesh axis), bitstreams written per image host-side.
+
+    `init_params` warm-starts every lane from one shared meta-init
+    (training/metainit.py). `member_names` labels per-image stream dirs
+    (default img{i}); `member_subdir` nests the stream inside each member
+    dir (the fleet CLI passes "model_quantized" so members look exactly
+    like compress.py run dirs to the decode CLI and the run store)."""
     from pathlib import Path
 
     imgs = jnp.asarray(imgs)
     b = imgs.shape[0]
     h, w = grid.shape[:2]
+    if member_names is not None and len(member_names) != b:
+        raise ValueError(
+            f"member_names has {len(member_names)} entries for {b} images"
+        )
     res = batched_fit(
-        key, mdef, mcfg, grid, imgs, train_cfg, optim_cfg, masking_cfg, mesh
+        key, mdef, mcfg, grid, imgs, train_cfg, optim_cfg, masking_cfg, mesh,
+        init_params=init_params,
     )
 
     params_q, codebooks_b, qpsnr = res.params, None, None
@@ -188,7 +202,10 @@ def batched_compress(
             if codebooks_b is not None
             else None
         )
-        stream_dir = Path(stream_root) / f"img{i}"
+        name = member_names[i] if member_names is not None else f"img{i}"
+        stream_dir = Path(stream_root) / name
+        if member_subdir:
+            stream_dir = stream_dir / member_subdir
         img_np = np.asarray(imgs[i], np.float64)
         nbytes, dec_psnr = _encode_decode(
             p_i, books_i, mdef, mcfg, h, w, img_np, stream_dir, stream_name,
