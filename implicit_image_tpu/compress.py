@@ -293,6 +293,17 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         )
         log.info("fit: warm-starting from meta-init %s", init_path)
 
+    stop_at = cfg.train.get("stop_at_psnr")
+    if stop_at is not None:
+        # encode-to-quality: halt at the first segment boundary whose
+        # eval PSNR reaches the target (granularity = train.segment_steps)
+        if resume_from:
+            raise ValueError(
+                "train.stop_at_psnr cannot combine with train.resume "
+                "(step-index bookkeeping would misalign the metric log)"
+            )
+        fit_kwargs["stop_psnr"] = float(stop_at)
+
     if cfg.get("profile", False):
         # jax.profiler device trace of the whole fit (view with TensorBoard/
         # xprof) — the TPU-native replacement for the reference's
@@ -314,8 +325,11 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     prune_arr = np.asarray(res.metrics["prune_rate"]) if masking is not None else None
     density_arr = np.asarray(res.metrics["density"]) if masking is not None else None
     test_psnr = float("nan")
-    first_step = num_steps - len(psnr_arr)  # >0 when resumed mid-run
-    for i in range(first_step, num_steps):
+    # [first_step, end_step) = the executed step window: resume starts
+    # late, stop_at_psnr ends early — either way the arrays cover it
+    end_step = res.stopped_at if res.stopped_at is not None else num_steps
+    first_step = end_step - len(psnr_arr)
+    for i in range(first_step, end_step):
         # the fit also evals the final step so short runs report a PSNR
         if (i + 1) % train_cfg.log_steps == 0 or i == num_steps - 1:
             entry = {
@@ -328,6 +342,14 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
                 entry["Density"] = float(density_arr[i - first_step])
             logger.log(i + 1, entry)
             test_psnr = entry["PSNR"]
+    if res.stopped_at is not None:
+        # the boundary eval that triggered the stop is the freshest PSNR
+        test_psnr = float(res.stop_psnr_db)
+        log.info(
+            "fit: stop_at_psnr reached %.2f dB at step %d (budget %d)",
+            test_psnr, res.stopped_at, num_steps,
+        )
+        logger.log(res.stopped_at, {"PSNR": test_psnr})
     logger.summary({"PSNR": test_psnr, "fit_wall_s": res.wall_seconds})
 
     params = res.params

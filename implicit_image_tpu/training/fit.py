@@ -131,6 +131,11 @@ class FitResult(NamedTuple):
     opt_state: Any
     metrics: Dict[str, jnp.ndarray]
     wall_seconds: float
+    # early stop (fit(stop_psnr=...)): global step the fit halted at and
+    # the boundary-eval PSNR that triggered it; None when the full budget
+    # ran. Metric arrays then cover only the executed steps.
+    stopped_at: Optional[int] = None
+    stop_psnr_db: Optional[float] = None
 
 
 def _needs_momentum(masking_cfg: Optional[MaskingConfig]) -> bool:
@@ -486,7 +491,9 @@ def run_segment_chain(
     driver for fit/batched_fit/sharded_fit's runtime-watchdog workaround.
     `start0`/`carry_override` resume from a checkpointed state (metrics
     then cover steps [start0, n)); `on_segment(carry, next_step)` fires at
-    every segment boundary (mid-run checkpointing).
+    every segment boundary (mid-run checkpointing). A truthy on_segment
+    return STOPS the chain early (encode-to-quality: fit(stop_psnr=...));
+    metrics then cover [start0, stop).
     """
     import numpy as _np
 
@@ -503,8 +510,8 @@ def run_segment_chain(
         carry, m = jsegs[length](carry, *seg_args, jnp.int32(start))
         chunks.append(m)
         start += length
-        if on_segment is not None:
-            on_segment(carry, start)
+        if on_segment is not None and on_segment(carry, start):
+            break
     metrics = {
         k: jnp.concatenate([c[k] for c in chunks], axis=concat_axis)
         for k in chunks[0]
@@ -568,6 +575,7 @@ def fit(
     resume_from=None,
     watch=None,
     init_params=None,
+    stop_psnr=None,
 ) -> FitResult:
     """Compile + run one fit; returns final params and per-step metric arrays.
 
@@ -579,6 +587,13 @@ def fit(
     `watch(params, opt_state, step)` fires host-side at every segment
     boundary — the TPU-native wandb.watch equivalent (weight/momentum
     histograms without touching the compiled scan).
+
+    `stop_psnr` (dB) enables encode-to-quality early stop: a boundary
+    PSNR eval runs after every segment and the chain halts once it
+    reaches the threshold (granularity = train_cfg.segment_steps; the
+    completed segments are bit-identical to an untruncated fit). The
+    reference's Python loop has no counterpart — its budget is fixed
+    (reference compress.py:137).
     """
     import numpy as _np
 
@@ -598,12 +613,13 @@ def fit(
                 "checkpoint/resume supports adam fits (plain or ekfac)"
             )
 
-    if watch is not None or checkpoint_path is not None or resume_from is not None:
-        # watching/checkpointing ride segment boundaries; use the
-        # segmented driver even for short fits
+    if (watch is not None or checkpoint_path is not None
+            or resume_from is not None or stop_psnr is not None):
+        # watching/checkpointing/early-stop ride segment boundaries; use
+        # the segmented driver even for short fits
         return _fit_segmented(
             key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
-            checkpoint_path, resume_from, watch, init_params,
+            checkpoint_path, resume_from, watch, init_params, stop_psnr,
         )
 
     if n <= seg:
@@ -636,6 +652,7 @@ def fit(
 def _fit_segmented(
     key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
     checkpoint_path, resume_from, watch=None, init_params=None,
+    stop_psnr=None,
 ):
     sparse = masking_cfg is not None and not masking_cfg.dense
     n = train_cfg.num_steps
@@ -695,8 +712,24 @@ def _fit_segmented(
         )
         start0 = ck["step"]
 
+    jeval = None
+    stop_state = {"step": None, "psnr": None}
+    if stop_psnr is not None:
+        h, w, c = grid.shape
+        coords = grid.reshape(h * w, c)
+        target_flat = jnp.asarray(img).reshape(h * w, -1)
+
+        def eval_psnr(params):
+            if mdef.separable:
+                pred = mdef.apply(params, grid, mcfg, None).reshape(h * w, -1)
+            else:
+                pred = mdef.apply_flat(params, coords, mcfg, None)
+            return 10.0 * jnp.log10(1.0 / mse(pred, target_flat))
+
+        jeval = jax.jit(eval_psnr)
+
     on_segment = None
-    if checkpoint_path is not None or watch is not None:
+    if checkpoint_path is not None or watch is not None or jeval is not None:
         if checkpoint_path is not None:
             from implicit_image_tpu.training.checkpoint import save_checkpoint
 
@@ -714,6 +747,12 @@ def _fit_segmented(
                 )
             if watch is not None:
                 watch(params, opt_state, next_step)
+            if jeval is not None:
+                val = float(jeval(params))
+                if val >= stop_psnr:
+                    stop_state["step"], stop_state["psnr"] = next_step, val
+                    return True
+            return False
 
     carry, metrics, wall = run_segment_chain(
         jinit, jseg, (key, img), (img,), n, seg,
@@ -726,4 +765,6 @@ def _fit_segmented(
         opt_state=opt_state,
         metrics=metrics,
         wall_seconds=wall,
+        stopped_at=stop_state["step"],
+        stop_psnr_db=stop_state["psnr"],
     )
