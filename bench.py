@@ -90,11 +90,12 @@ def main() -> None:
     # times (compiles cache after the first); the MEDIAN wall reports.
     from implicit_image_tpu.sparsity import MaskingConfig
 
+    c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
+                               split_depth=5)
+
     def run_flagship(tag, steps, init_params):
         runs = []
         try:
-            c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
-                                       split_depth=5)
             for _ in range(3):
                 runs.append(full_protocol(
                     tag, c_def, c_cfg, grid, img, steps,
@@ -124,11 +125,9 @@ def main() -> None:
     )
     try:
         if meta_path.exists():
-            from implicit_image_tpu.models import build_model as _bm
             from implicit_image_tpu.training.metainit import load_meta_init
 
-            _, _ccfg = _bm("coordx", depth=8, hidden_size=96, split_depth=5)
-            meta_params = load_meta_init(meta_path, "coordx", _ccfg)
+            meta_params = load_meta_init(meta_path, "coordx", c_cfg)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] meta-init load failed: {e!r}", file=sys.stderr)
 
@@ -138,7 +137,11 @@ def main() -> None:
             "coordx_s5w96_d085_b1000_warm", 1000, meta_params
         )
         flagship_tag = "warm_b1000"
-        if not meets_bar(flag):
+        # only a MEASURED bar can reject the warm run; with the bar
+        # unmeasured (ref run died) the warm result is still the honest
+        # flagship measurement and the lead metric below says the bar is
+        # unmeasured
+        if flag is not None and ref is not None and not meets_bar(flag):
             print("[bench] warm flagship missed the bar; trying cold",
                   file=sys.stderr)
             flag = None

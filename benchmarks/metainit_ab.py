@@ -95,6 +95,9 @@ def main(kv) -> None:
     }
     bar_db = float(kv.get("bar_db", 0)) or None
     bar_bytes = int(kv.get("bar_bytes", 0)) or None
+    if (bar_db is None) != (bar_bytes is None):
+        # fail BEFORE the expensive meta-train, not at the first bar check
+        raise ValueError("pass bar_db AND bar_bytes together (or neither)")
     if bar_db is None:
         s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
         ref = full_protocol("siren_ref", s_def, s_cfg, grid, img, 2000,

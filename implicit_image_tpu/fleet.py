@@ -76,13 +76,6 @@ def run(argv) -> list:
         member_cfgs.append(mcfg_i)
         names.append(name)
         imgs.append(img)
-    shapes = {im.shape for im in imgs}
-    if len(shapes) != 1:
-        raise ValueError(
-            f"fleet members must share one shape; got {sorted(shapes)} — "
-            "set img.height/img.width (the loader resizes real files)"
-        )
-
     # model/train/optim/quant/coding args exactly as the ladder/sweeper
     # assemble them (incl. train.init_path -> init_params); masking may be
     # dense for a fleet (the ladder itself requires sparse members)

@@ -718,12 +718,18 @@ def _fit_segmented(
         h, w, c = grid.shape
         coords = grid.reshape(h * w, c)
         target_flat = jnp.asarray(img).reshape(h * w, -1)
+        # same dtype convention as the in-scan eval metric (make_train_step
+        # eval_branch) — a bf16 fit must not stop on an f32 reading its own
+        # logged metric has not reached
+        eval_dtype = _compute_dtype(train_cfg)
 
         def eval_psnr(params):
             if mdef.separable:
-                pred = mdef.apply(params, grid, mcfg, None).reshape(h * w, -1)
+                pred = mdef.apply(params, grid, mcfg, eval_dtype).reshape(
+                    h * w, -1
+                )
             else:
-                pred = mdef.apply_flat(params, coords, mcfg, None)
+                pred = mdef.apply_flat(params, coords, mcfg, eval_dtype)
             return 10.0 * jnp.log10(1.0 / mse(pred, target_flat))
 
         jeval = jax.jit(eval_psnr)

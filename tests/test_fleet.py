@@ -40,7 +40,7 @@ def test_fleet_writes_decodable_run_dirs(tmp_path):
     assert out[0][1] != out[1][1]
 
 
-def test_fleet_rejects_missing_images_and_mixed_shapes(tmp_path):
+def test_fleet_requires_images(tmp_path):
     with pytest.raises(ValueError, match="fleet.images"):
         fleet_run(_overrides(tmp_path))
 
