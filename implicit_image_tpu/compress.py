@@ -238,6 +238,8 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             cfg.train.get("pixel_chunks", "auto"), h, w
         ),
         segment_steps=_auto_segment_steps(cfg),
+        loss=str(cfg.train.get("loss", "mse")),
+        ssim_weight=float(cfg.train.get("ssim_weight", 0.84)),
     )
     # PyYAML parses bare "3e-4" as a string; coerce fields that LOOK
     # numeric, leave real strings (e.g. preconditioner="ekfac") alone

@@ -89,6 +89,13 @@ class TrainConfig:
     # kills single executions around ~60 s wall (2000 steps ≈ 14 s at the
     # w128 operating point leaves ample margin; lower it for wide models).
     segment_steps: int = 2000
+    # Training objective: "mse" (reference parity, default) or "ms-ssim"
+    # (perceptual: (1-w)*MSE + w*(1 - MS-SSIM), Zhao et al.
+    # arXiv:1511.08861's mix). MS-SSIM is not sum-decomposable over pixel
+    # chunks, so it requires pixel_chunks=1; eval metrics stay PSNR-based
+    # either way (the protocol's distortion axis).
+    loss: str = "mse"
+    ssim_weight: float = 0.84
 
 
 @dataclass(frozen=True)
@@ -162,12 +169,38 @@ def make_loss_fn(
     use_pallas=False,
     remat=False,
     grid_hw=None,
+    loss_name="mse",
+    ssim_weight=0.84,
 ):
     apply_flat = mdef.apply_flat
     if use_pallas and mdef.name == "siren":
         from implicit_image_tpu.ops.sine_mlp import siren_apply_flat_pallas
 
         apply_flat = lambda p, c, cfg, dt: siren_apply_flat_pallas(p, c, cfg)
+
+    if loss_name == "ms-ssim":
+        if grid_hw is None:
+            raise ValueError("loss='ms-ssim' needs the (H, W) grid geometry")
+        from implicit_image_tpu.ops.ssim import ms_ssim
+
+        gh, gw = grid_hw
+        win = 11
+        levels = 1
+        while levels < 5 and min(gh, gw) >= win * 2 ** levels:
+            levels += 1
+        c_out = target_flat.shape[-1]
+        target_img = target_flat.reshape(gh, gw, c_out)
+        w_mix = float(ssim_weight)
+
+        def distortion(pred_flat):
+            pred_img = pred_flat.reshape(gh, gw, c_out)
+            ms = ms_ssim(pred_img, target_img, levels=levels, win_size=win)
+            return (1.0 - w_mix) * mse(pred_flat, target_flat) + w_mix * (
+                1.0 - ms
+            )
+
+    else:
+        distortion = lambda pred_flat: mse(pred_flat, target_flat)
 
     if grid_hw is not None and mdef.separable and not use_pallas:
         # separable models (CoordX) run their early layers O(H+W) on the
@@ -178,13 +211,13 @@ def make_loss_fn(
 
         def loss_fn(params):
             pred = mdef.apply(params, grid, mcfg, compute_dtype)
-            return mse(pred.reshape(h * w, -1), target_flat)
+            return distortion(pred.reshape(h * w, -1))
 
     else:
 
         def loss_fn(params):
             pred = apply_flat(params, coords, mcfg, compute_dtype)
-            return mse(pred, target_flat)
+            return distortion(pred)
 
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
@@ -203,6 +236,13 @@ def make_train_step(
 ):
     """Build the pure (carry, step) -> (carry, metrics) scan body."""
     compute_dtype = _compute_dtype(train_cfg)
+    loss_name = getattr(train_cfg, "loss", "mse")
+    if loss_name not in ("mse", "ms-ssim"):
+        raise ValueError(f"train.loss must be 'mse' or 'ms-ssim', got {loss_name!r}")
+    if loss_name == "ms-ssim" and train_cfg.pixel_chunks > 1:
+        # the SSIM windows straddle chunk boundaries — the chunked gradient
+        # accumulation is only exact for sum-decomposable losses
+        raise ValueError("loss='ms-ssim' requires pixel_chunks=1")
     loss_fn = make_loss_fn(
         mdef,
         mcfg,
@@ -212,6 +252,8 @@ def make_train_step(
         train_cfg.use_pallas,
         train_cfg.remat,
         grid_hw=grid_hw,
+        loss_name=loss_name,
+        ssim_weight=getattr(train_cfg, "ssim_weight", 0.84),
     )
     if getattr(optim_cfg, "lr_schedule", "step") == "cosine":
         from implicit_image_tpu.optim import cosine_lr
