@@ -252,6 +252,15 @@ def read_raw_container(
     dir_name = Path(dir_name)
     meta = json.loads((dir_name / "meta_data.json").read_text())
     fmt = meta.pop("__meta__", {"format": 1, "shuffle": False})
+    if int(fmt.get("format", 1)) == 4:
+        # progressive container (coding/progressive.py): base_only=True
+        # reads just the standalone prefix (base-quality decode)
+        from implicit_image_tpu.coding.progressive import read_progressive
+
+        return read_progressive(
+            dir_name, stream_name,
+            base_only=bool(kwargs.pop("base_only", False)), **kwargs,
+        )
     shuffle = bool(fmt.get("shuffle", False))
     plane_group = bool(fmt.get("plane_group", False))
     meta = {int(k): v for k, v in meta.items()}

@@ -1,0 +1,211 @@
+"""Progressive (quality-scalable) container — format 4.
+
+A prefix of the bitstream decodes to a usable image; the rest refines it
+to BIT-EXACT full quality. The reference's container (its
+entropy_coding/__init__.py:70-120) is all-or-nothing; no INR codec
+capability like this exists there.
+
+The trick is VQ-rank nesting, possible because the k-means codebooks here
+are per-tensor SCALAR codebooks: sort each tensor's centroids, relabel
+every weight by rank, and split the 8-bit rank into nibbles.
+
+  * hi nibble = which of the 16 sorted runs the weight falls in — with a
+    16-entry usage-weighted run-mean codebook this is a coarse but
+    faithful quantizer (the base layer);
+  * lo nibble picks the exact centroid inside the run (the refinement).
+
+Full decode reconstructs rank = hi·16 + lo and reads the sorted codebook
+— numerically IDENTICAL to the non-progressive container (the same
+centroid values, reordered). The cost of progressivity is only the
+entropy lost by coding the nibble planes separately (measured in
+BASELINE.md "Progressive container").
+
+Layout: `compressed_weights.data` = base_blob || refine_blob, each an
+independently-decodable `encode_stream` payload; `meta_data.json` tags
+every tensor with its section and `__meta__.base_bytes` marks the prefix
+length. Unquantized tensors (first/last weights, biases, frozen extras)
+live in the base section — any render needs them. Non-nibble-splittable
+quantized tensors (uint16 labels, per-channel int8 QAT codes) also stay
+in the base section, unsplit.
+"""
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+from pathlib import Path
+from typing import Dict, Union
+
+import numpy as np
+
+from implicit_image_tpu.coding.parsers import decode_stream, encode_stream
+
+__all__ = ["compress_progressive", "read_progressive", "base_bytes"]
+
+_RUN = 16  # ranks per base group (hi nibble)
+
+
+def _split_entries(state_dict):
+    """Partition the state dict into (base_entries, refine_entries), both
+    ordered name->array, applying rank-nesting to flat-VQ uint8 labels."""
+    base: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    refine: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    for name, arr in state_dict.items():
+        if name.endswith(".labeled_weight"):
+            cname = name.replace("labeled_weight", "centroids")
+            book = state_dict.get(cname)
+            if (
+                book is not None
+                and arr.dtype == np.uint8
+                and book.ndim == 1
+                and book.size <= 256
+            ):
+                order = np.argsort(book, kind="stable")
+                rank_of = np.empty(book.size, np.uint8)
+                rank_of[order] = np.arange(book.size, dtype=np.uint8)
+                ranks = rank_of[arr]
+                sorted_book = np.ascontiguousarray(book[order])
+                counts = np.bincount(ranks.reshape(-1), minlength=book.size)
+                n_groups = -(-book.size // _RUN)
+                base_book = np.empty(n_groups, book.dtype)
+                for g in range(n_groups):
+                    lo, hi = g * _RUN, min((g + 1) * _RUN, book.size)
+                    c = counts[lo:hi].astype(np.float64)
+                    vals = sorted_book[lo:hi].astype(np.float64)
+                    base_book[g] = (
+                        (vals * c).sum() / c.sum() if c.sum() else vals.mean()
+                    )
+                stem = name[: -len(".labeled_weight")]
+                base[f"{stem}.labels_hi"] = (ranks >> 4).astype(np.uint8)
+                base[f"{stem}.base_centroids"] = base_book
+                refine[f"{stem}.labels_lo"] = (ranks & 15).astype(np.uint8)
+                refine[f"{stem}.centroids"] = sorted_book
+                continue
+        if name.endswith(".centroids") and any(
+            k.endswith(".labels_lo")
+            and k[: -len(".labels_lo")] == name[: -len(".centroids")]
+            for k in refine
+        ):
+            continue  # consumed by the matching labeled_weight above
+        base[name] = arr
+    return base, refine
+
+
+def compress_progressive(
+    state_dict: Dict[str, np.ndarray],
+    dir_name: Union[str, Path],
+    stream_name: str = "auto",
+    **kwargs,
+) -> int:
+    """Write the format-4 progressive container; returns total payload
+    bytes (the rate metric — same semantics as compress_state_dict)."""
+    from implicit_image_tpu.coding import _plane_group_payload
+
+    dir_name = Path(dir_name)
+    dir_name.mkdir(exist_ok=True, parents=True)
+
+    base, refine = _split_entries(
+        OrderedDict((k, np.ascontiguousarray(v)) for k, v in state_dict.items())
+    )
+    meta = OrderedDict()
+    order = 0
+    for sec, entries in ((0, base), (1, refine)):
+        for name, arr in entries.items():
+            meta[str(order)] = {
+                "shape": list(arr.shape),
+                "dtype": str(arr.dtype),
+                "name": name,
+                "sec": sec,
+            }
+            order += 1
+    base_blob = encode_stream(
+        stream_name, _plane_group_payload(list(base.values())), **kwargs
+    )
+    refine_blob = encode_stream(
+        stream_name, _plane_group_payload(list(refine.values())), **kwargs
+    )
+    meta["__meta__"] = {
+        "format": 4,
+        "plane_group": True,
+        "shuffle": True,
+        "base_bytes": len(base_blob),
+    }
+    (dir_name / "compressed_weights.data").write_bytes(base_blob + refine_blob)
+    (dir_name / "meta_data.json").write_text(
+        json.dumps(meta, indent=2, sort_keys=True)
+    )
+    return (dir_name / "compressed_weights.data").stat().st_size
+
+
+def base_bytes(dir_name: Union[str, Path]) -> int:
+    """Prefix length (bytes) that decodes standalone at base quality."""
+    meta = json.loads((Path(dir_name) / "meta_data.json").read_text())
+    return int(meta["__meta__"]["base_bytes"])
+
+
+def read_progressive(
+    dir_name: Union[str, Path],
+    stream_name: str = "auto",
+    base_only: bool = False,
+    **kwargs,
+) -> "OrderedDict[str, np.ndarray]":
+    """Read a format-4 container back to STORED arrays under the standard
+    names (labeled_weight + centroids), so decompress_state_dict's
+    materialization applies unchanged.
+
+    base_only=True touches ONLY the first base_bytes of the payload (the
+    file may be physically truncated to that prefix): labels are the hi
+    nibbles against the 16-entry run-mean codebook. Full reads merge the
+    refinement: rank = hi*16 + lo against the sorted codebook —
+    numerically identical to the non-progressive container.
+    """
+    from implicit_image_tpu.coding import _plane_ungroup
+
+    dir_name = Path(dir_name)
+    meta = json.loads((dir_name / "meta_data.json").read_text())
+    hdr = meta.pop("__meta__")
+    if int(hdr.get("format", 1)) != 4:
+        raise ValueError(f"{dir_name} is not a progressive (format-4) container")
+    nbase = int(hdr["base_bytes"])
+    meta = {int(k): v for k, v in meta.items()}
+    infos_all = [
+        (meta[o]["name"], meta[o]["dtype"], meta[o]["shape"], meta[o]["sec"])
+        for o in sorted(meta)
+    ]
+    payload = (dir_name / "compressed_weights.data").read_bytes()
+    if len(payload) < nbase:
+        raise ValueError(
+            f"payload truncated below the base layer ({len(payload)} < {nbase} bytes)"
+        )
+
+    def _section(sec: int, blob: bytes):
+        infos = [(n, d, s) for n, d, s, se in infos_all if se == sec]
+        return _plane_ungroup(decode_stream(stream_name, blob, **kwargs), infos)
+
+    base = _section(0, payload[:nbase])
+    out: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    if base_only:
+        for name, arr in base.items():
+            if name.endswith(".labels_hi"):
+                stem = name[: -len(".labels_hi")]
+                out[f"{stem}.labeled_weight"] = arr
+            elif name.endswith(".base_centroids"):
+                stem = name[: -len(".base_centroids")]
+                out[f"{stem}.centroids"] = arr
+            else:
+                out[name] = arr
+        return out
+
+    refine = _section(1, payload[nbase:])
+    for name, arr in base.items():
+        if name.endswith(".labels_hi"):
+            stem = name[: -len(".labels_hi")]
+            lo = refine[f"{stem}.labels_lo"]
+            out[f"{stem}.labeled_weight"] = (
+                (arr.astype(np.uint16) << 4) | lo.astype(np.uint16)
+            ).astype(np.uint8)
+            out[f"{stem}.centroids"] = refine[f"{stem}.centroids"]
+        elif name.endswith(".base_centroids"):
+            continue
+        else:
+            out[name] = arr
+    return out

@@ -501,11 +501,32 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             source.codebooks if source else None,
             half=half,
         )
-        kwargs = {k: v for k, v in ec.items() if k not in ("stream_name", "half")}
-        compressed_bytes = compress_state_dict(
-            state, Path(run_dir) / "model_quantized", ec.stream_name, **kwargs
-        )
-        log.info("Compressed bytes %d", compressed_bytes)
+        kwargs = {k: v for k, v in ec.items()
+                  if k not in ("stream_name", "half", "progressive")}
+        if ec.get("progressive", False):
+            # format-4 quality-scalable container (coding/progressive.py):
+            # a prefix decodes standalone at base quality, the full stream
+            # is bit-exact to the non-progressive decode
+            from implicit_image_tpu.coding.progressive import (
+                base_bytes as _base_bytes,
+                compress_progressive,
+            )
+
+            compressed_bytes = compress_progressive(
+                state, Path(run_dir) / "model_quantized", ec.stream_name,
+                **kwargs,
+            )
+            log.info(
+                "Compressed bytes %d (progressive: base prefix %d)",
+                compressed_bytes,
+                _base_bytes(Path(run_dir) / "model_quantized"),
+            )
+        else:
+            compressed_bytes = compress_state_dict(
+                state, Path(run_dir) / "model_quantized", ec.stream_name,
+                **kwargs,
+            )
+            log.info("Compressed bytes %d", compressed_bytes)
         logger.summary({"Compressed Bytes": compressed_bytes})
 
         # ---- decoded PSNR: render from the written bitstream ----

@@ -41,7 +41,7 @@ log = logging.getLogger("implicit_image_tpu")
 
 
 def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
-               tile_rows=0):
+               tile_rows=0, base=False):
     """Decode one compress.py run directory; returns (image, stats).
 
     Geometry options (the INR artifact is resolution-free — the reference
@@ -50,6 +50,8 @@ def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
       size:      (H, W) explicit lattice size (overrides scale)
       roi:       (row0, row1, col0, col1) window of that lattice
       tile_rows: row-band tiling to bound device memory on huge outputs
+      base:      progressive (format-4) containers only — decode the
+                 standalone base-quality prefix instead of the full stream
     """
     import time
 
@@ -60,6 +62,7 @@ def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
         raise ValueError(f"{run_dir} was produced without entropy coding")
     mdef, mcfg = build_model_from_config(cfg)
     h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
+    kw = {"base_only": True} if base else {}
 
     if scale or size or roi or tile_rows:
         from implicit_image_tpu.coding import (
@@ -72,7 +75,7 @@ def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
         if scale:
             rh, rw = round(rh * scale), round(rw * scale)
         t0 = time.perf_counter()
-        state = decompress_state_dict(run_dir / "model_quantized", stream)
+        state = decompress_state_dict(run_dir / "model_quantized", stream, **kw)
         params = params_from_state_dict(state)
         t1 = time.perf_counter()
         img = render_region(mdef, mcfg, params, rh, rw, roi=roi,
@@ -88,9 +91,10 @@ def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
         }
     else:
         img, stats = decode_and_render(
-            run_dir / "model_quantized", stream, mdef, mcfg, h, w
+            run_dir / "model_quantized", stream, mdef, mcfg, h, w, **kw
         )
-    out_path = Path(out_path) if out_path else run_dir / "decoded.png"
+    out_path = Path(out_path) if out_path else run_dir / (
+        "decoded_base.png" if base else "decoded.png")
     save_img(str(out_path), np.asarray(img))
     stats["out"] = str(out_path)
     return img, stats
@@ -170,6 +174,9 @@ def cli(argv=None) -> None:
         del argv[i : i + 2]
         return val
 
+    base = "--base" in argv
+    if base:
+        argv.remove("--base")
     out = take_opt("--out")
     scale = take_opt("--scale")
     size = take_opt("--size")
@@ -180,6 +187,7 @@ def cli(argv=None) -> None:
         size=tuple(int(x) for x in size.split("x")) if size else None,
         roi=tuple(int(x) for x in roi.replace(",", ":").split(":")) if roi else None,
         tile_rows=int(tile_rows) if tile_rows else 0,
+        base=base,
     )
     if geometry["size"] is not None and len(geometry["size"]) != 2:
         raise SystemExit("--size expects HxW, e.g. --size 1024x1024")

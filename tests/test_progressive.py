@@ -1,0 +1,146 @@
+"""Progressive (format-4) container — coding/progressive.py.
+
+The reference container is all-or-nothing; format 4 makes a PREFIX of
+the stream decode standalone at base quality while the full stream stays
+bit-exact to the non-progressive decode (VQ-rank nesting over the sorted
+scalar codebooks).
+"""
+import json
+from collections import OrderedDict
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from implicit_image_tpu.coding import (
+    compress_state_dict,
+    decompress_state_dict,
+)
+from implicit_image_tpu.coding.progressive import (
+    base_bytes,
+    compress_progressive,
+    read_progressive,
+)
+
+
+def _vq_state(seed=0, k=256, n=4096):
+    """A realistic mixed state dict: one flat-VQ uint8 label tensor, one
+    unquantized fp tensor, one bias."""
+    rng = np.random.default_rng(seed)
+    centroids = np.sort(rng.normal(size=k).astype(np.float16))
+    rng.shuffle(centroids)  # unsorted on purpose — encode must sort
+    labels = rng.integers(0, k, size=(64, n // 64), dtype=np.uint8)
+    return OrderedDict([
+        ("layers.0.weight", rng.normal(size=(2, 16)).astype(np.float32)),
+        ("layers.1.labeled_weight", labels),
+        ("layers.1.centroids", centroids),
+        ("layers.1.bias", rng.normal(size=16).astype(np.float16)),
+    ])
+
+
+def test_full_decode_bit_exact_vs_nonprogressive(tmp_path):
+    state = _vq_state()
+    d_prog, d_flat = tmp_path / "prog", tmp_path / "flat"
+    total = compress_progressive(state, d_prog, "zstd")
+    compress_state_dict(state, d_flat, "zstd")
+
+    full = decompress_state_dict(d_prog, "zstd")
+    ref = decompress_state_dict(d_flat, "zstd")
+    assert set(full) == set(ref)
+    for k in ref:
+        np.testing.assert_array_equal(full[k], ref[k])
+    assert 0 < base_bytes(d_prog) < total
+
+
+def test_base_decode_from_physically_truncated_file(tmp_path):
+    state = _vq_state()
+    d = tmp_path / "prog"
+    compress_progressive(state, d, "zstd")
+    nbase = base_bytes(d)
+
+    # hard-truncate the payload to the base prefix — a client that fetched
+    # only the first nbase bytes must still decode
+    payload = (d / "compressed_weights.data").read_bytes()
+    (d / "compressed_weights.data").write_bytes(payload[:nbase])
+
+    base = decompress_state_dict(d, "zstd", base_only=True)
+    full_centroids = np.sort(_vq_state()["layers.1.centroids"])
+    w = base["layers.1.weight"]
+    # base weights are the 16-entry run-mean codebook: every decoded value
+    # lies within its run's [min, max] of the true sorted codebook
+    assert np.unique(w).size <= 16
+    assert w.min() >= float(full_centroids[0]) - 1e-6
+    assert w.max() <= float(full_centroids[-1]) + 1e-6
+    # unquantized tensors are exact in the base layer
+    np.testing.assert_array_equal(
+        base["layers.0.weight"], _vq_state()["layers.0.weight"]
+    )
+
+    # and a full read of the truncated file fails loudly
+    with pytest.raises(Exception):
+        decompress_state_dict(d, "zstd")
+
+
+def test_base_quality_monotone(tmp_path):
+    """Base reconstruction error is bounded by the run spread: refining
+    must strictly reduce the weight-space MSE."""
+    state = _vq_state(seed=3)
+    d = tmp_path / "prog"
+    compress_progressive(state, d, "zstd")
+    full = decompress_state_dict(d, "zstd")
+    base = decompress_state_dict(d, "zstd", base_only=True)
+    labels = state["layers.1.labeled_weight"]
+    true_w = state["layers.1.centroids"][labels].astype(np.float64)
+    err_base = np.mean((base["layers.1.weight"] - true_w) ** 2)
+    err_full = np.mean((full["layers.1.weight"] - true_w) ** 2)
+    assert err_full == 0.0
+    assert err_base > 0.0
+
+
+def test_uint16_and_qscale_tensors_stay_unsplit(tmp_path):
+    rng = np.random.default_rng(0)
+    state = OrderedDict([
+        ("layers.0.labeled_weight", rng.integers(0, 300, (8, 8)).astype(np.uint16)),
+        ("layers.0.centroids", rng.normal(size=300).astype(np.float16)),
+        ("layers.1.labeled_weight", rng.integers(-127, 127, (4, 4)).astype(np.int8)),
+        ("layers.1.qscale", rng.random(4).astype(np.float16)),
+    ])
+    d = tmp_path / "prog"
+    compress_progressive(state, d, "zstd")
+    meta = json.loads((d / "meta_data.json").read_text())
+    secs = {v["name"]: v["sec"] for k, v in meta.items() if k != "__meta__"}
+    assert all(s == 0 for s in secs.values())  # everything in the base layer
+    full = decompress_state_dict(d, "zstd")
+    np.testing.assert_array_equal(
+        full["layers.0.weight"],
+        state["layers.0.centroids"][state["layers.0.labeled_weight"]],
+    )
+
+
+def test_cli_progressive_round_trip(tmp_path):
+    """entropy_coding.progressive=true end-to-end: compress, decoded PSNR
+    finite, --base CLI decode renders from the prefix."""
+    from implicit_image_tpu.compress import main as compress_main
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.decompress import decode_run
+
+    run = tmp_path / "run"
+    psnr, nbytes = compress_main(compose([
+        "img=synthetic", "img.height=24", "img.width=24",
+        "mlp.depth=3", "mlp.hidden_size=16",
+        "train.num_steps=20", "train.log_steps=20",
+        "masking=none", "quant=kmeans", "quant.num_steps=2",
+        "quant.log_steps=2",
+        "entropy_coding=zstd", "entropy_coding.progressive=true",
+        f"output_dir={run}",
+    ]))
+    assert np.isfinite(psnr) and nbytes > 0
+    meta = json.loads((run / "model_quantized" / "meta_data.json").read_text())
+    assert meta["__meta__"]["format"] == 4
+
+    img_full, _ = decode_run(str(run))
+    img_base, stats = decode_run(str(run), base=True)
+    assert img_base.shape == img_full.shape
+    assert stats["out"].endswith("decoded_base.png")
+    # refinement must change the render (the base layer is coarser)
+    assert not np.allclose(img_base, img_full)
