@@ -79,9 +79,18 @@ def main(kv) -> None:
         err = float(np.mean((np.asarray(dec, np.float64) - img64) ** 2))
         return round(10.0 * np.log10(1.0 / max(err, 1e-12)), 2)
 
+    from implicit_image_tpu.quant.base_layer import finetune_base_codebooks
+
     flat_dir, prog_dir = "outputs/prog_ab/flat", "outputs/prog_ab/prog"
+    prog_ft_dir = "outputs/prog_ab/prog_ft"
     flat_bytes = compress_state_dict(dict(state), flat_dir, stream)
     prog_bytes = compress_progressive(dict(state), prog_dir, stream)
+    ft_bytes = compress_progressive(
+        dict(state), prog_ft_dir, stream,
+        base_finetune=lambda entries: finetune_base_codebooks(
+            mdef, mcfg, grid, img, entries
+        ),
+    )
     nbase = base_bytes(prog_dir)
 
     report = {
@@ -93,6 +102,10 @@ def main(kv) -> None:
         "full_psnr_flat": psnr_of(flat_dir),
         "full_psnr_prog": psnr_of(prog_dir),
         "base_psnr": psnr_of(prog_dir, base_only=True),
+        "ft_bytes": ft_bytes,
+        "ft_base_bytes": base_bytes(prog_ft_dir),
+        "base_psnr_finetuned": psnr_of(prog_ft_dir, base_only=True),
+        "full_psnr_finetuned": psnr_of(prog_ft_dir),
     }
     print(json.dumps(report))
 

@@ -94,10 +94,17 @@ def compress_progressive(
     state_dict: Dict[str, np.ndarray],
     dir_name: Union[str, Path],
     stream_name: str = "auto",
+    base_finetune=None,
     **kwargs,
 ) -> int:
     """Write the format-4 progressive container; returns total payload
-    bytes (the rate metric — same semantics as compress_state_dict)."""
+    bytes (the rate metric — same semantics as compress_state_dict).
+
+    `base_finetune(base_entries) -> {name: array}` may replace
+    `.base_centroids` entries (same shapes/dtypes) — the encoder-side
+    output-distortion finetune (quant/base_layer.py). It can never touch
+    full-stream fidelity: the refinement layer ignores base_centroids.
+    """
     from implicit_image_tpu.coding import _plane_group_payload
 
     dir_name = Path(dir_name)
@@ -106,6 +113,16 @@ def compress_progressive(
     base, refine = _split_entries(
         OrderedDict((k, np.ascontiguousarray(v)) for k, v in state_dict.items())
     )
+    if base_finetune is not None:
+        for name, book in (base_finetune(base) or {}).items():
+            if not name.endswith(".base_centroids") or name not in base:
+                raise ValueError(f"base_finetune may only replace "
+                                 f".base_centroids entries, got {name!r}")
+            if np.asarray(book).shape != base[name].shape:
+                raise ValueError(f"base_finetune changed the shape of {name}")
+            base[name] = np.ascontiguousarray(
+                np.asarray(book, base[name].dtype)
+            )
     meta = OrderedDict()
     order = 0
     for sec, entries in ((0, base), (1, refine)):

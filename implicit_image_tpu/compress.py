@@ -502,7 +502,8 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             half=half,
         )
         kwargs = {k: v for k, v in ec.items()
-                  if k not in ("stream_name", "half", "progressive")}
+                  if k not in ("stream_name", "half", "progressive",
+                               "base_finetune")}
         if ec.get("progressive", False):
             # format-4 quality-scalable container (coding/progressive.py):
             # a prefix decodes standalone at base quality, the full stream
@@ -512,9 +513,22 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
                 compress_progressive,
             )
 
+            base_ft = None
+            if ec.get("base_finetune", True):
+                # output-distortion finetune of the 16-entry base books
+                # (hi labels frozen; full stream untouched by construction)
+                from implicit_image_tpu.quant.base_layer import (
+                    finetune_base_codebooks,
+                )
+
+                def base_ft(entries):
+                    return finetune_base_codebooks(
+                        mdef, mcfg, grid, img, entries
+                    )
+
             compressed_bytes = compress_progressive(
                 state, Path(run_dir) / "model_quantized", ec.stream_name,
-                **kwargs,
+                base_finetune=base_ft, **kwargs,
             )
             log.info(
                 "Compressed bytes %d (progressive: base prefix %d)",

@@ -117,6 +117,75 @@ def test_uint16_and_qscale_tensors_stay_unsplit(tmp_path):
     )
 
 
+def test_base_finetune_improves_base_render(tmp_path):
+    """The output-distortion finetune of the 16-entry base books lowers
+    the base-layer render error with the full stream bit-unchanged."""
+    import jax
+
+    from implicit_image_tpu.coding.progressive import _split_entries
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.quant.base_layer import finetune_base_codebooks
+    from implicit_image_tpu.quant import QuantConfig
+    from implicit_image_tpu.training.fit import (
+        OptimConfig, TrainConfig, fit,
+    )
+    from implicit_image_tpu.training.quant_phase import make_quant_fit_fn
+    from implicit_image_tpu.coding import (
+        decompress_state_dict, linear_state_dict, params_from_state_dict,
+    )
+
+    mdef, mcfg = build_model(
+        "siren", depth=3, hidden_size=16, input_size=2, output_size=3
+    )
+    grid = get_grid(24, 24)
+    img = synthetic_image(24, 24, seed=1, complexity=3)
+    res = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+              TrainConfig(num_steps=60, log_steps=60), OptimConfig())
+    qfn = jax.jit(make_quant_fit_fn(
+        mdef, mcfg, grid, QuantConfig(name="KMeans", bits=8, num_steps=3,
+                                      log_steps=3),
+        OptimConfig(), None,
+    ))
+    params_q, codebooks, _ = qfn(res.params, img)
+    state = linear_state_dict(params_q, codebooks, half="auto")
+
+    def base_mse(base_ft):
+        d = tmp_path / ("ft" if base_ft else "plain")
+        compress_progressive(dict(state), d, "zstd", base_finetune=base_ft)
+        dec = decompress_state_dict(d, "zstd", base_only=True)
+        pred = np.asarray(mdef.apply(
+            params_from_state_dict(dec), grid, mcfg, None
+        ))
+        return float(np.mean((pred - img) ** 2))
+
+    ft = lambda entries: finetune_base_codebooks(mdef, mcfg, grid, img,
+                                                 entries, steps=60)
+    assert base_mse(ft) < base_mse(None)
+
+    # full decode identical with and without the base finetune
+    full_a = decompress_state_dict(tmp_path / "ft", "zstd")
+    full_b = decompress_state_dict(tmp_path / "plain", "zstd")
+    for k in full_a:
+        np.testing.assert_array_equal(full_a[k], full_b[k])
+
+
+def test_base_finetune_validation(tmp_path):
+    state = _vq_state()
+    with pytest.raises(ValueError, match="base_centroids"):
+        compress_progressive(
+            state, tmp_path / "x", "zstd",
+            base_finetune=lambda e: {"layers.1.labels_hi": np.zeros(3)},
+        )
+    with pytest.raises(ValueError, match="shape"):
+        compress_progressive(
+            state, tmp_path / "y", "zstd",
+            base_finetune=lambda e: {
+                "layers.1.base_centroids": np.zeros(3, np.float16)
+            },
+        )
+
+
 def test_cli_progressive_round_trip(tmp_path):
     """entropy_coding.progressive=true end-to-end: compress, decoded PSNR
     finite, --base CLI decode renders from the prefix."""
