@@ -315,8 +315,12 @@ def build_ladder_args(cfg) -> dict:
         train_cfg=train_cfg, optim_cfg=optim_cfg, quant_cfg=quant_cfg,
         stream_name=stream_name, init_params=init_params,
         half=ec.get("half", "auto"),
+        # progressive/base_finetune are compress.py container-policy keys,
+        # not encode_stream kwargs; the ladder/fleet members write flat
+        # containers (scalable members would need per-member finetune state)
         coding_kwargs={k: v for k, v in ec.items()
-                       if k not in ("stream_name", "half")},
+                       if k not in ("stream_name", "half", "progressive",
+                                    "base_finetune")},
     )
 
 

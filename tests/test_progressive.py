@@ -170,6 +170,23 @@ def test_base_finetune_improves_base_render(tmp_path):
         np.testing.assert_array_equal(full_a[k], full_b[k])
 
 
+def test_ladder_args_do_not_leak_container_policy_keys():
+    """entropy_coding.progressive/base_finetune must not reach
+    encode_stream through the ladder/fleet coding kwargs."""
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.parallel.ladder import build_ladder_args
+
+    cfg = compose([
+        "img=synthetic", "img.height=16", "img.width=16",
+        "mlp.depth=3", "mlp.hidden_size=8",
+        "entropy_coding=zstd", "entropy_coding.progressive=true",
+        "entropy_coding.base_finetune=false",
+    ])
+    args = build_ladder_args(cfg)
+    assert "progressive" not in args["coding_kwargs"]
+    assert "base_finetune" not in args["coding_kwargs"]
+
+
 def test_base_finetune_validation(tmp_path):
     state = _vq_state()
     with pytest.raises(ValueError, match="base_centroids"):
