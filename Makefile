@@ -7,7 +7,7 @@ PY ?= python
 IMG ?= synthetic
 DENSITIES ?= 0.01,0.02,0.05,0.1,0.2,0.3,0.4,0.5,0.75,0.95
 
-.PHONY: test test-all bench siren prune sweep target decode vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.% finals.real verify.benchmarks
+.PHONY: test test-all bench siren prune sweep target decode meta fleet vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.% finals.real verify.benchmarks
 
 # default gate: excludes tests marked `slow` (heavyweight redundancy /
 # finals-protocol checks); measured 5m25s on a 1-core box. `make test-all`
@@ -47,6 +47,18 @@ ladder.%:
 sweep:
 	$(PY) -m implicit_image_tpu.sweep n_trials=15 img=$(IMG) \
 	    masking.density='loguniform(0.05,0.95)'
+
+# meta-learned warm-start artifact (training/metainit.py); consume it in
+# any fit with train.init_path=<OUT>
+META_OUT ?= outputs/meta/$(IMG).npz
+meta:
+	$(PY) -m implicit_image_tpu.meta_train img=$(IMG) meta.out=$(META_OUT)
+
+# fleet encode: many images as ONE compiled program (IMAGES=a,b,c);
+# members land in standard decodable run dirs
+IMAGES ?= flower,big_building,bridge
+fleet:
+	$(PY) -m implicit_image_tpu.fleet fleet.images=$(IMAGES)
 
 # compress to a byte budget (TARGET_BYTES=) or quality bar (TARGET_DB=):
 # one-compile ladder search on the density axis (implicit_image_tpu/target.py)
