@@ -214,6 +214,33 @@ def test_ladder_warm_start_matches_single_fit():
                 )
 
 
+def test_committed_flagship_artifact_loads_and_is_trained():
+    """The committed bench artifact (assets/meta/coordx_s5w96_512.npz)
+    must load against the flagship architecture and be a genuinely
+    trained init — bench.py's warm flagship depends on it."""
+    from pathlib import Path
+
+    path = (
+        Path(__file__).resolve().parent.parent
+        / "assets/meta/coordx_s5w96_512.npz"
+    )
+    assert path.exists(), "bench.py warm flagship artifact missing"
+    mdef, mcfg = build_model(
+        "coordx", depth=8, hidden_size=96, split_depth=5
+    )
+    params = load_meta_init(path, expect_model="coordx", expect_mcfg=mcfg)
+    rand = mdef.init(jax.random.PRNGKey(0), mcfg)
+    assert len(params) == len(rand)
+    # trained weights, not a re-serialized random init: shapes match but
+    # values are far from any fresh draw's scale pattern
+    diffs = [
+        float(jnp.abs(a[k] - b[k]).max())
+        for a, b in zip(params, rand)
+        for k in a
+    ]
+    assert max(diffs) > 1e-3
+
+
 def test_meta_train_cli(tmp_path):
     from implicit_image_tpu.meta_train import run
     from implicit_image_tpu.config import compose
