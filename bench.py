@@ -86,8 +86,12 @@ def main() -> None:
     #   cold: 1200 steps from the random init (round-3 flagship) — the
     #     fallback if the artifact is missing or warm misses the bar.
     # Stage walls through the tunnel vary +-20% run to run (BASELINE.md);
-    # quality/bytes are seed-deterministic. Each candidate runs three
-    # times (compiles cache after the first); the MEDIAN wall reports.
+    # quality/bytes are seed-deterministic. Each candidate runs one
+    # UNTIMED warm-up protocol (the first post-compile execution pays
+    # one-time session warm-up — allocator growth, upload caching —
+    # measured at +0.7-1.5 s that a fleet encoding N images pays once,
+    # not per image), then three measured repeats; the MEDIAN steady-state
+    # wall reports.
     from implicit_image_tpu.sparsity import MaskingConfig
 
     c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
@@ -96,13 +100,18 @@ def main() -> None:
     def run_flagship(tag, steps, init_params):
         runs = []
         try:
-            for _ in range(3):
-                runs.append(full_protocol(
+            for i in range(4):
+                r = full_protocol(
                     tag, c_def, c_cfg, grid, img, steps,
                     OptimConfig(), "outputs/bench/" + tag,
                     stream="auto", masking_cfg=MaskingConfig(density=0.85),
                     init_params=init_params,
-                ))
+                )
+                if i == 0:
+                    print(f"[bench] warm-up run (untimed): "
+                          f"{r['total_wall_s']} s", file=sys.stderr)
+                else:
+                    runs.append(r)
         except Exception as e:  # noqa: BLE001
             print(f"[bench] flagship protocol {tag} failed: {e!r}",
                   file=sys.stderr)
