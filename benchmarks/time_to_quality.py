@@ -54,12 +54,17 @@ from implicit_image_tpu.training.quant_phase import make_quant_fit_fn  # noqa: E
 
 def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
                   log_steps=None, stream="zstd", half="auto",
-                  masking_cfg=None, quant_lr=None, init_params=None):
+                  masking_cfg=None, quant_lr=None, init_params=None,
+                  delta_info=None):
     """fit -> kmeans-8 codebook finetune -> entropy code -> decode.
     Returns dict with stage walls, decoded PSNR, rate. Every wall is the
     compiled-execution wall (compile excluded, as in BASELINE.md — the
     reference's torch baseline has no compile stage either); coding is
-    host byte work and timed end-to-end."""
+    host byte work and timed end-to-end.
+
+    `delta_info` (quant.delta A/B — benchmarks/delta_ab.py): a dict
+    {"artifact": path, "sha256": hex} enabling residual coding against
+    `init_params` (which must be the loaded artifact)."""
     from implicit_image_tpu.coding import (
         decompress_state_dict,
         params_from_state_dict,
@@ -78,14 +83,22 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
 
     qcfg = QuantConfig(name="KMeans", bits=8, num_steps=100, log_steps=100,
                        lr=quant_lr)
-    qfn = jax.jit(make_quant_fit_fn(mdef, mcfg, grid, qcfg, optim_cfg, masks))
+    qfn = jax.jit(make_quant_fit_fn(
+        mdef, mcfg, grid, qcfg, optim_cfg, masks,
+        offset_params=init_params if delta_info is not None else None,
+    ))
     qfn_c = qfn.lower(res.params, img).compile()
     t0 = time.perf_counter()
     params_q, codebooks, qmetrics = qfn_c(res.params, img)
     qpsnr = float(np.asarray(qmetrics["quant_psnr"]))
     t1 = time.perf_counter()
     state = linear_state_dict(params_q, codebooks, half=half)
-    nbytes = compress_state_dict(state, out_dir, stream)
+    if delta_info is not None:
+        delta_info = dict(delta_info)
+        delta_info["layers"] = [
+            i for i, cb in enumerate(codebooks) if cb is not None
+        ]
+    nbytes = compress_state_dict(state, out_dir, stream, delta=delta_info)
     t2 = time.perf_counter()
 
     # decode: host entropy decode + upload + render, with the render

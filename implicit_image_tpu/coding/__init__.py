@@ -201,6 +201,7 @@ def compress_state_dict(
     stream_name: str = "zstd",
     shuffle: bool = True,
     plane_group: bool = True,
+    delta: Optional[Dict[str, Any]] = None,
     **kwargs,
 ) -> int:
     """Write compressed_weights.data + meta_data.json; return payload bytes.
@@ -209,6 +210,14 @@ def compress_state_dict(
     plane_group=True): −1.2% mean rate vs the format-2 per-tensor shuffle
     at bit-identical content. plane_group=False writes format 2;
     shuffle=False writes the reference-compatible format-1 byte layout.
+
+    `delta` (quant.delta — beyond reference): records that the quantized
+    layers' codebooks are RESIDUAL codebooks against a shared
+    encoder/decoder artifact (the meta-learned warm start): a dict
+    {"artifact": path-as-configured, "sha256": hex of the artifact file,
+    "layers": [params indices]}. The decoder resolves + hash-checks the
+    artifact and reconstructs w = (offset + centroids[labels]) *
+    (labels != 0) for those layers.
     """
     dir_name = Path(dir_name)
     dir_name.mkdir(exist_ok=True, parents=True)
@@ -236,6 +245,16 @@ def compress_state_dict(
         meta["__meta__"] = {"format": 2, "shuffle": True}
     else:
         raw = b"".join(a.tobytes() for a in arrays)
+    if delta is not None:
+        # delta streams are never reference-readable (the reference has no
+        # shared-artifact notion), so writing __meta__ is fine even at
+        # shuffle=False
+        meta.setdefault("__meta__", {"format": 1, "shuffle": False})
+        meta["__meta__"]["delta"] = {
+            "artifact": str(delta["artifact"]),
+            "sha256": str(delta["sha256"]),
+            "layers": [int(i) for i in delta["layers"]],
+        }
 
     payload = encode_stream(stream_name, raw, **kwargs)
     binary_file.write_bytes(payload)
@@ -291,15 +310,79 @@ def read_raw_container(
     return raw
 
 
+def _resolve_delta_offsets(
+    dir_name: Path,
+    info: Dict[str, Any],
+    override: Optional[Union[str, Path]] = None,
+) -> Dict[int, np.ndarray]:
+    """Locate + hash-check the shared delta artifact; return {layer: w}.
+
+    Search order: explicit override, the path as recorded at encode time,
+    that path relative to the repo root, the artifact's basename next to
+    the run dir, and the repo's committed assets/meta/ — the same
+    drop-in philosophy as data.resolve_benchmark_path. The sha256 check
+    makes a wrong artifact fail loudly instead of decoding garbage.
+    """
+    import hashlib
+
+    repo = Path(__file__).resolve().parents[2]
+    rec = Path(info["artifact"])
+    candidates = []
+    if override is not None:
+        candidates.append(Path(override))
+    candidates += [
+        rec,
+        repo / rec,
+        dir_name / rec.name,
+        dir_name.parent / rec.name,
+        repo / "assets" / "meta" / rec.name,
+    ]
+    path = next((c for c in candidates if c.is_file()), None)
+    if path is None:
+        raise FileNotFoundError(
+            f"delta artifact {info['artifact']!r} not found (searched "
+            f"{[str(c) for c in candidates]}); pass delta_artifact=<path> "
+            "or place the file in assets/meta/"
+        )
+    digest = hashlib.sha256(path.read_bytes()).hexdigest()
+    if digest != info["sha256"]:
+        raise ValueError(
+            f"delta artifact {path} sha256 mismatch: stream was encoded "
+            f"against {info['sha256'][:12]}…, file is {digest[:12]}…"
+        )
+    npz = np.load(path)
+    out: Dict[int, np.ndarray] = {}
+    for i in info["layers"]:
+        # the artifact is a meta-init .npz (training/metainit.py
+        # save_meta_init): layer weights live under "params.{i}.w"
+        out[int(i)] = np.asarray(npz[f"params.{int(i)}.w"], np.float32)
+    return out
+
+
 def decompress_state_dict(
-    dir_name: Union[str, Path], stream_name: str = "zstd", **kwargs
+    dir_name: Union[str, Path],
+    stream_name: str = "zstd",
+    delta_artifact: Optional[Union[str, Path]] = None,
+    **kwargs,
 ) -> Dict[str, np.ndarray]:
     """Read the bitstream back; re-materialize weight = centroids[labels].
 
     Returns float32 arrays keyed by canonical names (`layers.{i}.weight`
-    etc.), exactly the reference's decode semantics (:146-185).
+    etc.), exactly the reference's decode semantics (:146-185). Delta
+    streams (quant.delta) additionally add the shared-artifact offset:
+    w = (offset + centroids[labels]) * (labels != 0); `delta_artifact`
+    overrides the artifact location recorded in the manifest.
     """
+    dir_name = Path(dir_name)
     raw = read_raw_container(dir_name, stream_name, **kwargs)
+    fmt = json.loads((dir_name / "meta_data.json").read_text()).get(
+        "__meta__", {}
+    )
+    offsets: Dict[int, np.ndarray] = {}
+    if "delta" in fmt:
+        offsets = _resolve_delta_offsets(
+            dir_name, fmt["delta"], delta_artifact
+        )
 
     out: Dict[str, np.ndarray] = {}
     for name, arr in raw.items():
@@ -313,6 +396,11 @@ def decompress_state_dict(
             else:
                 centroids = raw[name.replace("labeled_weight", "centroids")]
                 weight = centroids[arr]
+                layer_i = int(name.split(".", 2)[1])
+                if layer_i in offsets:
+                    weight = (
+                        weight.astype(np.float32) + offsets[layer_i]
+                    ) * (arr != 0)
             out[name.replace("labeled_weight", "weight")] = weight.astype(np.float32)
         else:
             out[name] = np.asarray(arr, dtype=np.float32)

@@ -360,6 +360,7 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     # ---- quant phase (compress.py:172-240) ----
     quant_cfg_raw = cfg.get("quant")
     qres = None
+    delta_info = None
     if quant_cfg_raw and quant_cfg_raw.get("name", "none") != "none":
         quant_cfg = QuantConfig(
             name=quant_cfg_raw.name,
@@ -398,6 +399,28 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             # segment is shorter than quant.num_steps, e.g. hashgrid)
             segment_steps=train_cfg.segment_steps,
         )
+        if bool(quant_cfg_raw.get("delta", False)):
+            # delta mode (beyond reference): quantized layers cluster +
+            # code the RESIDUAL against the train.init_path warm-start
+            # artifact, which becomes shared encoder/decoder state — the
+            # container stores a residual codebook plus an artifact
+            # reference (path + sha256), see coding/__init__.py
+            if quant_cfg.name != "KMeans":
+                raise ValueError("quant.delta requires quant=kmeans")
+            if not init_path:
+                raise ValueError(
+                    "quant.delta codes residuals against the meta-init "
+                    "artifact; set train.init_path"
+                )
+            import hashlib
+
+            quant_kwargs["offset_params"] = fit_kwargs["init_params"]
+            delta_info = {
+                "artifact": str(init_path),
+                "sha256": hashlib.sha256(
+                    Path(init_path).read_bytes()
+                ).hexdigest(),
+            }
         qres = quant_finetune(
             params, img, mdef, mcfg, grid, quant_cfg, optim_cfg,
             **quant_kwargs,
@@ -449,6 +472,10 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
             logger.summary({
                 "Bit Allocation": [-1 if b is None else b for b in effective],
             })
+        if delta_info is not None:
+            delta_info["layers"] = [
+                i for i, cb in enumerate(qres.codebooks) if cb is not None
+            ]
         qpsnr = float(np.asarray(qres.metrics["quant_psnr"]))
         logger.log(
             num_steps,
@@ -504,6 +531,11 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         kwargs = {k: v for k, v in ec.items()
                   if k not in ("stream_name", "half", "progressive",
                                "base_finetune")}
+        if delta_info is not None and ec.get("progressive", False):
+            raise ValueError(
+                "quant.delta and entropy_coding.progressive cannot "
+                "combine (the base-prefix decode has no offset notion)"
+            )
         if ec.get("progressive", False):
             # format-4 quality-scalable container (coding/progressive.py):
             # a prefix decodes standalone at base quality, the full stream
@@ -538,7 +570,7 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         else:
             compressed_bytes = compress_state_dict(
                 state, Path(run_dir) / "model_quantized", ec.stream_name,
-                **kwargs,
+                delta=delta_info, **kwargs,
             )
             log.info("Compressed bytes %d", compressed_bytes)
         logger.summary({"Compressed Bytes": compressed_bytes})

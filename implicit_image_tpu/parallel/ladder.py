@@ -271,6 +271,14 @@ def build_ladder_args(cfg) -> dict:
     quant_raw = cfg.get("quant")
     quant_cfg = None
     if quant_raw and quant_raw.get("name", "none") != "none":
+        if bool(quant_raw.get("delta", False)):
+            # loud, not silent (the quant.skip_layers lesson): residual
+            # coding against the warm-start artifact is a compress.py
+            # single-run feature for now
+            raise ValueError(
+                "quant.delta is not supported on the ladder/fleet/target "
+                "paths; run compress.py per image"
+            )
         quant_cfg = QuantConfig(
             name=quant_raw.name,
             bits=int(quant_raw.get("bits", 8)),

@@ -78,7 +78,10 @@ def kmeans_fit(
 
 
 def quantize_weight(
-    weight: jnp.ndarray, bits: int, iters: int = 5
+    weight: jnp.ndarray,
+    bits: int,
+    iters: int = 5,
+    offset: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, LayerCodebook]:
     """Cluster a weight tensor's nonzeros into 2^bits - 1 centroids (+0).
 
@@ -86,23 +89,48 @@ def quantize_weight(
     (kmeans.py:110-150): linspace init over the nonzero range, Lloyd fit,
     prepend 0 centroid, sort by |c|, assign ALL weights (zeros land on the
     0 centroid), snap weight = centroids[labels].
+
+    `offset` (delta mode, beyond reference — quant.delta): cluster the
+    RESIDUAL weight - offset instead, where `offset` is shared
+    encoder/decoder state (the meta-learned warm-start artifact,
+    training/metainit.py). The decode rule becomes
+    `w = (offset + centroids[labels]) * (labels != 0)`: label 0 still
+    means "pruned" exactly, so valid (nonzero) weights are assigned only
+    to labels >= 1 — with residuals peaked at 0 there is always a centroid
+    near 0, so the exclusion costs ~nothing and keeps the container's
+    sparsity semantics identical to the absolute path. Weights in one
+    cluster then share a residual, not a value — a strictly richer
+    quantizer (per-weight base + shared increment) at the same label rate.
     """
     n_clusters = 2**bits - 1
     flat = weight.reshape(-1)
     valid = (flat != 0.0).astype(flat.dtype)
+    if offset is not None:
+        points = jnp.where(valid > 0, flat - offset.reshape(-1), 0.0)
+    else:
+        points = flat
     big = jnp.asarray(jnp.inf, flat.dtype)
-    lo = jnp.min(jnp.where(valid > 0, flat, big))
-    hi = jnp.max(jnp.where(valid > 0, flat, -big))
+    lo = jnp.min(jnp.where(valid > 0, points, big))
+    hi = jnp.max(jnp.where(valid > 0, points, -big))
     guess = jnp.linspace(0.0, 1.0, n_clusters, dtype=flat.dtype) * (hi - lo) + lo
 
-    centers = kmeans_fit(flat, valid, guess, iters=iters)
+    centers = kmeans_fit(points, valid, guess, iters=iters)
     centroids = jnp.concatenate([jnp.zeros((1,), flat.dtype), centers])
     order = jnp.argsort(jnp.abs(centroids))
     centroids = centroids[order]
 
-    d = (flat[:, None] - centroids[None, :]) ** 2
+    d = (points[:, None] - centroids[None, :]) ** 2
+    if offset is not None:
+        # label 0 is reserved for pruned weights (decode reconstructs the
+        # mask from labels != 0): valid weights may not take it, invalid
+        # (zero) weights must
+        col0 = jnp.where(valid > 0, jnp.inf, -jnp.inf)
+        d = d.at[:, 0].set(col0)
     labels = jnp.argmin(d, axis=1).astype(jnp.int32)
-    snapped = centroids[labels].reshape(weight.shape)
+    snapped = centroids[labels]
+    if offset is not None:
+        snapped = (snapped + offset.reshape(-1)) * (labels != 0)
+    snapped = snapped.reshape(weight.shape)
     return snapped, LayerCodebook(centroids=centroids, labels=labels.reshape(weight.shape))
 
 
@@ -111,6 +139,7 @@ def ecvq_refine(
     book: LayerCodebook,
     lam: float,
     iters: int = 10,
+    offset: jnp.ndarray = None,
 ) -> LayerCodebook:
     """Entropy-constrained assignment (ECVQ, Chou-Lookabaugh-Gray 1989):
     re-assign each nonzero weight to argmin_j [ (w - c_j)^2 + λ·σ²·R_j ]
@@ -127,10 +156,17 @@ def ecvq_refine(
     quant error per bit saved. Pruned (zero) weights stay at label 0; a
     nonzero weight MAY move to the zero centroid (extra pruning is a
     legitimate R-D move, and label 0 is typically the cheapest).
+
+    `offset` (delta mode — see quantize_weight): the refinement runs on
+    the residual weight - offset, and label 0 stays reserved for pruned
+    weights (valid weights never move onto it: the delta decode rule
+    reconstructs the mask from labels != 0).
     """
     flat = weight.reshape(-1)
     labels0 = book.labels.reshape(-1)
     valid = (flat != 0.0).astype(flat.dtype)
+    if offset is not None:
+        flat = jnp.where(valid > 0, flat - offset.reshape(-1), 0.0)
     n = flat.shape[0]
     n_valid = jnp.maximum(jnp.sum(valid), 1.0)
     k = book.centroids.shape[0]
@@ -149,6 +185,11 @@ def ecvq_refine(
         # never re-entered (the codebook shrinks to its used support)
         rate = -jnp.log2(jnp.maximum(p, 1e-12))
         d2 = (flat[:, None] - centroids[None, :]) ** 2
+        if offset is not None:
+            # delta decode derives the prune mask from labels != 0, so a
+            # valid weight may never take label 0 (no "extra pruning" move
+            # in delta mode — its residual-0 centroid neighbour is ~free)
+            d2 = d2.at[:, 0].set(jnp.where(valid > 0, jnp.inf, -jnp.inf))
         new = jnp.argmin(d2 + scale * rate[None, :], axis=1).astype(jnp.int32)
         labels = jnp.where(valid > 0, new, 0)
         # centroid update on the skewed assignment (Lloyd step of the

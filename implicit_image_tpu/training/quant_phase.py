@@ -73,6 +73,7 @@ def make_quant_fit_fn(
     masks: Optional[Tuple] = None,
     compute_dtype=None,
     pixel_chunks: int = 1,
+    offset_params=None,
 ):
     """Build quant_fit(params, img) -> (final params, codebooks, metrics).
 
@@ -82,7 +83,16 @@ def make_quant_fit_fn(
     (training/fit.py TrainConfig.pixel_chunks): the finetune loss/grad is
     accumulated over equal pixel chunks — row-aligned blocks when possible
     so CoordX keeps its factorized-grid path per chunk.
+
+    `offset_params` (delta mode, KMeans only — quant.delta): a params-like
+    pytree of shared encoder/decoder state (the warm-start meta artifact).
+    Quantized layers cluster and code the RESIDUAL w - offset; the model
+    weight is reconstructed as (offset + centroids[labels]) * (labels != 0)
+    everywhere the finetune forward runs, and the container stores the
+    residual codebook (coding/__init__.py delta manifest).
     """
+    if offset_params is not None and quant_cfg.name != "KMeans":
+        raise ValueError("delta (offset_params) is KMeans-only")
     h, w, c = grid.shape
     n = h * w
     coords = grid.reshape(n, c)
@@ -216,7 +226,11 @@ def make_quant_fit_fn(
         for i, layer in enumerate(st):
             if labels[i] is not None:
                 rest = {k: v for k, v in layer.items() if k != "centroids"}
-                out.append(rest | {"w": layer["centroids"][labels[i]]})
+                w = layer["centroids"][labels[i]]
+                if offset_params is not None:
+                    # delta decode rule: labels carry the prune mask
+                    w = (w + offset_params[i]["w"]) * (labels[i] != 0)
+                out.append(rest | {"w": w})
             else:
                 out.append(layer)
         out = tuple(out)
@@ -231,13 +245,19 @@ def make_quant_fit_fn(
         state = []
         for i, layer in enumerate(params):
             if i in qset:
+                off = (
+                    offset_params[i]["w"] if offset_params is not None
+                    else None
+                )
                 _, book = quantize_weight(
-                    layer["w"], quant_cfg.layer_bits(i), quant_cfg.lloyd_iters
+                    layer["w"], quant_cfg.layer_bits(i),
+                    quant_cfg.lloyd_iters, offset=off,
                 )
                 if quant_cfg.ecvq_lambda > 0.0:
                     book = ecvq_refine(
                         layer["w"], book,
                         quant_cfg.ecvq_lambda, quant_cfg.ecvq_iters,
+                        offset=off,
                     )
                 labels.append(book.labels)
                 state.append(
@@ -349,6 +369,7 @@ def quant_finetune(
     compute_dtype=None,
     pixel_chunks: int = 1,
     segment_steps: Optional[int] = None,
+    offset_params=None,
 ) -> QuantResult:
     """Compile + run the quant phase (single image).
 
@@ -360,6 +381,7 @@ def quant_finetune(
     quant_fit = make_quant_fit_fn(
         mdef, mcfg, grid, quant_cfg, optim_cfg, masks,
         compute_dtype, pixel_chunks=pixel_chunks,
+        offset_params=offset_params,
     )
     img = jnp.asarray(img)
     seg = int(segment_steps) if segment_steps else quant_cfg.num_steps
