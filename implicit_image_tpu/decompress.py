@@ -6,7 +6,8 @@ compressed run directory self-contained:
 
     python -m implicit_image_tpu.decompress outputs/<img>/<exp>/<run> \
         [--out decoded.png] [--scale 4] [--size HxW] \
-        [--roi row0:row1,col0:col1] [--tile-rows N]
+        [--roi row0:row1,col0:col1] [--tile-rows N] \
+        [--delta-artifact meta.npz]
 
 Resolution-free decode (single-run only): the INR weights render ANY
 lattice — `--scale`/`--size` for super-resolution or thumbnails, `--roi`
@@ -41,7 +42,7 @@ log = logging.getLogger("implicit_image_tpu")
 
 
 def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
-               tile_rows=0, base=False):
+               tile_rows=0, base=False, delta_artifact=None):
     """Decode one compress.py run directory; returns (image, stats).
 
     Geometry options (the INR artifact is resolution-free — the reference
@@ -52,6 +53,9 @@ def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
       tile_rows: row-band tiling to bound device memory on huge outputs
       base:      progressive (format-4) containers only — decode the
                  standalone base-quality prefix instead of the full stream
+      delta_artifact: delta (quant.delta) containers only — override the
+                 shared-artifact location recorded in the manifest
+                 (coding._resolve_delta_offsets search order otherwise)
     """
     import time
 
@@ -63,6 +67,8 @@ def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
     mdef, mcfg = build_model_from_config(cfg)
     h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
     kw = {"base_only": True} if base else {}
+    if delta_artifact is not None:
+        kw["delta_artifact"] = delta_artifact
 
     if scale or size or roi or tile_rows:
         from implicit_image_tpu.coding import (
@@ -178,6 +184,7 @@ def cli(argv=None) -> None:
     if base:
         argv.remove("--base")
     out = take_opt("--out")
+    delta_artifact = take_opt("--delta-artifact")
     scale = take_opt("--scale")
     size = take_opt("--size")
     roi = take_opt("--roi")
@@ -188,6 +195,7 @@ def cli(argv=None) -> None:
         roi=tuple(int(x) for x in roi.replace(",", ":").split(":")) if roi else None,
         tile_rows=int(tile_rows) if tile_rows else 0,
         base=base,
+        delta_artifact=delta_artifact,
     )
     if geometry["size"] is not None and len(geometry["size"]) != 2:
         raise SystemExit("--size expects HxW, e.g. --size 1024x1024")

@@ -194,6 +194,17 @@ def test_delta_end_to_end_cli(tmp_path):
     summary = json.loads((tmp_path / "run" / "summary.json").read_text())
     assert np.isclose(summary["Decoded PSNR"], psnr)
 
+    # --delta-artifact CLI override: with the recorded location gone the
+    # decode fails loudly; the override restores it bit-identically
+    meta_file = tmp_path / "run" / "model_quantized" / "meta_data.json"
+    m = json.loads(meta_file.read_text())
+    m["__meta__"]["delta"]["artifact"] = "relocated_away.npz"
+    meta_file.write_text(json.dumps(m))
+    with pytest.raises(FileNotFoundError, match="delta artifact"):
+        decode_run(tmp_path / "run")
+    img2, _ = decode_run(tmp_path / "run", delta_artifact=art_path)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+
 
 def test_delta_guards(tmp_path):
     from implicit_image_tpu.compress import main as compress_main
