@@ -13,13 +13,15 @@ RUN on the same chip:
   * the flagship: CoordX s5/w96 (models/coordx.py), RigL d=0.85,
     1000 steps from the committed meta-learned init
     (assets/meta/coordx_s5w96_512.npz — REPTILE over non-eval synthetic
-    seeds, training/metainit.py; zero bitstream cost), kmeans-8 + `auto`
-    entropy coding. Measured ~3 s total vs the bar's 54.49 dB @ 99.4 KB
-    — +1.8 dB at −14% rate; margins confirmed on the big_building and
-    bridge stand-ins (warm beats the cold flagship on decoded PSNR AND
-    bytes AND steps on all three — BASELINE.md "Meta-learned
-    initialization"). Falls back to the cold 1200-step flagship if the
-    artifact is missing or the warm run misses the bar in-run.
+    seeds, training/metainit.py; zero bitstream cost) with DELTA residual
+    quantization against the same artifact (quant.delta), kmeans-8 +
+    `auto` entropy coding. Measured ~3 s total at 57.05 dB @ 80.4 KB vs
+    the bar's 54.49 dB @ 99.4 KB — +2.6 dB at −19% rate; margins
+    confirmed on the big_building and bridge stand-ins (delta dominates
+    absolute coding on all five measured images — BASELINE.md "Delta
+    quantization" / "Meta-learned initialization"). Falls back to warm
+    absolute coding, then to the cold 1200-step flagship, if the
+    artifact is missing or a candidate misses the bar in-run.
 
 vs_baseline divides the documented 40 s RTX 2080 Ti estimate for the
 reference's 2000-step fit ALONE (fit-only, i.e. conservative: the
@@ -97,7 +99,7 @@ def main() -> None:
     c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
                                split_depth=5)
 
-    def run_flagship(tag, steps, init_params):
+    def run_flagship(tag, steps, init_params, delta_info=None):
         runs = []
         try:
             for i in range(4):
@@ -105,7 +107,7 @@ def main() -> None:
                     tag, c_def, c_cfg, grid, img, steps,
                     OptimConfig(), "outputs/bench/" + tag,
                     stream="auto", masking_cfg=MaskingConfig(density=0.85),
-                    init_params=init_params,
+                    init_params=init_params, delta_info=delta_info,
                 )
                 if i == 0:
                     print(f"[bench] warm-up run (untimed): "
@@ -142,10 +144,33 @@ def main() -> None:
 
     flag, flag_walls, flagship_tag = None, [], None
     if meta_params is not None:
+        # first choice: warm start + DELTA residual coding against the same
+        # committed artifact (quant.delta — measured to dominate absolute
+        # coding on all five stand-in images: mean +0.65 dB AND −6.5%
+        # bytes; BASELINE.md "Delta quantization"). Same shared-state
+        # honesty argument as the warm start itself: the artifact costs
+        # zero per-image bitstream bytes and its path+sha256 ride the
+        # container manifest.
+        import hashlib
+
+        delta_info = {
+            "artifact": str(meta_path),
+            "sha256": hashlib.sha256(meta_path.read_bytes()).hexdigest(),
+        }
         flag, flag_walls = run_flagship(
-            "coordx_s5w96_d085_b1000_warm", 1000, meta_params
+            "coordx_s5w96_d085_b1000_warm_delta", 1000, meta_params,
+            delta_info,
         )
-        flagship_tag = "warm_b1000"
+        flagship_tag = "warm_delta_b1000"
+        if flag is not None and ref is not None and not meets_bar(flag):
+            print("[bench] warm+delta flagship missed the bar; trying "
+                  "warm absolute", file=sys.stderr)
+            flag = None
+        if flag is None:
+            flag, flag_walls = run_flagship(
+                "coordx_s5w96_d085_b1000_warm", 1000, meta_params
+            )
+            flagship_tag = "warm_b1000"
         # only a MEASURED bar can reject the warm run; with the bar
         # unmeasured (ref run died) the warm result is still the honest
         # flagship measurement and the lead metric below says the bar is
