@@ -7,7 +7,7 @@ PY ?= python
 IMG ?= synthetic
 DENSITIES ?= 0.01,0.02,0.05,0.1,0.2,0.3,0.4,0.5,0.75,0.95
 
-.PHONY: test test-all bench siren prune sweep target decode meta fleet vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.% finals.real verify.benchmarks
+.PHONY: test test-all bench siren prune sweep target decode meta fleet sequence sequence.decode vis.rate_distortion vis.width_depth vis.weight_removal vis.jpeg finals.compress.% finals.real verify.benchmarks
 
 # default gate: excludes tests marked `slow` (heavyweight redundancy /
 # finals-protocol checks); measured 5m25s on a 1-core box. `make test-all`
@@ -59,6 +59,17 @@ meta:
 IMAGES ?= flower,big_building,bridge
 fleet:
 	$(PY) -m implicit_image_tpu.fleet fleet.images=$(IMAGES)
+
+# sequence (video) encode: I-frame + delta-coded P-frames
+# (implicit_image_tpu/sequence.py); VIDEO names the synthetic stand-in,
+# or pass sequence.files=f0.png,f1.png,... as extra args
+VIDEO ?= seqbench
+sequence:
+	$(PY) -m implicit_image_tpu.sequence sequence.video=$(VIDEO) \
+	    quant=kmeans entropy_coding=auto
+
+sequence.decode:
+	$(PY) -m implicit_image_tpu.sequence decode $(SEQ_DIR)
 
 # compress to a byte budget (TARGET_BYTES=) or quality bar (TARGET_DB=):
 # one-compile ladder search on the density axis (implicit_image_tpu/target.py)

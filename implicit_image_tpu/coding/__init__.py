@@ -250,11 +250,20 @@ def compress_state_dict(
         # shared-artifact notion), so writing __meta__ is fine even at
         # shuffle=False
         meta.setdefault("__meta__", {"format": 1, "shuffle": False})
-        meta["__meta__"]["delta"] = {
-            "artifact": str(delta["artifact"]),
+        entry = {
             "sha256": str(delta["sha256"]),
             "layers": [int(i) for i in delta["layers"]],
         }
+        if "prev" in delta:
+            # inter-frame residual (sequence.py): offsets come from the
+            # PREVIOUS container's decoded weights; `prev` is a path
+            # relative to this container dir, sha256 is of the previous
+            # container's compressed_weights.data (chain integrity)
+            entry["prev"] = str(delta["prev"])
+            entry["stream"] = str(delta.get("stream", stream_name))
+        else:
+            entry["artifact"] = str(delta["artifact"])
+        meta["__meta__"]["delta"] = entry
 
     payload = encode_stream(stream_name, raw, **kwargs)
     binary_file.write_bytes(payload)
@@ -359,10 +368,51 @@ def _resolve_delta_offsets(
     return out
 
 
+def _resolve_prev_offsets(
+    dir_name: Path,
+    info: Dict[str, Any],
+    prev_state: Optional[Dict[str, np.ndarray]] = None,
+) -> Dict[int, np.ndarray]:
+    """Offsets for an inter-frame delta container: the PREVIOUS frame's
+    decoded weights (sequence.py). `prev_state` short-circuits the walk —
+    the sequence decoder decodes frames in order and hands each frame the
+    one it just produced; standalone decodes recurse down the reference
+    chain (O(chain length), every link sha256-checked)."""
+    import hashlib
+
+    prev_dir = (dir_name / info["prev"]).resolve()
+    payload = prev_dir / "compressed_weights.data"
+    if not payload.is_file():
+        raise FileNotFoundError(
+            f"inter-frame delta container {dir_name} references previous "
+            f"frame {info['prev']!r} -> {prev_dir}, which has no "
+            "compressed_weights.data; decode the sequence in place or via "
+            "sequence.decode_sequence"
+        )
+    digest = hashlib.sha256(payload.read_bytes()).hexdigest()
+    if digest != info["sha256"]:
+        raise ValueError(
+            f"previous frame {prev_dir} sha256 mismatch: this stream was "
+            f"encoded against {info['sha256'][:12]}…, file is "
+            f"{digest[:12]}… (broken sequence chain)"
+        )
+    if prev_state is None:
+        prev_state = decompress_state_dict(
+            prev_dir, str(info.get("stream", "zstd"))
+        )
+    out: Dict[int, np.ndarray] = {}
+    for i in info["layers"]:
+        out[int(i)] = np.asarray(
+            prev_state[f"layers.{int(i)}.weight"], np.float32
+        )
+    return out
+
+
 def decompress_state_dict(
     dir_name: Union[str, Path],
     stream_name: str = "zstd",
     delta_artifact: Optional[Union[str, Path]] = None,
+    prev_state: Optional[Dict[str, np.ndarray]] = None,
     **kwargs,
 ) -> Dict[str, np.ndarray]:
     """Read the bitstream back; re-materialize weight = centroids[labels].
@@ -371,7 +421,11 @@ def decompress_state_dict(
     etc.), exactly the reference's decode semantics (:146-185). Delta
     streams (quant.delta) additionally add the shared-artifact offset:
     w = (offset + centroids[labels]) * (labels != 0); `delta_artifact`
-    overrides the artifact location recorded in the manifest.
+    overrides the artifact location recorded in the manifest. Inter-frame
+    delta streams (sequence.py) take their offsets from the PREVIOUS
+    frame's decoded weights instead: pass that frame's decoded state as
+    `prev_state` when decoding a sequence in order, or leave it None and
+    the chain is walked (and sha256-verified) recursively.
     """
     dir_name = Path(dir_name)
     raw = read_raw_container(dir_name, stream_name, **kwargs)
@@ -380,9 +434,14 @@ def decompress_state_dict(
     )
     offsets: Dict[int, np.ndarray] = {}
     if "delta" in fmt:
-        offsets = _resolve_delta_offsets(
-            dir_name, fmt["delta"], delta_artifact
-        )
+        if "prev" in fmt["delta"]:
+            offsets = _resolve_prev_offsets(
+                dir_name, fmt["delta"], prev_state
+            )
+        else:
+            offsets = _resolve_delta_offsets(
+                dir_name, fmt["delta"], delta_artifact
+            )
 
     out: Dict[str, np.ndarray] = {}
     for name, arr in raw.items():

@@ -1,0 +1,401 @@
+"""Sequence (video) encode CLI — INR inter-frame compression.
+
+    python -m implicit_image_tpu.sequence sequence.video=<name> \
+        [sequence.frames=8] [sequence.motion=0.01] \
+        [sequence.steps0=1200] [sequence.steps=300] [overrides...]
+    python -m implicit_image_tpu.sequence sequence.files=f0.png,f1.png,...
+
+Beyond reference (the reference is strictly single-image — SURVEY.md §1):
+a temporally-coherent sequence is coded as
+
+  * an I-frame: frame 0 through the standard single-image protocol
+    (fit -> kmeans codebook finetune -> entropy code), optionally warm
+    from `train.init_path`;
+  * P-frames: every later frame warm-starts its fit from the PREVIOUS
+    frame's DECODED params (encoder and decoder stay in sync by
+    construction), re-derives its sparsity mask from those params'
+    nonzeros (`resume` init, reference init_scheme.py:215-232), and
+    delta-codes its quantized layers against them — the residual
+    codebook spends its 2^bits-1 levels on the small inter-frame weight
+    motion (the same mechanism measured to dominate absolute coding for
+    the meta artifact: BASELINE.md "Delta quantization"). The container
+    manifest records `prev` + the previous payload's sha256
+    (coding/__init__.py), so a frame decodes standalone by walking the
+    verified chain, and `decode_sequence` walks it forward in O(T).
+
+TPU shape: the P-frame fit and quant phases are each ONE compiled
+program reused across all frames — the warm params, delta offsets and
+resume masks enter as traced arguments (make_quant_fit_fn
+`.with_offsets`), so frame t>=2 pays zero compile.
+
+Every frame gets a standard run dir (config.json + summary.json +
+model_quantized/) readable by the decode CLI and the visualize run store.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from implicit_image_tpu.config import compose
+from implicit_image_tpu.utils import catch_error_decorator
+
+log = logging.getLogger(__name__)
+
+__all__ = ["encode_sequence", "decode_sequence", "cli"]
+
+
+def _load_frames(cfg) -> Tuple[np.ndarray, str]:
+    """(frames (T,H,W,3) float32 in [0,1], sequence name) from cfg.
+
+    `sequence.files=a,b,c` loads image files (same loader as compress.py);
+    `sequence.video=<name>` generates the deterministic synthetic stand-in
+    sequence (data.synthetic_video on the name-salted seed) at
+    img.height x img.width.
+    """
+    from implicit_image_tpu.compress import _load_image
+    from implicit_image_tpu.config import DotDict
+    from implicit_image_tpu.data import stable_seed, synthetic_video
+
+    seq = cfg.get("sequence") or {}
+    files = seq.get("files")
+    if files:
+        entries = (
+            [str(e) for e in files]
+            if isinstance(files, (list, tuple))
+            else str(files).split(",")
+        )
+        frames = []
+        for e in entries:
+            img_cfg = DotDict(dict(cfg.img))
+            img_cfg["path"] = e
+            img_cfg["name"] = Path(e).stem
+            frames.append(_load_image(img_cfg))
+        name = Path(entries[0]).stem
+        return np.stack(frames).astype(np.float32), name
+    name = str(seq.get("video", "seq"))
+    h = int(cfg.img.get("height", 256))
+    w = int(cfg.img.get("width", 256))
+    t = int(seq.get("frames", 8))
+    motion = float(seq.get("motion", 0.01))
+    return (
+        synthetic_video(h, w, t, seed=stable_seed(name), motion=motion),
+        name,
+    )
+
+
+def _frame_offsets(prev_params, n_layers: int):
+    """Per-layer offset tuple (weights of the previous decoded frame)."""
+    return tuple(
+        prev_params[i].get("w") if isinstance(prev_params[i], dict) else None
+        for i in range(n_layers)
+    )
+
+
+def _payload_sha(frame_dir: Path) -> str:
+    return hashlib.sha256(
+        (frame_dir / "compressed_weights.data").read_bytes()
+    ).hexdigest()
+
+
+def encode_sequence(argv) -> List[dict]:
+    """Encode a sequence; returns per-frame result dicts.
+
+    argv: compress.py-style dotted overrides (see module docstring).
+    """
+    from implicit_image_tpu.coding import (
+        compress_state_dict,
+        decompress_state_dict,
+        linear_state_dict,
+        params_from_state_dict,
+    )
+    from implicit_image_tpu.parallel.ladder import build_ladder_args
+    from implicit_image_tpu.sparsity import create_mask_state
+    from implicit_image_tpu.training.fit import (
+        _dummy_mask_state,
+        fit,
+        make_fit_segments,
+    )
+    from implicit_image_tpu.training.quant_phase import (
+        make_quant_fit_fn,
+        quant_finetune,
+    )
+    from implicit_image_tpu.optim import opt_init
+
+    cfg = compose(list(argv))
+    frames, seq_name = _load_frames(cfg)
+    t_total, h, w = frames.shape[:3]
+    # geometry comes from the frames themselves (files may differ from the
+    # composed img group defaults)
+    cfg["img"]["height"], cfg["img"]["width"] = int(h), int(w)
+    args = build_ladder_args(cfg)
+    mdef, mcfg, grid = args["mdef"], args["mcfg"], args["grid"]
+    if grid.shape[:2] != (h, w):
+        from implicit_image_tpu.data import get_grid
+
+        grid = get_grid(h, w)
+    train_cfg, optim_cfg = args["train_cfg"], args["optim_cfg"]
+    masking = args["masking"]
+    if cfg.get("masking", {}).get("dense", False):
+        masking = None
+    quant_cfg = args["quant_cfg"]
+    if quant_cfg is None or quant_cfg.name != "KMeans":
+        raise ValueError(
+            "sequence encoding requires quant=kmeans (P-frames delta-code "
+            "residual codebooks; uniform QAT has no residual form)"
+        )
+    stream = args["stream_name"]
+    half = args["half"]
+    coding_kwargs = args["coding_kwargs"]
+
+    seq = cfg.get("sequence") or {}
+    steps0 = int(seq.get("steps0", train_cfg.num_steps))
+    steps_p = int(seq.get("steps", max(train_cfg.num_steps // 4, 1)))
+    # gop=N > 0 inserts an I-frame every N frames (bounds P-chain drift and
+    # gives random-access points at the I-frame rate); gop=0 (default) =
+    # one I-frame, P all the way
+    gop = int(seq.get("gop", 0))
+
+    root = Path(cfg.get("output_dir", "outputs")) / f"seq_{seq_name}"
+    root.mkdir(parents=True, exist_ok=True)
+
+    sparse = masking is not None and not masking.dense
+    results: List[dict] = []
+    prev_dir: Optional[Path] = None
+    prev_params = None  # decoded params pytree of the previous frame
+    render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))  # shared, 1 compile
+
+    def encode_iframe(t: int) -> None:
+        """The standard single-image protocol, absolute coding. Each
+        I-frame pays its own fit/quant compile (fit() builds fresh jits);
+        with gop=0 that is frame 0 only."""
+        nonlocal prev_dir, prev_params
+        t0 = time.perf_counter()
+        i_cfg = dataclasses.replace(train_cfg, num_steps=steps0)
+        res = fit(
+            jax.random.PRNGKey(int(cfg.seed) + 7919 * t), mdef, mcfg, grid,
+            frames[t], i_cfg, optim_cfg, masking,
+            init_params=args["init_params"],
+        )
+        masks_i = res.mask_state.masks if res.mask_state is not None else None
+        q0 = quant_finetune(
+            res.params, jnp.asarray(frames[t]), mdef, mcfg, grid, quant_cfg,
+            optim_cfg, masks=masks_i,
+        )
+        frame_dir = root / f"frame_{t:04d}"
+        state0 = linear_state_dict(q0.params, q0.codebooks, half=half)
+        nbytes = compress_state_dict(
+            state0, frame_dir / "model_quantized", stream, **coding_kwargs
+        )
+        dec_state = decompress_state_dict(
+            frame_dir / "model_quantized", stream
+        )
+        prev_params = params_from_state_dict(dec_state)
+        results.append(_finish_frame(
+            cfg, frame_dir, render, frames[t], prev_params, nbytes,
+            stream, wall=time.perf_counter() - t0, kind="I", steps=steps0,
+        ))
+        prev_dir = frame_dir
+
+    encode_iframe(0)
+    if t_total == 1:
+        return results
+
+    # ---- P-frames: one compiled fit + one compiled quant, reused ----
+    # warm init from arbitrary params (traced arg): fresh optimizer, mask
+    # resumed from the decoded nonzeros, topology FROZEN during the short
+    # P-fit (end_when=-1 -> the reference cadence never fires; the labels
+    # re-code the mask anyway)
+    p_masking = (
+        dataclasses.replace(masking, sparse_init="resume", end_when=-1)
+        if sparse else None
+    )
+    init_fn, segment_fn = make_fit_segments(
+        mdef, mcfg, grid, dataclasses.replace(train_cfg, num_steps=steps_p),
+        optim_cfg, p_masking,
+    )
+    del init_fn  # P-frames build their carry from the previous frame
+
+    def pframe_init(key, params):
+        key, mask_key, loop_key = jax.random.split(key, 3)
+        opt_state = opt_init(params, optim_cfg)
+        if sparse:
+            mask_state = create_mask_state(mask_key, params, p_masking)
+            from implicit_image_tpu.sparsity import apply_masks
+
+            params = apply_masks(params, mask_state.masks)
+        else:
+            mask_state = _dummy_mask_state(params)
+        return (params, opt_state, mask_state, loop_key, ())
+
+    import functools
+
+    jinit = jax.jit(pframe_init)
+    seg = max(1, train_cfg.segment_steps)
+    lengths = {min(seg, steps_p)}
+    if steps_p > seg and steps_p % seg:
+        lengths.add(steps_p % seg)
+    jsegs = {
+        length: jax.jit(functools.partial(segment_fn, length=length))
+        for length in lengths
+    }
+    qfn = make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg)
+    jquant = jax.jit(qfn.with_offsets)
+
+    n_layers = len(prev_params)
+    key = jax.random.PRNGKey(int(cfg.seed) + 1)
+    for t in range(1, t_total):
+        if gop > 0 and t % gop == 0:
+            encode_iframe(t)
+            continue
+        t0 = time.perf_counter()
+        key, fkey = jax.random.split(key)
+        img_t = jnp.asarray(frames[t])
+        carry = jinit(fkey, prev_params)
+        start = 0
+        while start < steps_p:
+            length = min(seg, steps_p - start)
+            carry, _ = jsegs[length](carry, img_t, jnp.int32(start))
+            start += length
+        params_t, mask_state_t = carry[0], carry[2]
+        mks = tuple(mask_state_t.masks) if sparse else tuple(
+            None for _ in range(n_layers)
+        )
+        offs = _frame_offsets(prev_params, n_layers)
+        params_q, codebooks, _ = jquant(params_t, img_t, offs, mks)
+
+        frame_dir = root / f"frame_{t:04d}"
+        state_t = linear_state_dict(params_q, codebooks, half=half)
+        delta_info = {
+            "prev": f"../../{prev_dir.name}/model_quantized",
+            "sha256": _payload_sha(prev_dir / "model_quantized"),
+            "stream": stream,
+            "layers": [i for i, cb in enumerate(codebooks) if cb is not None],
+        }
+        nbytes = compress_state_dict(
+            state_t, frame_dir / "model_quantized", stream,
+            delta=delta_info, **coding_kwargs,
+        )
+        dec_state = decompress_state_dict(
+            frame_dir / "model_quantized", stream,
+            prev_state={
+                f"layers.{i}.weight": np.asarray(o)
+                for i, o in enumerate(offs) if o is not None
+            },
+        )
+        prev_params = params_from_state_dict(dec_state)
+        results.append(_finish_frame(
+            cfg, frame_dir, render, frames[t], prev_params,
+            nbytes, stream, wall=time.perf_counter() - t0, kind="P",
+            steps=steps_p,
+        ))
+        prev_dir = frame_dir
+
+    total_bytes = sum(r["bytes"] for r in results)
+    log.info(
+        "SEQUENCE %s: %d frames, %d bytes total (%.1f/frame), "
+        "mean decoded %.2f dB",
+        seq_name, t_total, total_bytes, total_bytes / t_total,
+        float(np.mean([r["decoded_psnr"] for r in results])),
+    )
+    return results
+
+
+def _finish_frame(cfg, frame_dir, render, img, dec_params,
+                  nbytes, stream, wall, kind, steps) -> dict:
+    """Render the decoded frame, write config/summary, return the row."""
+    dec = np.asarray(render(dec_params))
+    mse = float(np.mean((dec - np.asarray(img, np.float32)) ** 2))
+    psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+    frame_dir.mkdir(parents=True, exist_ok=True)
+    frame_cfg = json.loads(json.dumps(dict(cfg), default=str))
+    frame_cfg.setdefault("entropy_coding", {})
+    if not isinstance(frame_cfg["entropy_coding"], dict):
+        frame_cfg["entropy_coding"] = {}
+    frame_cfg["entropy_coding"]["stream_name"] = stream
+    (frame_dir / "config.json").write_text(
+        json.dumps(frame_cfg, indent=2, default=str)
+    )
+    row = {
+        "frame": frame_dir.name,
+        "kind": kind,
+        "steps": steps,
+        "decoded_psnr": round(psnr, 2),
+        "bytes": int(nbytes),
+        "wall_s": round(wall, 3),
+    }
+    (frame_dir / "summary.json").write_text(json.dumps({
+        "Decoded PSNR": row["decoded_psnr"],
+        "Compressed Bytes": row["bytes"],
+        "Frame Kind": kind,
+    }, indent=2))
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def decode_sequence(root, stream: Optional[str] = None):
+    """Decode every frame under a seq_* dir in O(T) (each frame's offsets
+    are the frame just decoded; the per-link sha256 checks still run).
+    Returns (frames (T,H,W,3) float32, frame dir names)."""
+    from implicit_image_tpu.coding import (
+        decompress_state_dict,
+        params_from_state_dict,
+    )
+    from implicit_image_tpu.data import get_grid
+    from implicit_image_tpu.models import build_model_from_config
+
+    root = Path(root)
+    frame_dirs = sorted(
+        d for d in root.iterdir()
+        if d.is_dir() and d.name.startswith("frame_")
+    )
+    if not frame_dirs:
+        raise FileNotFoundError(f"no frame_* dirs under {root}")
+    cfg = json.loads((frame_dirs[0] / "config.json").read_text())
+    if stream is None:
+        stream = cfg.get("entropy_coding", {}).get("stream_name", "zstd")
+    mdef, mcfg = build_model_from_config(cfg)
+    h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
+    grid = get_grid(h, w)
+    render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
+
+    out = []
+    prev_state: Optional[Dict[str, np.ndarray]] = None
+    for d in frame_dirs:
+        state = decompress_state_dict(
+            d / "model_quantized", stream, prev_state=prev_state
+        )
+        out.append(np.asarray(render(params_from_state_dict(state))))
+        prev_state = state
+    return np.stack(out), [d.name for d in frame_dirs]
+
+
+@catch_error_decorator
+def cli(argv=None) -> None:
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "decode":
+        frames, names = decode_sequence(argv[1])
+        from implicit_image_tpu.data import save_img
+
+        for f, n in zip(frames, names):
+            save_img(Path(argv[1]) / f"{n}.png", f)
+        print(f"decoded {len(names)} frames -> {argv[1]}/frame_*.png")
+        return
+    encode_sequence(argv)
+
+
+if __name__ == "__main__":
+    cli()

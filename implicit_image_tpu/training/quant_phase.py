@@ -221,34 +221,59 @@ def make_quant_fit_fn(
     # Carry: kmeans (state, opt_state, labels) — labels ride the carry so
     # segments stay pure; STE (latent, opt_state, ()).
 
-    def _reconstruct(st, labels):
+    def _closure_offs(params):
+        """The per-layer offset arrays from the make-time closure (None
+        entries where a layer has no offset)."""
+        if offset_params is None:
+            return tuple(None for _ in params)
+        return tuple(
+            layer.get("w") if isinstance(layer, dict) else None
+            for layer in offset_params
+        )
+
+    def _closure_masks(params):
+        if masks is None:
+            return tuple(None for _ in params)
+        return tuple(masks)
+
+    def _reconstruct(st, labels, offs, mks):
         out = []
         for i, layer in enumerate(st):
             if labels[i] is not None:
                 rest = {k: v for k, v in layer.items() if k != "centroids"}
                 w = layer["centroids"][labels[i]]
-                if offset_params is not None:
+                if offs[i] is not None:
                     # delta decode rule: labels carry the prune mask
-                    w = (w + offset_params[i]["w"]) * (labels[i] != 0)
+                    w = (w + offs[i]) * (labels[i] != 0)
                 out.append(rest | {"w": w})
             else:
                 out.append(layer)
         out = tuple(out)
-        return apply_masks(out, masks) if masks is not None else out
+        return (
+            apply_masks(out, mks) if any(m is not None for m in mks) else out
+        )
 
-    def quant_init(params, img):
-        """Cluster (kmeans) / pass through (STE) -> segment carry."""
+    def quant_init(params, img, offs=None, mks=None):
+        """Cluster (kmeans) / pass through (STE) -> segment carry.
+
+        `offs`/`mks`: per-layer offset / mask arrays (None entries where a
+        layer has neither) — the traced counterparts of the make-time
+        `offset_params`/`masks` closures; they ride the carry so one
+        compiled program serves many values (sequence.py codes every
+        P-frame against a different previous frame with ONE quant compile).
+        """
+        if offs is None:
+            offs = _closure_offs(params)
+        if mks is None:
+            mks = _closure_masks(params)
         if not is_kmeans:
-            return (params, opt_init(params, optim_cfg), ())
+            return (params, opt_init(params, optim_cfg), (), offs, mks)
         qset = set(quantized_layer_indices(params, quant_cfg))
         labels = []
         state = []
         for i, layer in enumerate(params):
             if i in qset:
-                off = (
-                    offset_params[i]["w"] if offset_params is not None
-                    else None
-                )
+                off = offs[i]
                 _, book = quantize_weight(
                     layer["w"], quant_cfg.layer_bits(i),
                     quant_cfg.lloyd_iters, offset=off,
@@ -268,16 +293,18 @@ def make_quant_fit_fn(
                 labels.append(None)
                 state.append(dict(layer))
         state = tuple(state)
-        return (state, opt_init(state, optim_cfg), tuple(labels))
+        return (state, opt_init(state, optim_cfg), tuple(labels), offs, mks)
 
     def quant_steps(carry, img, start, length: int):
         """Run `length` finetune steps [start, start+length) on the carry."""
         target_flat = img.reshape(h * w, -1)
-        st0, opt_state, labels = carry
+        st0, opt_state, labels, offs, mks = carry
+        masked = any(m is not None for m in mks)
 
         if is_kmeans:
-            grad_fn = _make_grad_fn(lambda st: _reconstruct(st, labels),
-                                    target_flat)
+            grad_fn = _make_grad_fn(
+                lambda st: _reconstruct(st, labels, offs, mks), target_flat
+            )
 
             def step_fn(inner, step):
                 st, opt_state = inner
@@ -305,8 +332,8 @@ def make_quant_fit_fn(
                     snapped,
                     latent,
                 )
-                if masks is not None:
-                    ste = apply_masks(ste, masks)
+                if masked:
+                    ste = apply_masks(ste, mks)
                 return ste
 
             grad_fn = _make_grad_fn(ste_transform, target_flat)
@@ -314,26 +341,26 @@ def make_quant_fit_fn(
             def step_fn(inner, step):
                 latent, opt_state = inner
                 loss, grads = grad_fn(latent)
-                if masks is not None:
-                    grads = mask_grads(grads, masks)
+                if masked:
+                    grads = mask_grads(grads, mks)
                 latent, opt_state = opt_update(
                     grads, opt_state, latent, schedule(step), optim_cfg
                 )
-                if masks is not None:
-                    latent = apply_masks(latent, masks)
+                if masked:
+                    latent = apply_masks(latent, mks)
                 return (latent, opt_state), {"loss": loss}
 
         (st, opt_state), metrics = jax.lax.scan(
             step_fn, (st0, opt_state), jnp.arange(length) + start
         )
-        return (st, opt_state, labels), metrics
+        return (st, opt_state, labels, offs, mks), metrics
 
     def quant_final(carry, img, metrics):
         """Freeze codebooks/labels, snap params, compute decode metrics."""
         target_flat = img.reshape(h * w, -1)
-        st, _, labels = carry
+        st, _, labels, offs, mks = carry
         if is_kmeans:
-            params_q = _reconstruct(st, labels)
+            params_q = _reconstruct(st, labels, offs, mks)
             codebooks = tuple(
                 LayerCodebook(centroids=layer["centroids"], labels=lab)
                 if lab is not None
@@ -342,8 +369,8 @@ def make_quant_fit_fn(
             )
         else:
             params_q, codebooks = convert(st, quant_cfg)
-            if masks is not None:
-                params_q = apply_masks(params_q, masks)
+            if any(m is not None for m in mks):
+                params_q = apply_masks(params_q, mks)
         return params_q, codebooks, _final_metrics(params_q, target_flat, metrics)
 
     def quant_fit(params, img):
@@ -353,7 +380,20 @@ def make_quant_fit_fn(
         )
         return quant_final(carry, img, metrics)
 
+    def quant_fit_with_offsets(params, img, offs, mks=None):
+        """`quant_fit` with the delta offsets (and optionally the sparsity
+        masks) as TRACED arguments (per-layer tuples of arrays / None):
+        jit once, feed different values per call — the sequence encoder's
+        per-frame path (every P-frame quantizes against a different
+        previous frame under a different resume mask, ONE compile)."""
+        carry = quant_init(params, img, offs, mks)
+        carry, metrics = quant_steps(
+            carry, img, jnp.int32(0), quant_cfg.num_steps
+        )
+        return quant_final(carry, img, metrics)
+
     quant_fit.stages = (quant_init, quant_steps, quant_final)
+    quant_fit.with_offsets = quant_fit_with_offsets
     return quant_fit
 
 

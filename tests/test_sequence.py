@@ -1,0 +1,206 @@
+"""Sequence (video) inter-frame compression — sequence.py.
+
+Beyond reference (the reference is single-image only, SURVEY.md §1):
+frame 0 is an I-frame (standard protocol), later frames warm-start from
+the previous frame's DECODED params and delta-code residual codebooks
+against them; the container manifest records the previous frame + its
+payload sha256 (coding/__init__.py `prev` delta mode).
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from implicit_image_tpu.data import synthetic_video
+from implicit_image_tpu.sequence import decode_sequence, encode_sequence
+
+SEQ_OVERRIDES = [
+    "img=synthetic", "img.height=24", "img.width=24",
+    "mlp.depth=3", "mlp.hidden_size=16",
+    "train.num_steps=20", "train.log_steps=20",
+    "quant=kmeans", "quant.bits=4", "quant.num_steps=4", "quant.log_steps=4",
+    "entropy_coding=zstd",
+    "sequence.video=unittest", "sequence.frames=3",
+    "sequence.steps0=20", "sequence.steps=6",
+]
+
+
+def test_synthetic_video_shape_range_determinism():
+    v1 = synthetic_video(16, 20, frames=4, seed=3)
+    v2 = synthetic_video(16, 20, frames=4, seed=3)
+    assert v1.shape == (4, 16, 20, 3)
+    assert v1.min() >= 0.0 and v1.max() <= 1.0
+    np.testing.assert_array_equal(v1, v2)
+    # a different seed gives different content
+    assert np.abs(v1 - synthetic_video(16, 20, frames=4, seed=4)).max() > 0.05
+
+
+def test_synthetic_video_temporal_coherence():
+    v = synthetic_video(32, 32, frames=6, seed=0, motion=0.01)
+    consec = np.mean((v[1:] - v[:-1]) ** 2)
+    far = np.mean((v[0] - v[5]) ** 2)
+    # consecutive frames are much closer than distant ones (real-video-like)
+    assert consec < far
+    assert consec > 0  # and the sequence actually moves
+
+
+@pytest.fixture(scope="module")
+def encoded_seq(tmp_path_factory):
+    root = tmp_path_factory.mktemp("seq")
+    results = encode_sequence(
+        SEQ_OVERRIDES + [f"output_dir={root}", "masking=none"]
+    )
+    return Path(root) / "seq_unittest", results
+
+
+def test_sequence_layout_and_manifest(encoded_seq):
+    root, results = encoded_seq
+    assert [r["frame"] for r in results] == [
+        "frame_0000", "frame_0001", "frame_0002"
+    ]
+    assert results[0]["kind"] == "I"
+    assert all(r["kind"] == "P" for r in results[1:])
+    for r in results:
+        d = root / r["frame"]
+        assert (d / "config.json").is_file()
+        assert (d / "summary.json").is_file()
+        assert (d / "model_quantized" / "compressed_weights.data").is_file()
+    # P-frame manifests record the prev link + payload hash
+    m = json.loads(
+        (root / "frame_0002" / "model_quantized" / "meta_data.json")
+        .read_text()
+    )
+    delta = m["__meta__"]["delta"]
+    assert delta["prev"].endswith("frame_0001/model_quantized")
+    assert len(delta["sha256"]) == 64
+    assert len(delta["layers"]) >= 1
+    # I-frame has no delta entry
+    m0 = json.loads(
+        (root / "frame_0000" / "model_quantized" / "meta_data.json")
+        .read_text()
+    )
+    assert "delta" not in m0.get("__meta__", {})
+
+
+def test_sequence_decode_matches_encode_side(encoded_seq):
+    root, results = encoded_seq
+    frames, names = decode_sequence(root)
+    assert frames.shape[0] == 3 and names[0] == "frame_0000"
+    # the encoder already rendered each frame's decoded params; the decode
+    # walk must land on the same images (PSNR rows match)
+    v = synthetic_video(24, 24, frames=3,
+                        seed=_seed("unittest"), motion=0.01)
+    for t, r in enumerate(results):
+        mse = float(np.mean((frames[t] - v[t]) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert abs(psnr - r["decoded_psnr"]) < 0.05
+
+
+def _seed(name):
+    from implicit_image_tpu.data import stable_seed
+
+    return stable_seed(name)
+
+
+def test_sequence_standalone_frame_decode_walks_chain(encoded_seq):
+    """decompress_state_dict on a P-frame alone recursively decodes the
+    verified chain back to the I-frame — no prev_state required."""
+    from implicit_image_tpu.coding import decompress_state_dict
+
+    root, _ = encoded_seq
+    seq_frames, _ = decode_sequence(root)
+    alone = decompress_state_dict(
+        root / "frame_0002" / "model_quantized", "zstd"
+    )
+    chain = None
+    for d in ["frame_0000", "frame_0001", "frame_0002"]:
+        chain = decompress_state_dict(
+            root / d / "model_quantized", "zstd", prev_state=chain
+        )
+    for k in alone:
+        np.testing.assert_array_equal(alone[k], chain[k])
+
+
+def test_sequence_broken_chain_fails_loudly(encoded_seq, tmp_path):
+    import shutil
+
+    from implicit_image_tpu.coding import decompress_state_dict
+
+    root, _ = encoded_seq
+    copy = tmp_path / "seq_copy"
+    shutil.copytree(root, copy)
+    payload = copy / "frame_0000" / "model_quantized" / "compressed_weights.data"
+    payload.write_bytes(payload.read_bytes()[:-1] + b"\x00")
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        decompress_state_dict(copy / "frame_0001" / "model_quantized", "zstd")
+    # a missing previous frame also fails with a clear message
+    shutil.rmtree(copy / "frame_0000")
+    with pytest.raises(FileNotFoundError, match="previous frame"):
+        decompress_state_dict(copy / "frame_0001" / "model_quantized", "zstd")
+
+
+def test_sequence_sparse_masks_survive(tmp_path):
+    """Sparse sequence: P-frames resume the mask from the previous decoded
+    nonzeros; decoded weights stay sparse and pruned entries stay 0."""
+    from implicit_image_tpu.coding import decompress_state_dict
+
+    results = encode_sequence(SEQ_OVERRIDES + [
+        f"output_dir={tmp_path}", "masking=RigL", "masking.density=0.5",
+        "sequence.frames=2",
+    ])
+    assert len(results) == 2
+    root = tmp_path / "seq_unittest"
+    state = decompress_state_dict(
+        root / "frame_0001" / "model_quantized", "zstd"
+    )
+    w = state["layers.1.weight"]
+    frac_zero = float((w == 0).mean())
+    assert frac_zero > 0.3  # ~half pruned (density 0.5)
+
+
+def test_sequence_frame_decodes_via_decode_cli(encoded_seq):
+    """Every frame dir is a standard run dir: the decode CLI renders a
+    P-frame standalone (walking the verified chain itself)."""
+    from implicit_image_tpu.decompress import decode_run
+
+    root, results = encoded_seq
+    img, stats = decode_run(root / "frame_0001")
+    assert img.shape == (24, 24, 3)
+    frames, _ = decode_sequence(root)
+    np.testing.assert_allclose(np.asarray(img), frames[1], atol=1e-6)
+
+
+def test_sequence_gop_inserts_iframes(tmp_path):
+    """sequence.gop=2 -> frames 0 and 2 are I (absolute containers, no
+    delta entry), frames 1 and 3 are P chained to the frame before them."""
+    results = encode_sequence(SEQ_OVERRIDES + [
+        f"output_dir={tmp_path}", "masking=none",
+        "sequence.frames=4", "sequence.gop=2",
+    ])
+    assert [r["kind"] for r in results] == ["I", "P", "I", "P"]
+    root = tmp_path / "seq_unittest"
+    m2 = json.loads(
+        (root / "frame_0002" / "model_quantized" / "meta_data.json")
+        .read_text()
+    )
+    assert "delta" not in m2.get("__meta__", {})
+    m3 = json.loads(
+        (root / "frame_0003" / "model_quantized" / "meta_data.json")
+        .read_text()
+    )
+    assert m3["__meta__"]["delta"]["prev"].endswith(
+        "frame_0002/model_quantized"
+    )
+    # the whole gop-structured sequence decodes
+    frames, names = decode_sequence(root)
+    assert frames.shape[0] == 4
+
+
+def test_sequence_requires_kmeans(tmp_path):
+    with pytest.raises(ValueError, match="kmeans"):
+        encode_sequence([
+            "img=synthetic", "img.height=16", "img.width=16",
+            "quant=none", "sequence.video=x", "sequence.frames=2",
+            f"output_dir={tmp_path}",
+        ])
