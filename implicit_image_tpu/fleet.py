@@ -95,7 +95,7 @@ def run(argv) -> list:
         quant_cfg=args["quant_cfg"], stream_name=args["stream_name"],
         stream_root=str(root), half=args["half"],
         coding_kwargs=args["coding_kwargs"],
-        init_params=args["init_params"],
+        init_params=args["init_params"], delta_info=args["delta_info"],
         member_subdir="model_quantized", member_names=names,
     )
     wall = time.perf_counter() - t0

@@ -168,12 +168,27 @@ def ladder_compress(
     half="auto",
     coding_kwargs: Optional[dict] = None,
     init_params=None,
+    delta_info: Optional[dict] = None,
 ) -> Sequence[PipelineResult]:
     """Full R-D ladder end-to-end: one vmapped fit + one vmapped quant
     finetune across all densities, then per-member host-side entropy
-    coding + decode (reference pipeline order compress.py:172-263)."""
+    coding + decode (reference pipeline order compress.py:172-263).
+
+    `delta_info` (quant.delta): every member clusters + codes residual
+    codebooks against the shared `init_params` artifact — the manifest
+    records its path + sha256 per member (BASELINE.md "Delta
+    quantization")."""
     img = jnp.asarray(img)
     h, w = grid.shape[:2]
+    if delta_info is not None and (
+        init_params is None
+        or quant_cfg is None
+        or quant_cfg.name != "KMeans"
+    ):
+        raise ValueError(
+            "delta_info requires init_params (the shared artifact) and "
+            "quant=kmeans"
+        )
     res = ladder_fit(
         key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
         densities, mesh, init_params=init_params,
@@ -184,7 +199,12 @@ def ladder_compress(
         masks = res.mask_state.masks
 
         def qfit(params, masks_i):
-            fn = make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg, masks_i)
+            fn = make_quant_fit_fn(
+                mdef, mcfg, grid, quant_cfg, optim_cfg, masks_i,
+                offset_params=(
+                    init_params if delta_info is not None else None
+                ),
+            )
             return fn(params, img)
 
         qfn = jax.vmap(qfit, in_axes=(0, 0))
@@ -216,6 +236,7 @@ def ladder_compress(
         nbytes, dec_psnr = _encode_decode(
             p_i, books_i, mdef, mcfg, h, w, img_np,
             run_dir / "model_quantized", stream_name, half, coding_kwargs,
+            delta_info=delta_info,
         )
         pf = fit_psnr[i][np.isfinite(fit_psnr[i])]
         out.append(
@@ -270,14 +291,15 @@ def build_ladder_args(cfg) -> dict:
     optim_cfg = OptimConfig(**optim_kwargs)
     quant_raw = cfg.get("quant")
     quant_cfg = None
+    delta_requested = False
     if quant_raw and quant_raw.get("name", "none") != "none":
-        if bool(quant_raw.get("delta", False)):
-            # loud, not silent (the quant.skip_layers lesson): residual
-            # coding against the warm-start artifact is a compress.py
-            # single-run feature for now
+        delta_requested = bool(quant_raw.get("delta", False))
+        if delta_requested and str(quant_raw.get("name")) != "KMeans":
+            raise ValueError("quant.delta requires quant=kmeans")
+        if delta_requested and not cfg.train.get("init_path"):
             raise ValueError(
-                "quant.delta is not supported on the ladder/fleet/target "
-                "paths; run compress.py per image"
+                "quant.delta codes residuals against the meta-init "
+                "artifact; set train.init_path"
             )
         quant_cfg = QuantConfig(
             name=quant_raw.name,
@@ -318,10 +340,24 @@ def build_ladder_args(cfg) -> dict:
         init_params = load_meta_init(
             cfg.train["init_path"], expect_model=mdef.name, expect_mcfg=mcfg
         )
+    delta_info = None
+    if delta_requested:
+        # residual codebooks against the shared artifact (quant.delta,
+        # BASELINE.md "Delta quantization"); every member's manifest
+        # records the artifact path + sha256
+        import hashlib as _hashlib
+        from pathlib import Path as _Path
+
+        art = _Path(str(cfg.train["init_path"]))
+        delta_info = {
+            "artifact": str(art),
+            "sha256": _hashlib.sha256(art.read_bytes()).hexdigest(),
+        }
     return dict(
         img=img, grid=grid, mdef=mdef, mcfg=mcfg, masking=masking,
         train_cfg=train_cfg, optim_cfg=optim_cfg, quant_cfg=quant_cfg,
         stream_name=stream_name, init_params=init_params,
+        delta_info=delta_info,
         half=ec.get("half", "auto"),
         # progressive/base_finetune are compress.py container-policy keys,
         # not encode_stream kwargs; the ladder/fleet members write flat
@@ -400,7 +436,7 @@ def cli(argv=None) -> None:
         mdef, mcfg, grid, img, train_cfg, optim_cfg, masking, densities,
         quant_cfg=quant_cfg, stream_name=stream_name, stream_root=str(root),
         half=args["half"], coding_kwargs=args["coding_kwargs"],
-        init_params=args["init_params"],
+        init_params=args["init_params"], delta_info=args["delta_info"],
     )
     wall = time.perf_counter() - t0
     for d, r in zip(densities, results):

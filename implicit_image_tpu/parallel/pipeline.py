@@ -61,13 +61,23 @@ def _fit_psnr(metrics) -> float:
 
 def _encode_decode(
     params_q, codebooks, mdef, mcfg, h, w, img_np, stream_dir, stream_name, half,
-    coding_kwargs=None,
+    coding_kwargs=None, delta_info=None,
 ):
     # forward backend kwargs (e.g. a non-default zstd `level`) exactly as
     # the single-run orchestrator does (compress.py entropy-coding stage)
     kw = dict(coding_kwargs or {})
+    delta = None
+    if delta_info is not None:
+        if codebooks is None:
+            raise ValueError("delta coding requires a quantized member")
+        delta = dict(delta_info)
+        delta["layers"] = [
+            i for i, cb in enumerate(codebooks) if cb is not None
+        ]
     state = linear_state_dict(params_q, codebooks, half=half)
-    nbytes = compress_state_dict(state, stream_dir, stream_name, **kw)
+    nbytes = compress_state_dict(
+        state, stream_dir, stream_name, delta=delta, **kw
+    )
     dec_img, _ = decode_and_render(
         stream_dir, stream_name, mdef, mcfg, h, w, benchmark=False, **kw
     )
@@ -143,6 +153,7 @@ def batched_compress(
     init_params=None,
     member_subdir: str = "",
     member_names: Optional[Sequence[str]] = None,
+    delta_info: Optional[dict] = None,
 ) -> Sequence[PipelineResult]:
     """A batch of images end-to-end; fits + quant compile once (vmap over
     the "image" mesh axis), bitstreams written per image host-side.
@@ -151,7 +162,11 @@ def batched_compress(
     (training/metainit.py). `member_names` labels per-image stream dirs
     (default img{i}); `member_subdir` nests the stream inside each member
     dir (the fleet CLI passes "model_quantized" so members look exactly
-    like compress.py run dirs to the decode CLI and the run store)."""
+    like compress.py run dirs to the decode CLI and the run store).
+    `delta_info` ({"artifact": path, "sha256": hex} — quant.delta) makes
+    every lane cluster + code RESIDUAL codebooks against the shared
+    `init_params` artifact (measured BASELINE.md "Delta quantization");
+    requires init_params and a kmeans quant_cfg."""
     from pathlib import Path
 
     imgs = jnp.asarray(imgs)
@@ -160,6 +175,15 @@ def batched_compress(
     if member_names is not None and len(member_names) != b:
         raise ValueError(
             f"member_names has {len(member_names)} entries for {b} images"
+        )
+    if delta_info is not None and (
+        init_params is None
+        or quant_cfg is None
+        or quant_cfg.name != "KMeans"
+    ):
+        raise ValueError(
+            "delta_info requires init_params (the shared artifact) and "
+            "quant=kmeans"
         )
     res = batched_fit(
         key, mdef, mcfg, grid, imgs, train_cfg, optim_cfg, masking_cfg, mesh,
@@ -172,10 +196,14 @@ def batched_compress(
 
         # masks are per-image (leading B) from the batched sparse fit, but
         # make_quant_fit_fn closes over them — rebuild the closure under
-        # the vmap trace so each member sees its own mask slice
+        # the vmap trace so each member sees its own mask slice (the
+        # shared delta offsets ride the closure unbatched)
         def qfit(params, img, masks_i):
             fn = make_quant_fit_fn(
-                mdef, mcfg, grid, quant_cfg, optim_cfg, masks_i
+                mdef, mcfg, grid, quant_cfg, optim_cfg, masks_i,
+                offset_params=(
+                    init_params if delta_info is not None else None
+                ),
             )
             return fn(params, img)
 
@@ -209,7 +237,7 @@ def batched_compress(
         img_np = np.asarray(imgs[i], np.float64)
         nbytes, dec_psnr = _encode_decode(
             p_i, books_i, mdef, mcfg, h, w, img_np, stream_dir, stream_name,
-            half, coding_kwargs,
+            half, coding_kwargs, delta_info=delta_info,
         )
         pf = fit_psnr[i][np.isfinite(fit_psnr[i])]
         out.append(

@@ -434,7 +434,7 @@ def _make_ladder_evaluator(fixed, params):
             quant_cfg=args["quant_cfg"], stream_name=args["stream_name"],
             stream_root=str(root), half=args["half"],
             coding_kwargs=args["coding_kwargs"],
-            init_params=args["init_params"],
+            init_params=args["init_params"], delta_info=args["delta_info"],
         )
         out = []
         for r in results:

@@ -153,7 +153,7 @@ def compress_to_target(
             quant_cfg=args["quant_cfg"], stream_name=args["stream_name"],
             stream_root=str(root / tag), half=args["half"],
             coding_kwargs=args["coding_kwargs"],
-            init_params=args["init_params"],
+            init_params=args["init_params"], delta_info=args["delta_info"],
         )
         for d, r in zip(dens, results):
             members.append((float(d), r))

@@ -10,6 +10,7 @@ entropy_coding/__init__.py:170-185, keep the labels-carry-the-mask
 invariant).
 """
 import hashlib
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -223,11 +224,120 @@ def test_delta_guards(tmp_path):
             "quant=kmeans", "quant.num_steps=2", "quant.delta=true",
         ]))
 
-    # the ladder path refuses delta loudly (no silent drop)
+    # the ladder path needs the artifact too (no silent drop)
     from implicit_image_tpu.parallel.ladder import build_ladder_args
 
-    with pytest.raises(ValueError, match="delta"):
+    with pytest.raises(ValueError, match="init_path"):
         build_ladder_args(compose([
             "img=synthetic", "img.height=16", "img.width=16",
             "quant=kmeans", "quant.delta=true",
         ]))
+
+
+def _delta_cli_base(tmp_path, art_path):
+    return [
+        "img=synthetic", "img.height=24", "img.width=24",
+        "mlp.depth=3", "mlp.hidden_size=16",
+        "train.num_steps=6", "train.log_steps=6",
+        "masking=RigL", "masking.density=0.5",
+        "quant=kmeans", "quant.bits=4", "quant.num_steps=4",
+        "quant.log_steps=4", "quant.delta=true",
+        "entropy_coding=zstd",
+        f"train.init_path={art_path}",
+        f"output_dir={tmp_path}/out",
+    ]
+
+
+def test_delta_through_ladder(tmp_path):
+    """quant.delta rides the one-compile ladder: every member's manifest
+    records the shared artifact and the member decodes through the
+    standard chain (residual reconstruction)."""
+    import json
+
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.parallel.ladder import (
+        build_ladder_args,
+        ladder_compress,
+    )
+
+    mdef, mcfg = build_model(
+        "siren", depth=3, hidden_size=16, input_size=2, output_size=3
+    )
+    art_path, _ = _tiny_artifact(tmp_path, mdef, mcfg)
+    cfg = compose(_delta_cli_base(tmp_path, art_path))
+    args = build_ladder_args(cfg)
+    assert args["delta_info"] is not None
+    assert args["delta_info"]["artifact"] == str(art_path)
+
+    import jax as _jax
+
+    results = ladder_compress(
+        _jax.random.PRNGKey(0), args["mdef"], args["mcfg"], args["grid"],
+        args["img"], args["train_cfg"], args["optim_cfg"], args["masking"],
+        [0.4, 0.6], quant_cfg=args["quant_cfg"],
+        stream_name=args["stream_name"],
+        stream_root=str(tmp_path / "ladder"), half=args["half"],
+        coding_kwargs=args["coding_kwargs"],
+        init_params=args["init_params"], delta_info=args["delta_info"],
+    )
+    assert len(results) == 2
+    for d, r in zip([0.4, 0.6], results):
+        assert np.isfinite(r.decoded_psnr) and r.compressed_bytes > 0
+        m = json.loads(
+            (tmp_path / "ladder" / f"d{d}" / "model_quantized" /
+             "meta_data.json").read_text()
+        )
+        delta = m["__meta__"]["delta"]
+        assert delta["artifact"] == str(art_path)
+        assert len(delta["layers"]) >= 1
+
+
+def test_delta_through_batched_fleet(tmp_path):
+    """delta_info on batched_compress: every lane codes residuals against
+    the one shared artifact."""
+    import json
+
+    import jax as _jax
+
+    from implicit_image_tpu.data import get_grid, synthetic_image
+    from implicit_image_tpu.parallel.pipeline import batched_compress
+    from implicit_image_tpu.quant import QuantConfig
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig
+
+    mdef, mcfg = build_model(
+        "siren", depth=3, hidden_size=16, input_size=2, output_size=3
+    )
+    art_path, meta_params = _tiny_artifact(tmp_path, mdef, mcfg)
+    import hashlib
+
+    info = {
+        "artifact": str(art_path),
+        "sha256": hashlib.sha256(art_path.read_bytes()).hexdigest(),
+    }
+    imgs = np.stack([synthetic_image(16, 16, seed=s) for s in (0, 1)])
+    grid = get_grid(16, 16)
+    results = batched_compress(
+        _jax.random.PRNGKey(0), mdef, mcfg, grid, imgs,
+        TrainConfig(num_steps=4, log_steps=4), OptimConfig(),
+        quant_cfg=QuantConfig(name="KMeans", bits=4, num_steps=3,
+                              log_steps=3),
+        stream_root=str(tmp_path / "fleet"),
+        init_params=meta_params, delta_info=info,
+    )
+    assert len(results) == 2
+    for r in results:
+        assert np.isfinite(r.decoded_psnr)
+        m = json.loads(
+            (Path(r.stream_dir) / "meta_data.json").read_text()
+        )
+        assert m["__meta__"]["delta"]["artifact"] == str(art_path)
+
+    # guard: delta without the shared init is refused
+    with pytest.raises(ValueError, match="init_params"):
+        batched_compress(
+            _jax.random.PRNGKey(0), mdef, mcfg, grid, imgs,
+            TrainConfig(num_steps=2, log_steps=2), OptimConfig(),
+            quant_cfg=QuantConfig(name="KMeans", bits=4, num_steps=2,
+                                  log_steps=2),
+            stream_root=str(tmp_path / "fleet2"), delta_info=info,
+        )
