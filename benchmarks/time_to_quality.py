@@ -94,10 +94,21 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     t1 = time.perf_counter()
     state = linear_state_dict(params_q, codebooks, half=half)
     if delta_info is not None:
+        from implicit_image_tpu.coding import (
+            apply_xor_residual,
+            state_ref_map,
+        )
+
         delta_info = dict(delta_info)
         delta_info["layers"] = [
             i for i, cb in enumerate(codebooks) if cb is not None
         ]
+        # same default as compress.py: lossless XOR residual for the
+        # unquantized tensors of a delta container
+        state, xor_names = apply_xor_residual(
+            state, state_ref_map(init_params)
+        )
+        delta_info["xor"] = xor_names
     nbytes = compress_state_dict(state, out_dir, stream, delta=delta_info)
     t2 = time.perf_counter()
 

@@ -37,6 +37,8 @@ from implicit_image_tpu.coding.parsers import (
 
 __all__ = [
     "linear_state_dict",
+    "state_ref_map",
+    "apply_xor_residual",
     "compress_state_dict",
     "decompress_state_dict",
     "read_raw_container",
@@ -117,6 +119,58 @@ def linear_state_dict(
             else:
                 state[f"layers.{i}.{key}"] = arr.astype(fdtype)
     return state
+
+
+def state_ref_map(params) -> Dict[str, np.ndarray]:
+    """A params pytree -> {canonical state name: fp32 array} (the naming
+    rules of linear_state_dict, no quantization/half) — the encoder-side
+    reference map for delta XOR residuals."""
+    import jax
+
+    params = jax.device_get(params)
+    out: Dict[str, np.ndarray] = {}
+    for i, layer in enumerate(params):
+        for key, val in layer.items():
+            name = {"w": "weight", "b": "bias"}.get(key, key)
+            out[f"layers.{i}.{name}"] = np.asarray(val, np.float32)
+    return out
+
+
+def _xor_arrays(arr: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Bitwise XOR of two same-shape float arrays in arr's dtype (the
+    transform is its own inverse)."""
+    u = {2: np.uint16, 4: np.uint32, 8: np.uint64}[arr.dtype.itemsize]
+    a = np.ascontiguousarray(arr)
+    r = np.ascontiguousarray(ref.astype(arr.dtype))
+    return (a.view(u) ^ r.view(u)).view(arr.dtype)
+
+
+def apply_xor_residual(state, ref_map) -> Tuple["OrderedDict[str, np.ndarray]", list]:
+    """LOSSLESS delta transform for the UNquantized tensors of a delta
+    container: store bit-pattern XOR against the shared reference (the
+    meta artifact / previous frame). Near-identical floats share sign,
+    exponent and leading mantissa bits, so the XOR is mostly zero bytes
+    and the plane-grouped entropy backend crushes it; decode XORs back —
+    bit-exact by construction (unlike an arithmetic residual, which
+    re-rounds). Quantized layers are untouched (their names are
+    labeled_weight/centroids, absent from the reference map).
+
+    Returns (transformed state, list of transformed names).
+    """
+    out: "OrderedDict[str, np.ndarray]" = OrderedDict()
+    xored = []
+    for name, arr in state.items():
+        ref = ref_map.get(name)
+        if (
+            ref is not None
+            and arr.dtype.kind == "f"
+            and tuple(np.shape(ref)) == tuple(arr.shape)
+        ):
+            out[name] = _xor_arrays(arr, np.asarray(ref))
+            xored.append(name)
+        else:
+            out[name] = arr
+    return out, xored
 
 
 def _shuffle_tensor_bytes(arr: np.ndarray) -> bytes:
@@ -254,6 +308,10 @@ def compress_state_dict(
             "sha256": str(delta["sha256"]),
             "layers": [int(i) for i in delta["layers"]],
         }
+        if delta.get("xor"):
+            # unquantized tensors stored as bit-pattern XOR against the
+            # shared reference (apply_xor_residual) — lossless
+            entry["xor"] = [str(n) for n in delta["xor"]]
         if "prev" in delta:
             # inter-frame residual (sequence.py): offsets come from the
             # PREVIOUS container's decoded weights; `prev` is a path
@@ -360,11 +418,17 @@ def _resolve_delta_offsets(
             f"against {info['sha256'][:12]}…, file is {digest[:12]}…"
         )
     npz = np.load(path)
-    out: Dict[int, np.ndarray] = {}
-    for i in info["layers"]:
-        # the artifact is a meta-init .npz (training/metainit.py
-        # save_meta_init): layer weights live under "params.{i}.w"
-        out[int(i)] = np.asarray(npz[f"params.{int(i)}.w"], np.float32)
+    # the artifact is a meta-init .npz (training/metainit.py
+    # save_meta_init): tensors live under "params.{i}.{w|b|...}"; map to
+    # the canonical state names (weights feed the +offset rule, all
+    # entries serve the XOR residual decode)
+    out: Dict[str, np.ndarray] = {}
+    for k in npz.files:
+        if not k.startswith("params."):
+            continue
+        _, idx, key = k.split(".", 2)
+        name = {"w": "weight", "b": "bias"}.get(key, key)
+        out[f"layers.{int(idx)}.{name}"] = np.asarray(npz[k], np.float32)
     return out
 
 
@@ -372,12 +436,12 @@ def _resolve_prev_offsets(
     dir_name: Path,
     info: Dict[str, Any],
     prev_state: Optional[Dict[str, np.ndarray]] = None,
-) -> Dict[int, np.ndarray]:
-    """Offsets for an inter-frame delta container: the PREVIOUS frame's
-    decoded weights (sequence.py). `prev_state` short-circuits the walk —
-    the sequence decoder decodes frames in order and hands each frame the
-    one it just produced; standalone decodes recurse down the reference
-    chain (O(chain length), every link sha256-checked)."""
+) -> Dict[str, np.ndarray]:
+    """Reference map for an inter-frame delta container: the PREVIOUS
+    frame's decoded state (sequence.py). `prev_state` short-circuits the
+    walk — the sequence decoder decodes frames in order and hands each
+    frame the one it just produced; standalone decodes recurse down the
+    reference chain (O(chain length), every link sha256-checked)."""
     import hashlib
 
     prev_dir = (dir_name / info["prev"]).resolve()
@@ -400,12 +464,7 @@ def _resolve_prev_offsets(
         prev_state = decompress_state_dict(
             prev_dir, str(info.get("stream", "zstd"))
         )
-    out: Dict[int, np.ndarray] = {}
-    for i in info["layers"]:
-        out[int(i)] = np.asarray(
-            prev_state[f"layers.{int(i)}.weight"], np.float32
-        )
-    return out
+    return {k: np.asarray(v, np.float32) for k, v in prev_state.items()}
 
 
 def decompress_state_dict(
@@ -432,16 +491,20 @@ def decompress_state_dict(
     fmt = json.loads((dir_name / "meta_data.json").read_text()).get(
         "__meta__", {}
     )
-    offsets: Dict[int, np.ndarray] = {}
+    refs: Dict[str, np.ndarray] = {}
+    delta_layers: set = set()
     if "delta" in fmt:
         if "prev" in fmt["delta"]:
-            offsets = _resolve_prev_offsets(
-                dir_name, fmt["delta"], prev_state
-            )
+            refs = _resolve_prev_offsets(dir_name, fmt["delta"], prev_state)
         else:
-            offsets = _resolve_delta_offsets(
+            refs = _resolve_delta_offsets(
                 dir_name, fmt["delta"], delta_artifact
             )
+        delta_layers = {int(i) for i in fmt["delta"]["layers"]}
+        # XOR residual decode for the unquantized tensors
+        # (apply_xor_residual — self-inverse, bit-exact)
+        for name in fmt["delta"].get("xor", []):
+            raw[name] = _xor_arrays(raw[name], refs[name])
 
     out: Dict[str, np.ndarray] = {}
     for name, arr in raw.items():
@@ -456,9 +519,10 @@ def decompress_state_dict(
                 centroids = raw[name.replace("labeled_weight", "centroids")]
                 weight = centroids[arr]
                 layer_i = int(name.split(".", 2)[1])
-                if layer_i in offsets:
+                if layer_i in delta_layers:
                     weight = (
-                        weight.astype(np.float32) + offsets[layer_i]
+                        weight.astype(np.float32)
+                        + refs[f"layers.{layer_i}.weight"]
                     ) * (arr != 0)
             out[name.replace("labeled_weight", "weight")] = weight.astype(np.float32)
         else:

@@ -530,7 +530,7 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
         )
         kwargs = {k: v for k, v in ec.items()
                   if k not in ("stream_name", "half", "progressive",
-                               "base_finetune")}
+                               "base_finetune", "xor")}
         if delta_info is not None and ec.get("progressive", False):
             raise ValueError(
                 "quant.delta and entropy_coding.progressive cannot "
@@ -568,6 +568,21 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
                 _base_bytes(Path(run_dir) / "model_quantized"),
             )
         else:
+            if delta_info is not None and bool(ec.get("xor", True)):
+                # lossless XOR residual for the UNquantized tensors of a
+                # delta container (coding.apply_xor_residual): near-
+                # identical floats share high bits, so the plane-grouped
+                # backend crushes the XOR — measured in BASELINE.md
+                # "Delta quantization"; entropy_coding.xor=false opts out
+                from implicit_image_tpu.coding import (
+                    apply_xor_residual,
+                    state_ref_map,
+                )
+
+                state, xor_names = apply_xor_residual(
+                    state, state_ref_map(fit_kwargs["init_params"])
+                )
+                delta_info["xor"] = xor_names
             compressed_bytes = compress_state_dict(
                 state, Path(run_dir) / "model_quantized", ec.stream_name,
                 delta=delta_info, **kwargs,

@@ -189,6 +189,11 @@ def ladder_compress(
             "delta_info requires init_params (the shared artifact) and "
             "quant=kmeans"
         )
+    delta_ref = None
+    if delta_info is not None:
+        from implicit_image_tpu.coding import state_ref_map
+
+        delta_ref = state_ref_map(init_params)
     res = ladder_fit(
         key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
         densities, mesh, init_params=init_params,
@@ -236,7 +241,7 @@ def ladder_compress(
         nbytes, dec_psnr = _encode_decode(
             p_i, books_i, mdef, mcfg, h, w, img_np,
             run_dir / "model_quantized", stream_name, half, coding_kwargs,
-            delta_info=delta_info,
+            delta_info=delta_info, delta_ref=delta_ref,
         )
         pf = fit_psnr[i][np.isfinite(fit_psnr[i])]
         out.append(
@@ -364,7 +369,7 @@ def build_ladder_args(cfg) -> dict:
         # containers (scalable members would need per-member finetune state)
         coding_kwargs={k: v for k, v in ec.items()
                        if k not in ("stream_name", "half", "progressive",
-                                    "base_finetune")},
+                                    "base_finetune", "xor")},
     )
 
 

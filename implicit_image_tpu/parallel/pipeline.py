@@ -61,7 +61,7 @@ def _fit_psnr(metrics) -> float:
 
 def _encode_decode(
     params_q, codebooks, mdef, mcfg, h, w, img_np, stream_dir, stream_name, half,
-    coding_kwargs=None, delta_info=None,
+    coding_kwargs=None, delta_info=None, delta_ref=None,
 ):
     # forward backend kwargs (e.g. a non-default zstd `level`) exactly as
     # the single-run orchestrator does (compress.py entropy-coding stage)
@@ -75,6 +75,13 @@ def _encode_decode(
             i for i, cb in enumerate(codebooks) if cb is not None
         ]
     state = linear_state_dict(params_q, codebooks, half=half)
+    if delta is not None and delta_ref is not None:
+        # lossless XOR residual for the unquantized tensors
+        # (coding.apply_xor_residual; compress.py does the same)
+        from implicit_image_tpu.coding import apply_xor_residual
+
+        state, xor_names = apply_xor_residual(state, delta_ref)
+        delta["xor"] = xor_names
     nbytes = compress_state_dict(
         state, stream_dir, stream_name, delta=delta, **kw
     )
@@ -185,6 +192,11 @@ def batched_compress(
             "delta_info requires init_params (the shared artifact) and "
             "quant=kmeans"
         )
+    delta_ref = None
+    if delta_info is not None:
+        from implicit_image_tpu.coding import state_ref_map
+
+        delta_ref = state_ref_map(init_params)
     res = batched_fit(
         key, mdef, mcfg, grid, imgs, train_cfg, optim_cfg, masking_cfg, mesh,
         init_params=init_params,
@@ -238,6 +250,7 @@ def batched_compress(
         nbytes, dec_psnr = _encode_decode(
             p_i, books_i, mdef, mcfg, h, w, img_np, stream_dir, stream_name,
             half, coding_kwargs, delta_info=delta_info,
+            delta_ref=delta_ref,
         )
         pf = fit_psnr[i][np.isfinite(fit_psnr[i])]
         out.append(

@@ -114,6 +114,7 @@ def encode_sequence(argv) -> List[dict]:
     argv: compress.py-style dotted overrides (see module docstring).
     """
     from implicit_image_tpu.coding import (
+        apply_xor_residual,
         compress_state_dict,
         decompress_state_dict,
         linear_state_dict,
@@ -173,6 +174,7 @@ def encode_sequence(argv) -> List[dict]:
     results: List[dict] = []
     prev_dir: Optional[Path] = None
     prev_params = None  # decoded params pytree of the previous frame
+    nonlocal_state: Dict[str, object] = {}  # full decoded state dict
     render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))  # shared, 1 compile
 
     def encode_iframe(t: int) -> None:
@@ -200,6 +202,7 @@ def encode_sequence(argv) -> List[dict]:
         dec_state = decompress_state_dict(
             frame_dir / "model_quantized", stream
         )
+        nonlocal_state["prev_state"] = dec_state
         prev_params = params_from_state_dict(dec_state)
         results.append(_finish_frame(
             cfg, frame_dir, render, frames[t], prev_params, nbytes,
@@ -276,11 +279,17 @@ def encode_sequence(argv) -> List[dict]:
 
         frame_dir = root / f"frame_{t:04d}"
         state_t = linear_state_dict(params_q, codebooks, half=half)
+        prev_state_full = nonlocal_state["prev_state"]
+        # lossless XOR residual for the unquantized tensors vs the
+        # previous DECODED frame (coding.apply_xor_residual) — the same
+        # reference map the decoder reconstructs
+        state_t, xor_names = apply_xor_residual(state_t, prev_state_full)
         delta_info = {
             "prev": f"../../{prev_dir.name}/model_quantized",
             "sha256": _payload_sha(prev_dir / "model_quantized"),
             "stream": stream,
             "layers": [i for i, cb in enumerate(codebooks) if cb is not None],
+            "xor": xor_names,
         }
         nbytes = compress_state_dict(
             state_t, frame_dir / "model_quantized", stream,
@@ -288,11 +297,9 @@ def encode_sequence(argv) -> List[dict]:
         )
         dec_state = decompress_state_dict(
             frame_dir / "model_quantized", stream,
-            prev_state={
-                f"layers.{i}.weight": np.asarray(o)
-                for i, o in enumerate(offs) if o is not None
-            },
+            prev_state=prev_state_full,
         )
+        nonlocal_state["prev_state"] = dec_state
         prev_params = params_from_state_dict(dec_state)
         results.append(_finish_frame(
             cfg, frame_dir, render, frames[t], prev_params,

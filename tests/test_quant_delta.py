@@ -234,6 +234,61 @@ def test_delta_guards(tmp_path):
         ]))
 
 
+def test_xor_residual_roundtrip_and_rate(tmp_path):
+    """apply_xor_residual: bit-exact round trip through the container in
+    fp32 AND fp16, and a much smaller stream when tensors sit near the
+    reference (the warm-start regime delta mode requires)."""
+    from collections import OrderedDict
+
+    from implicit_image_tpu.coding import (
+        apply_xor_residual,
+        compress_state_dict,
+        decompress_state_dict,
+    )
+
+    mdef, mcfg = build_model(
+        "siren", depth=3, hidden_size=32, input_size=2, output_size=3
+    )
+    art_path, meta_params = _tiny_artifact(tmp_path, mdef, mcfg)
+    rng = np.random.default_rng(0)
+
+    for fdtype in (np.float32, np.float16):
+        state = OrderedDict()
+        ref_map = {}
+        for i, layer in enumerate(meta_params):
+            for key, cname in (("w", "weight"), ("b", "bias")):
+                ref = np.asarray(layer[key], np.float32)
+                name = f"layers.{i}.{cname}"
+                ref_map[name] = ref
+                state[name] = (
+                    ref * (1.0 + rng.normal(0, 1e-4, ref.shape))
+                ).astype(fdtype)
+        orig = OrderedDict((k, v.copy()) for k, v in state.items())
+
+        xstate, names = apply_xor_residual(state, ref_map)
+        assert set(names) == set(state.keys())
+        info = {
+            "artifact": str(art_path),
+            "sha256": hashlib.sha256(art_path.read_bytes()).hexdigest(),
+            "layers": [], "xor": names,
+        }
+        out = tmp_path / f"xor_{fdtype.__name__}"
+        nb_xor = compress_state_dict(xstate, out, "zstd", delta=info)
+        dec = decompress_state_dict(out, "zstd")
+        for k in orig:
+            # bit-exact (XOR is its own inverse; no re-rounding)
+            np.testing.assert_array_equal(
+                dec[k].astype(fdtype).view(np.uint8),
+                orig[k].view(np.uint8),
+            )
+
+        nb_abs = compress_state_dict(
+            orig, tmp_path / f"abs_{fdtype.__name__}", "zstd"
+        )
+        # near-reference tensors: the XOR stream must be clearly smaller
+        assert nb_xor < 0.9 * nb_abs, (nb_xor, nb_abs)
+
+
 def _delta_cli_base(tmp_path, art_path):
     return [
         "img=synthetic", "img.height=24", "img.width=24",
