@@ -111,7 +111,11 @@ def _auto_alloc_dominates(
     half = ec.get("half", "auto")
     half = {"auto": "auto", True: True, False: False,
             "true": True, "false": False}[half]
-    kwargs = {k: v for k, v in ec.items() if k not in ("stream_name", "half")}
+    # same container-policy exclusions as the main coding stage (these are
+    # compress.py policies, not encode_stream kwargs)
+    kwargs = {k: v for k, v in ec.items()
+              if k not in ("stream_name", "half", "progressive",
+                           "base_finetune", "xor")}
     h, w = grid.shape[:2]
     img64 = np.asarray(img, np.float64)
 

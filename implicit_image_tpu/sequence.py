@@ -309,11 +309,24 @@ def encode_sequence(argv) -> List[dict]:
         prev_dir = frame_dir
 
     total_bytes = sum(r["bytes"] for r in results)
+    summary = {
+        "frames": t_total,
+        "total_bytes": total_bytes,
+        "bytes_per_frame": round(total_bytes / t_total, 1),
+        "mean_decoded_psnr": round(
+            float(np.mean([r["decoded_psnr"] for r in results])), 2
+        ),
+        "gop": gop,
+        "steps0": steps0,
+        "steps": steps_p,
+        "rows": results,
+    }
+    (root / "seq_summary.json").write_text(json.dumps(summary, indent=2))
     log.info(
         "SEQUENCE %s: %d frames, %d bytes total (%.1f/frame), "
         "mean decoded %.2f dB",
         seq_name, t_total, total_bytes, total_bytes / t_total,
-        float(np.mean([r["decoded_psnr"] for r in results])),
+        summary["mean_decoded_psnr"],
     )
     return results
 
@@ -394,12 +407,19 @@ def cli(argv=None) -> None:
     )
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "decode":
+        t0 = time.perf_counter()
         frames, names = decode_sequence(argv[1])
+        wall = time.perf_counter() - t0
         from implicit_image_tpu.data import save_img
 
         for f, n in zip(frames, names):
             save_img(Path(argv[1]) / f"{n}.png", f)
-        print(f"decoded {len(names)} frames -> {argv[1]}/frame_*.png")
+        t, h, w = frames.shape[:3]
+        print(
+            f"decoded {t} frames ({h}x{w}) -> {argv[1]}/frame_*.png in "
+            f"{wall:.2f}s ({t / wall:.1f} frames/s incl. host entropy "
+            f"decode + chain walk)"
+        )
         return
     encode_sequence(argv)
 
