@@ -112,3 +112,7 @@ vis.weight_removal:
 
 vis.jpeg:
 	$(PY) -m implicit_image_tpu.visualize.jpeg_quality_curve
+
+# per-frame quality/rate curve for a sequence run (SEQ_DIR=outputs/seq_<name>)
+vis.sequence:
+	$(PY) -m implicit_image_tpu.visualize.sequence_curve $(SEQ_DIR)

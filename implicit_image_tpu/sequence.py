@@ -166,6 +166,13 @@ def encode_sequence(argv) -> List[dict]:
     # gives random-access points at the I-frame rate); gop=0 (default) =
     # one I-frame, P all the way
     gop = int(seq.get("gop", 0))
+    # stop_at_psnr: motion-adaptive P-frame budget — the P-fit checks its
+    # raw fit PSNR at every segment boundary and stops once it reaches the
+    # target (steps_p stays the hard cap). Near-static frames finish in
+    # one segment; high-motion frames use the full budget. The target is
+    # the FIT PSNR (the kmeans finetune then shifts quality the usual way).
+    stop_db = seq.get("stop_at_psnr")
+    stop_db = float(stop_db) if stop_db is not None else None
 
     root = Path(cfg.get("output_dir", "outputs")) / f"seq_{seq_name}"
     root.mkdir(parents=True, exist_ok=True)
@@ -245,6 +252,10 @@ def encode_sequence(argv) -> List[dict]:
 
     jinit = jax.jit(pframe_init)
     seg = max(1, train_cfg.segment_steps)
+    if stop_db is not None:
+        # finer boundaries so the early stop has granularity (an explicit
+        # train.segment_steps still wins if smaller)
+        seg = min(seg, max(steps_p // 4, 25))
     lengths = {min(seg, steps_p)}
     if steps_p > seg and steps_p % seg:
         lengths.add(steps_p % seg)
@@ -252,6 +263,14 @@ def encode_sequence(argv) -> List[dict]:
         length: jax.jit(functools.partial(segment_fn, length=length))
         for length in lengths
     }
+    jeval = None
+    if stop_db is not None:
+        def _fit_psnr_fn(p, im):
+            pred = mdef.apply(p, grid, mcfg).reshape(-1, 3)
+            err = jnp.mean((pred - im.reshape(-1, 3)) ** 2)
+            return 10.0 * jnp.log10(1.0 / err)
+
+        jeval = jax.jit(_fit_psnr_fn)
     qfn = make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg)
     jquant = jax.jit(qfn.with_offsets)
 
@@ -270,6 +289,13 @@ def encode_sequence(argv) -> List[dict]:
             length = min(seg, steps_p - start)
             carry, _ = jsegs[length](carry, img_t, jnp.int32(start))
             start += length
+            if (
+                jeval is not None
+                and start < steps_p
+                and float(jeval(carry[0], img_t)) >= stop_db
+            ):
+                break
+        steps_used = start
         params_t, mask_state_t = carry[0], carry[2]
         mks = tuple(mask_state_t.masks) if sparse else tuple(
             None for _ in range(n_layers)
@@ -304,7 +330,7 @@ def encode_sequence(argv) -> List[dict]:
         results.append(_finish_frame(
             cfg, frame_dir, render, frames[t], prev_params,
             nbytes, stream, wall=time.perf_counter() - t0, kind="P",
-            steps=steps_p,
+            steps=steps_used,
         ))
         prev_dir = frame_dir
 

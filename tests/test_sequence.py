@@ -197,6 +197,33 @@ def test_sequence_gop_inserts_iframes(tmp_path):
     assert frames.shape[0] == 4
 
 
+def test_sequence_curve_plot(encoded_seq):
+    pytest.importorskip("matplotlib")
+    from implicit_image_tpu.visualize.sequence_curve import plot_sequence
+
+    root, _ = encoded_seq
+    out = plot_sequence(root)
+    assert out.is_file() and out.stat().st_size > 0
+
+
+def test_sequence_stop_at_psnr_bounds_pframe_budget(tmp_path):
+    """sequence.stop_at_psnr: a trivially-reachable target stops P-frames
+    at the first segment boundary; an unreachable one uses the full cap."""
+    base = SEQ_OVERRIDES + [
+        f"output_dir={tmp_path}", "masking=none",
+        "sequence.frames=2", "sequence.steps=40",
+    ]
+    early = encode_sequence(base + ["sequence.stop_at_psnr=5"])
+    assert early[1]["kind"] == "P" and early[1]["steps"] < 40
+    full = encode_sequence(base + [
+        "sequence.stop_at_psnr=99", f"output_dir={tmp_path}/full",
+    ])
+    assert full[1]["steps"] == 40
+    # both variants still decode end-to-end
+    frames, _ = decode_sequence(tmp_path / "seq_unittest")
+    assert frames.shape[0] == 2
+
+
 def test_sequence_requires_kmeans(tmp_path):
     with pytest.raises(ValueError, match="kmeans"):
         encode_sequence([
