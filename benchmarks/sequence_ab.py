@@ -61,10 +61,25 @@ def main() -> None:
         base.append(f"train.init_path={art}")
 
     out = {}
-    for arm, steps_p in (("independent", steps0), ("sequence", steps)):
+    # arms:
+    #   independent        — gop=1: every frame a standalone I-frame at the
+    #                        full steps0 budget, absolute coding
+    #   independent_delta  — gop=1 + quant.delta: per-frame meta-artifact
+    #                        residual coding (the bench.py flagship applied
+    #                        per frame) — the strongest per-image baseline
+    #   sequence           — delta I-frame + prev-frame-delta P-frames at
+    #                        the short budget
+    delta = ["quant.delta=true"] if warm else []
+    for arm, extra in (
+        ("independent", ["sequence.gop=1"]),
+        ("independent_delta", ["sequence.gop=1"] + delta),
+        ("sequence", [f"sequence.steps={steps}"] + delta),
+    ):
+        if arm == "independent_delta" and not delta:
+            continue
         t0 = time.perf_counter()
-        rows = encode_sequence(base + [
-            f"sequence.steps0={steps0}", f"sequence.steps={steps_p}",
+        rows = encode_sequence(base + extra + [
+            f"sequence.steps0={steps0}",
             f"output_dir=outputs/bench/seq_ab/{arm}",
         ])
         wall = time.perf_counter() - t0
@@ -92,9 +107,16 @@ def main() -> None:
         print(json.dumps({arm: {k: v for k, v in out[arm].items()
                                 if k != "rows"}}), flush=True)
 
-    ind, seq = out["independent"], out["sequence"]
-    print(json.dumps({
-        "summary": {
+    seq = out["sequence"]
+    summary = {}
+    for name, base_arm in (
+        ("vs_independent", "independent"),
+        ("vs_independent_delta", "independent_delta"),
+    ):
+        ind = out.get(base_arm)
+        if ind is None:
+            continue
+        summary[name] = {
             "rate_saving_pct": round(
                 100.0 * (1 - seq["total_bytes"] / ind["total_bytes"]), 2
             ),
@@ -110,7 +132,7 @@ def main() -> None:
                 ind["encode_wall_s"] / max(seq["encode_wall_s"], 1e-9), 2
             ),
         }
-    }), flush=True)
+    print(json.dumps({"summary": summary}), flush=True)
 
 
 if __name__ == "__main__":

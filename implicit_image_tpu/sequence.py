@@ -184,10 +184,16 @@ def encode_sequence(argv) -> List[dict]:
     nonlocal_state: Dict[str, object] = {}  # full decoded state dict
     render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))  # shared, 1 compile
 
+    # quant.delta + train.init_path: I-frames code residuals against the
+    # shared meta artifact (the same flagship scheme, BASELINE.md "Delta
+    # quantization") — P-frames keep coding against the previous frame
+    iframe_delta = args.get("delta_info")
+
     def encode_iframe(t: int) -> None:
-        """The standard single-image protocol, absolute coding. Each
-        I-frame pays its own fit/quant compile (fit() builds fresh jits);
-        with gop=0 that is frame 0 only."""
+        """The standard single-image protocol (absolute coding, or
+        meta-artifact delta when quant.delta is set). Each I-frame pays
+        its own fit/quant compile (fit() builds fresh jits); with gop=0
+        that is frame 0 only."""
         nonlocal prev_dir, prev_params
         t0 = time.perf_counter()
         i_cfg = dataclasses.replace(train_cfg, num_steps=steps0)
@@ -200,11 +206,26 @@ def encode_sequence(argv) -> List[dict]:
         q0 = quant_finetune(
             res.params, jnp.asarray(frames[t]), mdef, mcfg, grid, quant_cfg,
             optim_cfg, masks=masks_i,
+            offset_params=(
+                args["init_params"] if iframe_delta is not None else None
+            ),
         )
         frame_dir = root / f"frame_{t:04d}"
         state0 = linear_state_dict(q0.params, q0.codebooks, half=half)
+        delta = None
+        if iframe_delta is not None:
+            from implicit_image_tpu.coding import state_ref_map
+
+            delta = dict(iframe_delta)
+            delta["layers"] = [
+                i for i, cb in enumerate(q0.codebooks) if cb is not None
+            ]
+            state0, delta["xor"] = apply_xor_residual(
+                state0, state_ref_map(args["init_params"])
+            )
         nbytes = compress_state_dict(
-            state0, frame_dir / "model_quantized", stream, **coding_kwargs
+            state0, frame_dir / "model_quantized", stream, delta=delta,
+            **coding_kwargs,
         )
         dec_state = decompress_state_dict(
             frame_dir / "model_quantized", stream

@@ -224,6 +224,39 @@ def test_sequence_stop_at_psnr_bounds_pframe_budget(tmp_path):
     assert frames.shape[0] == 2
 
 
+def test_sequence_delta_iframes(tmp_path):
+    """quant.delta + train.init_path: I-frames code residuals against the
+    meta artifact (artifact-mode manifest), P-frames still chain on the
+    previous frame (prev-mode), and the mixed chain decodes."""
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.metainit import save_meta_init
+
+    mdef, mcfg = build_model(
+        "siren", depth=3, hidden_size=16, input_size=2, output_size=3
+    )
+    import jax as _jax
+
+    art = tmp_path / "meta.npz"
+    save_meta_init(art, mdef.init(_jax.random.PRNGKey(5), mcfg),
+                   mdef.name, mcfg)
+    results = encode_sequence(SEQ_OVERRIDES + [
+        f"output_dir={tmp_path}", "masking=none",
+        "quant.delta=true", f"train.init_path={art}",
+        "sequence.frames=3", "sequence.gop=2",
+    ])
+    assert [r["kind"] for r in results] == ["I", "P", "I"]
+    root = tmp_path / "seq_unittest"
+    m0 = json.loads((root / "frame_0000" / "model_quantized" /
+                     "meta_data.json").read_text())
+    assert m0["__meta__"]["delta"]["artifact"] == str(art)
+    assert m0["__meta__"]["delta"].get("xor")
+    m1 = json.loads((root / "frame_0001" / "model_quantized" /
+                     "meta_data.json").read_text())
+    assert "prev" in m1["__meta__"]["delta"]
+    frames, _ = decode_sequence(root)
+    assert frames.shape[0] == 3
+
+
 def test_sequence_requires_kmeans(tmp_path):
     with pytest.raises(ValueError, match="kmeans"):
         encode_sequence([
