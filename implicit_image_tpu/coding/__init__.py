@@ -350,14 +350,32 @@ def read_raw_container(
     shuffle = bool(fmt.get("shuffle", False))
     plane_group = bool(fmt.get("plane_group", False))
     meta = {int(k): v for k, v in meta.items()}
-    dec = decode_stream(
-        stream_name, (dir_name / "compressed_weights.data").read_bytes(), **kwargs
-    )
 
     infos = [
         (meta[o]["name"], meta[o]["dtype"], meta[o]["shape"])
         for o in sorted(meta)
     ]
+    # the manifest pins the exact raw payload size; passing it down turns
+    # silent truncation/corruption into a loud ValueError and bounds the
+    # native decoders' declared-size output allocation
+    expected = sum(
+        (int(np.prod(shape, dtype=np.int64)) if shape else 1)
+        * np.dtype(dt).itemsize
+        for _, dt, shape in infos
+    )
+    try:
+        dec = decode_stream(
+            stream_name,
+            (dir_name / "compressed_weights.data").read_bytes(),
+            expected_size=expected,
+            **kwargs,
+        )
+    except ValueError:
+        raise
+    except Exception as e:  # zlib.error / ZstdError / LZMAError / ...
+        raise ValueError(
+            f"corrupt container {dir_name} (backend {stream_name}): {e!r}"
+        ) from e
     if plane_group:  # format 3
         grouped = _plane_ungroup(dec, infos)
         return OrderedDict((name, grouped[name]) for name, _, _ in infos)

@@ -104,10 +104,29 @@ def _py_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _py_decode(blob: bytes) -> bytes:
+def _validate_header(blob: bytes) -> int:
+    """Check magic/length and return the declared raw size, bounding it
+    against the body length: the shortest code is 1 bit, so a body byte
+    can never decode to more than 8 output bytes — a huge declared size
+    on a small body is corruption; fail with ValueError instead of
+    attempting the attacker-controlled allocation."""
+    if len(blob) < _HEADER:
+        raise ValueError("truncated huffman stream (no header)")
     magic, raw = struct.unpack_from("<IQ", blob, 0)
     if magic != _MAGIC:
         raise ValueError("bad huffman magic")
+    body = len(blob) - _HEADER
+    if raw > body * 8:
+        raise ValueError(
+            f"corrupt huffman stream: declares {raw} bytes, body is {body}"
+        )
+    return raw
+
+
+def _py_decode(blob: bytes) -> bytes:
+    raw = _validate_header(blob)
+    if raw == 0:
+        return b""
     lens = list(blob[12:_HEADER])
     first_code = [0] * 33
     first_sym = [0] * 33
@@ -156,18 +175,22 @@ def huffman_encode(data: bytes) -> bytes:
     return out.raw[:n]
 
 
-def huffman_decode(blob: bytes) -> bytes:
+def huffman_decode(blob: bytes, expected_size: Optional[int] = None) -> bytes:
+    # validate the header here so every corrupt path raises ValueError
+    # (the backends' error contract) BEFORE any size-raw allocation
+    raw = _validate_header(blob)
+    if expected_size is not None and raw != expected_size:
+        raise ValueError(
+            f"corrupt huffman stream: declares {raw} bytes, container "
+            f"manifest expects {expected_size}"
+        )
+    if raw == 0:
+        return b""
     lib = _load_native()
     if lib is None:
-        return _py_decode(blob)
-    raw = lib.iihuff_decode(blob, len(blob), None, 0)
-    if raw == 0 and len(blob) >= 12:
-        (declared,) = struct.unpack_from("<Q", blob, 4)
-        if declared == 0:
-            return b""
         return _py_decode(blob)
     out = ctypes.create_string_buffer(raw)
     got = lib.iihuff_decode(blob, len(blob), out, raw)
     if got != raw:
-        return _py_decode(blob)
+        return _py_decode(blob)  # raises ValueError with the root cause
     return out.raw[:raw]

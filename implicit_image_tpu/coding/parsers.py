@@ -68,9 +68,30 @@ def encode_stream(name: str, raw: bytes, level: int = 22, **kwargs) -> bytes:
     raise NotImplementedError(f"stream writer {name} not found.")
 
 
-def decode_stream(name: str, blob: bytes, **kwargs) -> bytes:
+def decode_stream(
+    name: str, blob: bytes, expected_size: int = None, **kwargs
+) -> bytes:
+    """Decode one backend stream. `expected_size` (when the caller knows
+    the exact raw payload size, e.g. from the container manifest) turns
+    silent truncation/corruption into a loud ValueError and — for the
+    native backends, whose declared-size field would otherwise drive the
+    output allocation — bounds that allocation to the expected size."""
     if name == "plain":
+        if expected_size is not None and len(blob) != expected_size:
+            raise ValueError(
+                f"corrupt plain stream: {len(blob)} bytes, container "
+                f"manifest expects {expected_size}"
+            )
         return blob
+    if name in ("huffman", "range", "rans"):
+        dec = {"huffman": huffman_decode, "range": range_decode,
+               "rans": rans_decode}[name](blob, expected_size=expected_size)
+        if expected_size is not None and len(dec) != expected_size:
+            raise ValueError(
+                f"corrupt {name} stream: decoded {len(dec)} bytes, "
+                f"container manifest expects {expected_size}"
+            )
+        return dec
     if name == "zstd":
         # pick the codec by stream CONTENT, not by local import
         # availability — a stream zlib-encoded on a machine without
@@ -87,21 +108,24 @@ def decode_stream(name: str, blob: bytes, **kwargs) -> bytes:
             # decompressobj handles frames without a content-size header
             # (the reference's stream_writer API emits those,
             # entropy_coding/__init__.py:97-116) as well as one-shot frames
-            return zstandard.ZstdDecompressor().decompressobj().decompress(blob)
-        return zlib.decompress(blob)
-    if name == "lzma":
-        return lzma.decompress(blob)
-    if name == "huffman":
-        return huffman_decode(blob)
-    if name == "range":
-        return range_decode(blob)
-    if name == "rans":
-        return rans_decode(blob)
-    if name == "auto":
+            dec = zstandard.ZstdDecompressor().decompressobj().decompress(blob)
+        else:
+            dec = zlib.decompress(blob)
+    elif name == "lzma":
+        dec = lzma.decompress(blob)
+    elif name == "auto":
         if not blob:
             raise ValueError("empty auto-coded stream")
         tag = blob[0]
         if tag >= len(_AUTO_ORDER):
             raise ValueError(f"corrupt auto-coded stream: unknown backend tag {tag}")
-        return decode_stream(_AUTO_ORDER[tag], blob[1:])
-    raise NotImplementedError(f"stream reader {name} not found.")
+        return decode_stream(_AUTO_ORDER[tag], blob[1:],
+                             expected_size=expected_size)
+    else:
+        raise NotImplementedError(f"stream reader {name} not found.")
+    if expected_size is not None and len(dec) != expected_size:
+        raise ValueError(
+            f"corrupt {name} stream: decoded {len(dec)} bytes, container "
+            f"manifest expects {expected_size}"
+        )
+    return dec

@@ -196,7 +196,23 @@ def read_progressive(
 
     def _section(sec: int, blob: bytes):
         infos = [(n, d, s) for n, d, s, se in infos_all if se == sec]
-        return _plane_ungroup(decode_stream(stream_name, blob, **kwargs), infos)
+        expected = sum(
+            (int(np.prod(s, dtype=np.int64)) if s else 1)
+            * np.dtype(d).itemsize
+            for _, d, s in infos
+        )
+        try:
+            dec = decode_stream(
+                stream_name, blob, expected_size=expected, **kwargs
+            )
+        except ValueError:
+            raise
+        except Exception as e:  # zlib.error / ZstdError / LZMAError / ...
+            raise ValueError(
+                f"corrupt progressive container {dir_name} section {sec} "
+                f"(backend {stream_name}): {e!r}"
+            ) from e
+        return _plane_ungroup(dec, infos)
 
     base = _section(0, payload[:nbase])
     out: "OrderedDict[str, np.ndarray]" = OrderedDict()

@@ -187,8 +187,13 @@ def _validate_header(blob: bytes) -> int:
     return raw
 
 
-def range_decode(blob: bytes) -> bytes:
+def range_decode(blob: bytes, expected_size: Optional[int] = None) -> bytes:
     raw = _validate_header(blob)
+    if expected_size is not None and raw != expected_size:
+        raise ValueError(
+            f"corrupt range-coder stream: declares {raw} bytes, container "
+            f"manifest expects {expected_size}"
+        )
     if raw == 0:
         return b""
     lib = _load_native()

@@ -177,7 +177,7 @@ def rans_encode(data: bytes) -> bytes:
     return out.raw[:n]
 
 
-def rans_decode(blob: bytes) -> bytes:
+def rans_decode(blob: bytes, expected_size: Optional[int] = None) -> bytes:
     # validate the header here so every corrupt path raises ValueError
     # (the contract the other backends follow) before any allocation
     if len(blob) < 14:
@@ -185,6 +185,15 @@ def rans_decode(blob: bytes) -> bytes:
     magic, raw = struct.unpack_from("<IQ", blob, 0)
     if magic != _MAGIC:
         raise ValueError("bad rans magic")
+    if expected_size is not None and raw != expected_size:
+        # the container layer knows the exact payload size from the
+        # manifest — a mismatched declared size is corruption, caught
+        # BEFORE the size-raw allocation (rANS can legitimately expand
+        # arbitrarily, so only this check fully bounds it)
+        raise ValueError(
+            f"corrupt rans stream: declares {raw} bytes, container "
+            f"manifest expects {expected_size}"
+        )
     if raw == 0:
         return b""
     if raw > 1 << 40:  # corrupt size field would drive the allocation
