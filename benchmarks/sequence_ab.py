@@ -47,6 +47,14 @@ def main() -> None:
     video = kv.get("video", "seqbench")
     motion = float(kv.get("motion", 0.01))
     warm = kv.get("warm", "1") not in ("0", "false")
+    # plr: P-fit learning rate (sequence.lr) for the sequence arm; the
+    # fresh-Adam transient at the full fit lr inflates the residual
+    # support, so the P lr is its own A/B axis.
+    plr = kv.get("plr")
+    # arms=sequence (comma list) restricts which arms run — the
+    # independent arms are deterministic, so an lr sweep re-runs only the
+    # sequence arm and compares against previously recorded numbers.
+    only = set(kv["arms"].split(",")) if "arms" in kv else None
 
     art = REPO / "assets/meta/coordx_s5w96_512.npz"
     base = [
@@ -70,12 +78,17 @@ def main() -> None:
     #   sequence           — delta I-frame + prev-frame-delta P-frames at
     #                        the short budget
     delta = ["quant.delta=true"] if warm else []
+    seq_extra = [f"sequence.steps={steps}"] + delta
+    if plr is not None:
+        seq_extra.append(f"sequence.lr={plr}")
     for arm, extra in (
         ("independent", ["sequence.gop=1"]),
         ("independent_delta", ["sequence.gop=1"] + delta),
-        ("sequence", [f"sequence.steps={steps}"] + delta),
+        ("sequence", seq_extra),
     ):
         if arm == "independent_delta" and not delta:
+            continue
+        if only is not None and arm not in only:
             continue
         t0 = time.perf_counter()
         rows = encode_sequence(base + extra + [
@@ -107,7 +120,9 @@ def main() -> None:
         print(json.dumps({arm: {k: v for k, v in out[arm].items()
                                 if k != "rows"}}), flush=True)
 
-    seq = out["sequence"]
+    seq = out.get("sequence")
+    if seq is None:
+        return
     summary = {}
     for name, base_arm in (
         ("vs_independent", "independent"),

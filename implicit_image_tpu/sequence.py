@@ -173,6 +173,17 @@ def encode_sequence(argv) -> List[dict]:
     # the FIT PSNR (the kmeans finetune then shifts quality the usual way).
     stop_db = seq.get("stop_at_psnr")
     stop_db = float(stop_db) if stop_db is not None else None
+    # sequence.lr: P-fit learning rate (I-frames keep optim.lr). The warm
+    # P-fit only tracks the small inter-frame content motion; at the full
+    # fit lr (3e-4) the fresh-Adam transient moves weights FARTHER from
+    # the previous frame's params than the content requires, inflating
+    # the residual codebook support, while too-low lr cannot track the
+    # motion and quality decays along the chain (measured A/B at 512²,
+    # BASELINE.md "Sequence coding": lr 3e-4 P-frames 56.5 dB @ 82.6 KB,
+    # 1e-4 57.1 dB @ 80.1 KB — dominant, the default — 3e-5 55.5 dB with
+    # per-frame drift). Override per content; I-frames are unaffected.
+    p_lr = float(seq.get("lr", 1e-4))
+    p_optim_cfg = dataclasses.replace(optim_cfg, lr=p_lr)
 
     root = Path(cfg.get("output_dir", "outputs")) / f"seq_{seq_name}"
     root.mkdir(parents=True, exist_ok=True)
@@ -253,13 +264,13 @@ def encode_sequence(argv) -> List[dict]:
     )
     init_fn, segment_fn = make_fit_segments(
         mdef, mcfg, grid, dataclasses.replace(train_cfg, num_steps=steps_p),
-        optim_cfg, p_masking,
+        p_optim_cfg, p_masking,
     )
     del init_fn  # P-frames build their carry from the previous frame
 
     def pframe_init(key, params):
         key, mask_key, loop_key = jax.random.split(key, 3)
-        opt_state = opt_init(params, optim_cfg)
+        opt_state = opt_init(params, p_optim_cfg)
         if sparse:
             mask_state = create_mask_state(mask_key, params, p_masking)
             from implicit_image_tpu.sparsity import apply_masks

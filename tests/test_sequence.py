@@ -257,6 +257,30 @@ def test_sequence_delta_iframes(tmp_path):
     assert frames.shape[0] == 3
 
 
+def test_sequence_lr_overrides_pfit_only(tmp_path):
+    """sequence.lr retunes the P-fit optimizer; I-frames keep optim.lr.
+
+    The knob exists because the fresh-Adam transient at the full fit lr
+    moves weights farther from the previous frame's params than the
+    content motion requires, inflating the P residual codebook support
+    (BASELINE.md "Sequence coding"; default 1e-4 = the measured sweet
+    spot of the lr A/B there).
+    """
+    base = SEQ_OVERRIDES + ["masking=none"]
+    r_hi = encode_sequence(base + [f"output_dir={tmp_path}/hi"])
+    r_lo = encode_sequence(
+        base + [f"output_dir={tmp_path}/lo", "sequence.lr=1e-5"]
+    )
+    # the I-frame is untouched by the P lr (deterministic seeds)
+    assert r_hi[0]["bytes"] == r_lo[0]["bytes"]
+    assert r_hi[0]["decoded_psnr"] == r_lo[0]["decoded_psnr"]
+    # the P-fits really ran at a different lr -> different streams
+    assert any(
+        a["bytes"] != b["bytes"] or a["decoded_psnr"] != b["decoded_psnr"]
+        for a, b in zip(r_hi[1:], r_lo[1:])
+    )
+
+
 def test_sequence_requires_kmeans(tmp_path):
     with pytest.raises(ValueError, match="kmeans"):
         encode_sequence([
