@@ -433,3 +433,67 @@ def test_batched_density_sweep_runs_as_ladder(tmp_path, monkeypatch):
     # round dirs exist (one ladder per round of 2)
     assert (tmp_path / "sweep_out/round_0").exists()
     assert (tmp_path / "sweep_out/round_1").exists()
+
+
+# ---- Bjøntegaard delta (visualize/bd_rate.py) ----
+
+_BD_ANCHOR = [(23713, 41.31), (36457, 47.60), (53717, 50.64), (84549, 55.58)]
+
+
+def test_bd_rate_exact_uniform_rate_shift():
+    # test = anchor at 20% fewer bytes, identical PSNR. Polynomial fits
+    # are linear in the data, so the fitted log-rate curves differ by
+    # exactly log10(0.8) and BD-rate is exactly -20%.
+    from implicit_image_tpu.visualize.bd_rate import bd_psnr, bd_rate
+
+    test = [(r * 0.8, p) for r, p in _BD_ANCHOR]
+    assert abs(bd_rate(_BD_ANCHOR, test) - (-20.0)) < 1e-9
+    # fewer bytes at equal quality == more quality at equal bytes
+    assert bd_psnr(_BD_ANCHOR, test) > 0
+
+
+def test_bd_psnr_exact_uniform_quality_shift():
+    from implicit_image_tpu.visualize.bd_rate import bd_psnr, bd_rate
+
+    test = [(r, p + 1.0) for r, p in _BD_ANCHOR]
+    assert abs(bd_psnr(_BD_ANCHOR, test) - 1.0) < 1e-9
+    assert bd_rate(_BD_ANCHOR, test) < 0
+
+
+def test_bd_identity_and_symmetry():
+    from implicit_image_tpu.visualize.bd_rate import bd_psnr, bd_rate
+
+    assert abs(bd_rate(_BD_ANCHOR, _BD_ANCHOR)) < 1e-9
+    assert abs(bd_psnr(_BD_ANCHOR, _BD_ANCHOR)) < 1e-9
+    test = [(r * 0.9, p + 0.5) for r, p in _BD_ANCHOR]
+    # swapping anchor/test flips the sign of BD-PSNR exactly
+    assert abs(bd_psnr(_BD_ANCHOR, test) + bd_psnr(test, _BD_ANCHOR)) < 1e-9
+
+
+def test_bd_input_validation():
+    from implicit_image_tpu.visualize.bd_rate import bd_psnr, bd_rate
+
+    with pytest.raises(ValueError, match="monotone"):
+        bd_rate(_BD_ANCHOR, [(10_000, 40.0), (20_000, 39.0)])
+    with pytest.raises(ValueError, match=">=2"):
+        bd_psnr(_BD_ANCHOR, [(10_000, 40.0)])
+    # disjoint quality ranges: BD-rate integrates over PSNR, undefined
+    with pytest.raises(ValueError, match="overlap"):
+        bd_rate(_BD_ANCHOR, [(1_000, 10.0), (2_000, 20.0)])
+
+
+def test_bd_cli_reads_run_store(tmp_path, capsys):
+    from implicit_image_tpu.visualize.bd_rate import main
+
+    for arm, scale in (("anchor", 1.0), ("test", 0.8)):
+        for i, (r, p) in enumerate(_BD_ANCHOR):
+            d = tmp_path / arm / f"d{i}"
+            d.mkdir(parents=True)
+            (d / "summary.json").write_text(json.dumps(
+                {"Decoded PSNR": p, "Compressed Bytes": int(r * scale)}
+            ))
+    main([str(tmp_path / "anchor"), str(tmp_path / "test")])
+    out = json.loads(capsys.readouterr().out)
+    assert out["anchor_points"] == 4 and out["test_points"] == 4
+    assert abs(out["bd_rate_pct"] - (-20.0)) < 0.01
+    assert out["bd_psnr_db"] > 0
