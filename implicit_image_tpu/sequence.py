@@ -22,6 +22,11 @@ a temporally-coherent sequence is coded as
     manifest records `prev` + the previous payload's sha256
     (coding/__init__.py), so a frame decodes standalone by walking the
     verified chain, and `decode_sequence` walks it forward in O(T).
+  * adaptive I-frame fallback (`sequence.max_drop`, default 3 dB): a
+    P-frame decoding more than max_drop below the last I-frame is
+    discarded and the frame re-encodes as an I-frame — the scene-cut /
+    high-motion guard (P-fits track small motion only; measured at 4x
+    the tuning motion, BASELINE.md "Sequence coding").
 
 TPU shape: the P-frame fit and quant phases are each ONE compiled
 program reused across all frames — the warm params, delta offsets and
@@ -184,6 +189,20 @@ def encode_sequence(argv) -> List[dict]:
     # per-frame drift). Override per content; I-frames are unaffected.
     p_lr = float(seq.get("lr", 1e-4))
     p_optim_cfg = dataclasses.replace(optim_cfg, lr=p_lr)
+    # sequence.max_drop: adaptive I-frame fallback (the scene-cut /
+    # high-motion guard every production video codec carries). A P-frame
+    # whose DECODED PSNR lands more than max_drop dB below the last
+    # I-frame's is discarded and the frame re-encodes as an I-frame —
+    # the P default (short budget, low lr) tracks small inter-frame
+    # motion well but cannot track large motion (measured: at 4x the
+    # tuning motion P-frames lose ~5.8 dB vs per-frame coding while the
+    # streams get LARGER — BASELINE.md "Sequence coding"). The wasted P
+    # attempt costs ~1 s; the fallback I-frame pays a fresh fit compile
+    # (same cost as a gop I-frame). `sequence.max_drop=none` disables.
+    max_drop = seq.get("max_drop", 3.0)
+    if isinstance(max_drop, str) and max_drop.lower() in ("none", "null", ""):
+        max_drop = None
+    max_drop = float(max_drop) if max_drop is not None else None
 
     root = Path(cfg.get("output_dir", "outputs")) / f"seq_{seq_name}"
     root.mkdir(parents=True, exist_ok=True)
@@ -247,6 +266,7 @@ def encode_sequence(argv) -> List[dict]:
             cfg, frame_dir, render, frames[t], prev_params, nbytes,
             stream, wall=time.perf_counter() - t0, kind="I", steps=steps0,
         ))
+        nonlocal_state["i_psnr"] = results[-1]["decoded_psnr"]
         prev_dir = frame_dir
 
     encode_iframe(0)
@@ -357,12 +377,30 @@ def encode_sequence(argv) -> List[dict]:
             frame_dir / "model_quantized", stream,
             prev_state=prev_state_full,
         )
+        dec_params = params_from_state_dict(dec_state)
+        dec_img, psnr_t = _render_psnr(render, dec_params, frames[t])
+        i_psnr = nonlocal_state.get("i_psnr")
+        if (
+            max_drop is not None
+            and i_psnr is not None
+            and psnr_t < float(i_psnr) - max_drop
+        ):
+            # quality floor breached: the short warm P-fit cannot track
+            # this much motion — discard the attempt (encode_iframe
+            # overwrites the same frame_dir) and escalate to an I-frame
+            log.info(
+                "frame %d: P decoded %.2f dB > %.1f dB below the last "
+                "I-frame (%.2f) — falling back to an I-frame",
+                t, psnr_t, max_drop, float(i_psnr),
+            )
+            encode_iframe(t)
+            continue
         nonlocal_state["prev_state"] = dec_state
-        prev_params = params_from_state_dict(dec_state)
+        prev_params = dec_params
         results.append(_finish_frame(
             cfg, frame_dir, render, frames[t], prev_params,
             nbytes, stream, wall=time.perf_counter() - t0, kind="P",
-            steps=steps_used,
+            steps=steps_used, rendered=(dec_img, psnr_t),
         ))
         prev_dir = frame_dir
 
@@ -389,12 +427,24 @@ def encode_sequence(argv) -> List[dict]:
     return results
 
 
-def _finish_frame(cfg, frame_dir, render, img, dec_params,
-                  nbytes, stream, wall, kind, steps) -> dict:
-    """Render the decoded frame, write config/summary, return the row."""
+def _render_psnr(render, dec_params, img):
+    """(decoded frame, PSNR dB) of decoded params against the source."""
     dec = np.asarray(render(dec_params))
     mse = float(np.mean((dec - np.asarray(img, np.float32)) ** 2))
-    psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+    return dec, float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+
+
+def _finish_frame(cfg, frame_dir, render, img, dec_params,
+                  nbytes, stream, wall, kind, steps,
+                  rendered=None) -> dict:
+    """Render the decoded frame, write config/summary, return the row.
+
+    `rendered=(dec, psnr)` skips the render when the caller already
+    evaluated the decoded params (the P-frame quality-floor check)."""
+    dec, psnr = (
+        rendered if rendered is not None
+        else _render_psnr(render, dec_params, img)
+    )
     frame_dir.mkdir(parents=True, exist_ok=True)
     frame_cfg = json.loads(json.dumps(dict(cfg), default=str))
     frame_cfg.setdefault("entropy_coding", {})

@@ -288,3 +288,40 @@ def test_sequence_requires_kmeans(tmp_path):
             "quant=none", "sequence.video=x", "sequence.frames=2",
             f"output_dir={tmp_path}",
         ])
+
+
+def test_sequence_max_drop_fallback_and_disable(tmp_path):
+    """Scene-cut guard: at huge inter-frame motion and a starved P budget,
+    the P attempt decodes far below the I-frame; with the guard on the
+    frame re-encodes as a standalone I-frame, with max_drop=none the low
+    quality P-frame ships."""
+    high_motion = [
+        "sequence.video=scenecut", "sequence.frames=2",
+        "sequence.motion=0.5", "sequence.steps=2",
+        # the I-frame must actually be good for a quality floor to exist
+        "sequence.steps0=400", "img.height=32", "img.width=32",
+    ]
+    guarded = encode_sequence(SEQ_OVERRIDES + high_motion + [
+        f"output_dir={tmp_path}/a", "masking=none",
+        "sequence.max_drop=0.5",
+    ])
+    assert [r["kind"] for r in guarded] == ["I", "I"]
+    meta = json.loads(
+        (Path(tmp_path) / "a" / "seq_scenecut" / "frame_0001" /
+         "model_quantized" / "meta_data.json").read_text()
+    )
+    # fallback frame is standalone: no inter-frame delta manifest
+    assert "prev" not in meta.get("__meta__", {}).get("delta", {})
+    frames, names = decode_sequence(Path(tmp_path) / "a" / "seq_scenecut")
+    assert frames.shape[0] == 2
+
+    unguarded = encode_sequence(SEQ_OVERRIDES + high_motion + [
+        f"output_dir={tmp_path}/b", "masking=none",
+        "sequence.max_drop=none",
+    ])
+    assert [r["kind"] for r in unguarded] == ["I", "P"]
+    # the guard exists because the P attempt is measurably worse
+    assert (
+        guarded[1]["decoded_psnr"]
+        > unguarded[1]["decoded_psnr"] + 0.5
+    )
