@@ -129,12 +129,10 @@ def encode_sequence(argv) -> List[dict]:
     from implicit_image_tpu.sparsity import create_mask_state
     from implicit_image_tpu.training.fit import (
         _dummy_mask_state,
-        fit,
         make_fit_segments,
     )
     from implicit_image_tpu.training.quant_phase import (
         make_quant_fit_fn,
-        quant_finetune,
     )
     from implicit_image_tpu.optim import opt_init
 
@@ -197,8 +195,9 @@ def encode_sequence(argv) -> List[dict]:
     # motion well but cannot track large motion (measured: at 4x the
     # tuning motion P-frames lose ~5.8 dB vs per-frame coding while the
     # streams get LARGER — BASELINE.md "Sequence coding"). The wasted P
-    # attempt costs ~1 s; the fallback I-frame pays a fresh fit compile
-    # (same cost as a gop I-frame). `sequence.max_drop=none` disables.
+    # attempt costs ~1 s; fallback I-frames run through the shared
+    # compiled I-programs (~2.7 s/frame measured at the flagship point,
+    # no recompile). `sequence.max_drop=none` disables.
     max_drop = seq.get("max_drop", 3.0)
     if isinstance(max_drop, str) and max_drop.lower() in ("none", "null", ""):
         max_drop = None
@@ -219,36 +218,65 @@ def encode_sequence(argv) -> List[dict]:
     # quantization") — P-frames keep coding against the previous frame
     iframe_delta = args.get("delta_info")
 
+    import functools
+
+    # ---- compiled programs shared by ALL I-frames ----
+    # Frame 0, gop frames and max_drop fallbacks reuse ONE compiled
+    # fit-segment chain and ONE quant program (the same jquant the
+    # P-frames use — offsets/masks are traced arguments). Calling
+    # fit()/quant_finetune() per I-frame instead builds fresh jits and
+    # re-pays ~20-40 s of XLA compile per escalation (the persistent
+    # compile cache is unusable on this runtime — NOTES.md).
+    i_init_fn, i_segment_fn = make_fit_segments(
+        mdef, mcfg, grid, dataclasses.replace(train_cfg, num_steps=steps0),
+        optim_cfg, masking, init_params=args["init_params"],
+    )
+    ji_init = jax.jit(i_init_fn)
+    seg_i = max(1, train_cfg.segment_steps)
+    i_lengths = {min(seg_i, steps0)}
+    if steps0 > seg_i and steps0 % seg_i:
+        i_lengths.add(steps0 % seg_i)
+    ji_segs = {
+        length: jax.jit(functools.partial(i_segment_fn, length=length))
+        for length in i_lengths
+    }
+    qfn = make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg)
+    jquant = jax.jit(qfn.with_offsets)
+
     def encode_iframe(t: int) -> None:
         """The standard single-image protocol (absolute coding, or
-        meta-artifact delta when quant.delta is set). Each I-frame pays
-        its own fit/quant compile (fit() builds fresh jits); with gop=0
-        that is frame 0 only."""
+        meta-artifact delta when quant.delta is set) through the shared
+        compiled programs — only the FIRST I-frame pays the compile."""
         nonlocal prev_dir, prev_params
         t0 = time.perf_counter()
-        i_cfg = dataclasses.replace(train_cfg, num_steps=steps0)
-        res = fit(
-            jax.random.PRNGKey(int(cfg.seed) + 7919 * t), mdef, mcfg, grid,
-            frames[t], i_cfg, optim_cfg, masking,
-            init_params=args["init_params"],
+        img_t = jnp.asarray(frames[t])
+        carry = ji_init(jax.random.PRNGKey(int(cfg.seed) + 7919 * t), img_t)
+        start = 0
+        while start < steps0:
+            length = min(seg_i, steps0 - start)
+            carry, _ = ji_segs[length](carry, img_t, jnp.int32(start))
+            start += length
+        params_i = carry[0]
+        n_l = len(params_i)
+        mks_i = (
+            tuple(carry[2].masks) if sparse
+            else tuple(None for _ in range(n_l))
         )
-        masks_i = res.mask_state.masks if res.mask_state is not None else None
-        q0 = quant_finetune(
-            res.params, jnp.asarray(frames[t]), mdef, mcfg, grid, quant_cfg,
-            optim_cfg, masks=masks_i,
-            offset_params=(
-                args["init_params"] if iframe_delta is not None else None
-            ),
+        offs_i = (
+            _frame_offsets(args["init_params"], n_l)
+            if iframe_delta is not None
+            else tuple(None for _ in range(n_l))
         )
+        params_q, codebooks, _ = jquant(params_i, img_t, offs_i, mks_i)
         frame_dir = root / f"frame_{t:04d}"
-        state0 = linear_state_dict(q0.params, q0.codebooks, half=half)
+        state0 = linear_state_dict(params_q, codebooks, half=half)
         delta = None
         if iframe_delta is not None:
             from implicit_image_tpu.coding import state_ref_map
 
             delta = dict(iframe_delta)
             delta["layers"] = [
-                i for i, cb in enumerate(q0.codebooks) if cb is not None
+                i for i, cb in enumerate(codebooks) if cb is not None
             ]
             state0, delta["xor"] = apply_xor_residual(
                 state0, state_ref_map(args["init_params"])
@@ -300,8 +328,6 @@ def encode_sequence(argv) -> List[dict]:
             mask_state = _dummy_mask_state(params)
         return (params, opt_state, mask_state, loop_key, ())
 
-    import functools
-
     jinit = jax.jit(pframe_init)
     seg = max(1, train_cfg.segment_steps)
     if stop_db is not None:
@@ -323,8 +349,6 @@ def encode_sequence(argv) -> List[dict]:
             return 10.0 * jnp.log10(1.0 / err)
 
         jeval = jax.jit(_fit_psnr_fn)
-    qfn = make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg)
-    jquant = jax.jit(qfn.with_offsets)
 
     n_layers = len(prev_params)
     key = jax.random.PRNGKey(int(cfg.seed) + 1)
