@@ -326,7 +326,15 @@ def encode_sequence(argv) -> List[dict]:
             params = apply_masks(params, mask_state.masks)
         else:
             mask_state = _dummy_mask_state(params)
-        return (params, opt_state, mask_state, loop_key, ())
+        if p_optim_cfg.preconditioner == "ekfac":
+            # carry structure must match make_fit_segments' init_fn
+            # (training/fit.py) or the compiled P segment rejects it
+            from implicit_image_tpu.optim.ekfac import ekfac_init
+
+            ekfac_state = ekfac_init(params)
+        else:
+            ekfac_state = ()
+        return (params, opt_state, mask_state, loop_key, ekfac_state)
 
     jinit = jax.jit(pframe_init)
     seg = max(1, train_cfg.segment_steps)

@@ -325,3 +325,19 @@ def test_sequence_max_drop_fallback_and_disable(tmp_path):
         guarded[1]["decoded_psnr"]
         > unguarded[1]["decoded_psnr"] + 0.5
     )
+
+
+def test_sequence_ekfac_pframe_carry(tmp_path):
+    """P-frame init must build the same carry structure as the fit's
+    init_fn — with preconditioner=ekfac that includes live KFE state
+    (regression: pframe_init used to hand the compiled segment an empty
+    ekfac slot)."""
+    rows = encode_sequence(SEQ_OVERRIDES + [
+        f"output_dir={tmp_path}", "masking=none",
+        "optim.preconditioner=ekfac",
+        "sequence.frames=2", "sequence.steps0=10", "sequence.steps=4",
+        "sequence.max_drop=none",
+    ])
+    assert [r["kind"] for r in rows] == ["I", "P"]
+    frames, _ = decode_sequence(Path(tmp_path) / "seq_unittest")
+    assert frames.shape[0] == 2
