@@ -22,3 +22,15 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["compress_image", "decompress_image", "CompressedImage"]
+
+
+def __getattr__(name):
+    # lazy: importing the package must stay cheap (the CLIs import it
+    # before argument parsing); the api pulls in jax + the orchestrator
+    if name in __all__:
+        from implicit_image_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

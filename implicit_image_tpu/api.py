@@ -1,0 +1,117 @@
+"""Programmatic API — in-process counterparts of the CLIs.
+
+The reference (and this framework's CLI surface) is config-tree driven:
+`python -m implicit_image_tpu.compress img=... quant=kmeans ...`
+(reference compress.py:52-54 is a Hydra entry point). This module wraps
+the same orchestrator for library users — compress a numpy array or an
+image file and get a decodable run directory back, without shelling out:
+
+    import implicit_image_tpu as iit
+
+    result = iit.compress_image(img_array, overrides=[
+        "quant=kmeans", "entropy_coding=auto", "train.num_steps=2000",
+    ])
+    result.psnr, result.nbytes      # the (PSNR, bytes) the CLI reports
+    decoded = result.decode()       # (H, W, 3) float32 via the bitstream
+    big = result.decode(scale=2.0)  # the INR artifact is resolution-free
+
+Every option is a standard dotted config override (the full tree lives
+in config/conf/**) — there is deliberately no second options schema.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+__all__ = ["CompressedImage", "compress_image", "decompress_image"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CompressedImage:
+    """Result of `compress_image`: a standard, self-contained run dir
+    (config.json + model_quantized/ bitstream + summary.json) plus the
+    (PSNR, bytes) pair the CLI returns for sweepers."""
+
+    psnr: float
+    nbytes: int
+    run_dir: Path
+
+    def decode(self, **kwargs) -> np.ndarray:
+        """Decode the bitstream back to an image. Accepts decode_run's
+        geometry options (scale=, size=, roi=, tile_rows=, base=)."""
+        return decompress_image(self.run_dir, **kwargs)
+
+    @property
+    def bitstream(self) -> bytes:
+        return (
+            self.run_dir / "model_quantized" / "compressed_weights.data"
+        ).read_bytes()
+
+
+def compress_image(
+    image: Union[np.ndarray, str, Path],
+    overrides: Sequence[str] = (),
+    out_dir: Union[str, Path] = "outputs/api",
+    seed: int = 0,
+) -> CompressedImage:
+    """Compress one image through the full pipeline (fit -> sparsify ->
+    quantize -> entropy-code), in process.
+
+    image: (H, W, 3) float array in [0, 1], or an image file path (the
+        file goes through the standard loader — img.height/img.width
+        overrides control resize/centre-crop exactly like the CLI).
+    overrides: dotted config overrides, identical to the compress CLI.
+    """
+    from implicit_image_tpu.compress import main
+    from implicit_image_tpu.config import compose
+
+    ov = [f"seed={int(seed)}", *map(str, overrides)]
+    arr: Optional[np.ndarray] = None
+    if isinstance(image, (str, Path)):
+        ov.append(f"img.path={image}")
+    else:
+        arr = np.asarray(image, np.float32)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(
+                f"expected an (H, W, 3) image array, got shape {arr.shape}"
+            )
+        if float(arr.min()) < 0.0 or float(arr.max()) > 1.0:
+            raise ValueError(
+                "image values must be in [0, 1] "
+                f"(got [{arr.min():.3g}, {arr.max():.3g}])"
+            )
+    ov.append(f"output_dir={out_dir}")
+    cfg = compose(ov)
+    if arr is not None:
+        # the run dir's config.json drives the decoder's lattice — it must
+        # describe the array actually fitted, not the img-group default
+        cfg["img"]["height"] = int(arr.shape[0])
+        cfg["img"]["width"] = int(arr.shape[1])
+    if cfg.get("entropy_coding", {}).get("stream_name", "none") == "none":
+        raise ValueError(
+            "compress_image produces a decodable bitstream — "
+            "entropy_coding=none has no decode path; pick a backend "
+            "(e.g. 'entropy_coding=auto' in overrides)"
+        )
+    psnr, nbytes = main(cfg, image=arr)
+    return CompressedImage(
+        psnr=float(psnr), nbytes=int(nbytes), run_dir=Path(str(out_dir))
+    )
+
+
+def decompress_image(
+    run_dir: Union[str, Path], **kwargs
+) -> np.ndarray:
+    """Decode a run directory's bitstream to an (H, W, 3) float32 array.
+
+    kwargs pass through to decompress.decode_run: scale=, size=(H, W),
+    roi=(r0, r1, c0, c1), tile_rows=, base= (progressive prefix),
+    delta_artifact= (relocated shared artifact).
+    """
+    from implicit_image_tpu.decompress import decode_run
+
+    img, _ = decode_run(run_dir, **kwargs)
+    return np.asarray(img, np.float32)

@@ -190,8 +190,15 @@ def _resolve_pixel_chunks(raw, h: int, w: int) -> int:
     return int(raw)
 
 
-def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
-    """Run the full compress pipeline; returns (test_PSNR, compressed_bytes)."""
+def main(
+    cfg: DotDict, run_dir: Optional[str] = None, image=None
+) -> Tuple[float, int]:
+    """Run the full compress pipeline; returns (test_PSNR, compressed_bytes).
+
+    `image` (the programmatic api.compress_image path) injects a preloaded
+    (H, W, 3) float array in [0, 1] instead of loading from cfg.img —
+    cfg.img.height/width must already match its shape (the run dir's
+    config.json drives the decode CLI's lattice)."""
     key = jax.random.PRNGKey(int(cfg.seed))
     run_dir = run_dir or cfg.get("output_dir", "outputs/run")
     Path(run_dir).mkdir(parents=True, exist_ok=True)
@@ -207,7 +214,10 @@ def main(cfg: DotDict, run_dir: Optional[str] = None) -> Tuple[float, int]:
     # (visualize/runs.py) rebuild the model from it
     (Path(run_dir) / "config.json").write_text(json.dumps(cfg, indent=2, default=str))
 
-    img = _load_image(cfg.img)
+    img = (
+        np.asarray(image, np.float32) if image is not None
+        else _load_image(cfg.img)
+    )
     h, w = img.shape[:2]
     grid = get_grid(h, w)
 
