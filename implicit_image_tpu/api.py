@@ -51,10 +51,22 @@ class CompressedImage:
         ).read_bytes()
 
 
+def _unique_run_dir(base: Path) -> Path:
+    """First free outputs/api/run[_k] — successive calls must not silently
+    overwrite each other's artifacts while earlier CompressedImage results
+    still point at them."""
+    d = base / "run"
+    k = 0
+    while d.exists():
+        k += 1
+        d = base / f"run_{k}"
+    return d
+
+
 def compress_image(
     image: Union[np.ndarray, str, Path],
     overrides: Sequence[str] = (),
-    out_dir: Union[str, Path] = "outputs/api",
+    out_dir: Union[str, Path, None] = None,
     seed: int = 0,
 ) -> CompressedImage:
     """Compress one image through the full pipeline (fit -> sparsify ->
@@ -64,28 +76,34 @@ def compress_image(
         file goes through the standard loader — img.height/img.width
         overrides control resize/centre-crop exactly like the CLI).
     overrides: dotted config overrides, identical to the compress CLI.
+    out_dir: run directory; default = the first free outputs/api/run[_k]
+        (an explicit `output_dir=` override wins over this parameter).
     """
     from implicit_image_tpu.compress import main
     from implicit_image_tpu.config import compose
 
     ov = [f"seed={int(seed)}", *map(str, overrides)]
     arr: Optional[np.ndarray] = None
-    if isinstance(image, (str, Path)):
-        ov.append(f"img.path={image}")
-    else:
+    if not isinstance(image, (str, Path)):
         arr = np.asarray(image, np.float32)
         if arr.ndim != 3 or arr.shape[-1] != 3:
             raise ValueError(
                 f"expected an (H, W, 3) image array, got shape {arr.shape}"
             )
+        if not np.isfinite(arr).all():
+            raise ValueError("image contains NaN/inf values")
         if float(arr.min()) < 0.0 or float(arr.max()) > 1.0:
             raise ValueError(
                 "image values must be in [0, 1] "
                 f"(got [{arr.min():.3g}, {arr.max():.3g}])"
             )
-    ov.append(f"output_dir={out_dir}")
     cfg = compose(ov)
-    if arr is not None:
+    if arr is None:
+        # set path fields directly: an f"img.path={image}" override would
+        # round-trip through YAML value parsing and mangle paths containing
+        # '#', ',' or scalar-looking names
+        cfg["img"]["path"] = str(image)
+    else:
         # the run dir's config.json drives the decoder's lattice — it must
         # describe the array actually fitted, not the img-group default
         cfg["img"]["height"] = int(arr.shape[0])
@@ -96,9 +114,17 @@ def compress_image(
             "entropy_coding=none has no decode path; pick a backend "
             "(e.g. 'entropy_coding=auto' in overrides)"
         )
-    psnr, nbytes = main(cfg, image=arr)
+    explicit = any(str(o).startswith("output_dir=") for o in overrides)
+    if explicit:
+        run_dir = Path(str(cfg["output_dir"]))
+    elif out_dir is not None:
+        run_dir = Path(str(out_dir))
+    else:
+        run_dir = _unique_run_dir(Path("outputs/api"))
+    cfg["output_dir"] = str(run_dir)
+    psnr, nbytes = main(cfg, run_dir=str(run_dir), image=arr)
     return CompressedImage(
-        psnr=float(psnr), nbytes=int(nbytes), run_dir=Path(str(out_dir))
+        psnr=float(psnr), nbytes=int(nbytes), run_dir=run_dir
     )
 
 

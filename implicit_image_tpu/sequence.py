@@ -243,12 +243,14 @@ def encode_sequence(argv) -> List[dict]:
     qfn = make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg)
     jquant = jax.jit(qfn.with_offsets)
 
-    def encode_iframe(t: int) -> None:
+    def encode_iframe(t: int, t_start: Optional[float] = None) -> None:
         """The standard single-image protocol (absolute coding, or
         meta-artifact delta when quant.delta is set) through the shared
-        compiled programs — only the FIRST I-frame pays the compile."""
+        compiled programs — only the FIRST I-frame pays the compile.
+        `t_start`: wall origin for the frame row (a max_drop fallback
+        passes the P attempt's start so the discarded work is counted)."""
         nonlocal prev_dir, prev_params
-        t0 = time.perf_counter()
+        t0 = time.perf_counter() if t_start is None else t_start
         img_t = jnp.asarray(frames[t])
         carry = ji_init(jax.random.PRNGKey(int(cfg.seed) + 7919 * t), img_t)
         start = 0
@@ -425,7 +427,7 @@ def encode_sequence(argv) -> List[dict]:
                 "I-frame (%.2f) — falling back to an I-frame",
                 t, psnr_t, max_drop, float(i_psnr),
             )
-            encode_iframe(t)
+            encode_iframe(t, t_start=t0)
             continue
         nonlocal_state["prev_state"] = dec_state
         prev_params = dec_params

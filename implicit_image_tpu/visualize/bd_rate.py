@@ -34,22 +34,29 @@ Point = Tuple[float, float]  # (rate in bytes, PSNR in dB)
 
 
 def _prepare(points: Iterable[Point]) -> Tuple[np.ndarray, np.ndarray]:
-    """(log10-rate, psnr) arrays sorted by rate, validated."""
+    """(log10-rate, psnr) arrays sorted by rate, validated.
+
+    Real run-store ladders carry seed noise (a slightly non-monotone PSNR
+    rung) and occasional duplicate byte counts (the same config re-run);
+    the Bjøntegaard polynomial fit handles noise, so only hard errors are
+    rejected — exact-duplicate rates are merged by averaging their PSNRs.
+    """
     pts = sorted((float(r), float(p)) for r, p in points)
-    if len(pts) < 2:
-        raise ValueError(
-            f"a BD curve needs >=2 (rate, PSNR) points, got {len(pts)}"
-        )
-    rates = np.array([r for r, _ in pts])
-    psnrs = np.array([p for _, p in pts])
-    if np.any(rates <= 0):
+    if any(r <= 0 for r, _ in pts):
         raise ValueError("rates must be positive (bytes)")
-    if np.any(np.diff(rates) <= 0) or np.any(np.diff(psnrs) <= 0):
+    merged: list = []
+    for r, p in pts:
+        if merged and merged[-1][0] == r:
+            prev_r, prev_p, n = merged[-1]
+            merged[-1] = (r, (prev_p * n + p) / (n + 1), n + 1)
+        else:
+            merged.append((r, p, 1))
+    if len(merged) < 2:
         raise ValueError(
-            "BD curves must be strictly monotone (rate and PSNR both "
-            "increasing along the ladder); got "
-            f"rates={rates.tolist()} psnrs={psnrs.tolist()}"
+            f"a BD curve needs >=2 distinct-rate points, got {len(merged)}"
         )
+    rates = np.array([r for r, _, _ in merged])
+    psnrs = np.array([p for _, p, _ in merged])
     return np.log10(rates), psnrs
 
 
@@ -119,6 +126,8 @@ def main(argv: Sequence[str] | None = None) -> None:
     metric = "Decoded PSNR"
     if "--metric" in argv:
         i = argv.index("--metric")
+        if i + 1 >= len(argv):
+            raise SystemExit("--metric needs a value, e.g. --metric 'PSNR'")
         metric = argv[i + 1]
         del argv[i : i + 2]
     if len(argv) != 2:

@@ -62,3 +62,33 @@ def test_compress_image_input_validation(tmp_path):
             overrides=["entropy_coding=none"],
             out_dir=tmp_path,
         )
+
+
+def test_compress_image_nan_rejected(tmp_path):
+    img = synthetic_image(8, 8, seed=0).copy()
+    img[0, 0, 0] = np.nan
+    with pytest.raises(ValueError, match="NaN"):
+        iit.compress_image(img, out_dir=tmp_path / "x")
+
+
+def test_compress_image_unique_default_dirs(tmp_path, monkeypatch):
+    """Successive calls without out_dir must not overwrite each other."""
+    monkeypatch.chdir(tmp_path)
+    img = synthetic_image(12, 12, seed=0)
+    r1 = iit.compress_image(img, overrides=FAST)
+    r2 = iit.compress_image(img, overrides=FAST)
+    assert r1.run_dir != r2.run_dir
+    assert r1.run_dir.exists() and r2.run_dir.exists()
+
+
+def test_compress_image_output_dir_override_wins(tmp_path):
+    """'output_dir=' in overrides is a standard dotted override — it must
+    beat the out_dir parameter (docstring contract)."""
+    img = synthetic_image(12, 12, seed=0)
+    want = tmp_path / "explicit"
+    res = iit.compress_image(
+        img, overrides=FAST + [f"output_dir={want}"],
+        out_dir=tmp_path / "ignored",
+    )
+    assert res.run_dir == want and want.exists()
+    assert not (tmp_path / "ignored").exists()

@@ -473,13 +473,35 @@ def test_bd_identity_and_symmetry():
 def test_bd_input_validation():
     from implicit_image_tpu.visualize.bd_rate import bd_psnr, bd_rate
 
-    with pytest.raises(ValueError, match="monotone"):
-        bd_rate(_BD_ANCHOR, [(10_000, 40.0), (20_000, 39.0)])
     with pytest.raises(ValueError, match=">=2"):
         bd_psnr(_BD_ANCHOR, [(10_000, 40.0)])
+    # duplicate rates (same config re-run) merge, they don't error;
+    # a single distinct rate is still too few
+    with pytest.raises(ValueError, match=">=2"):
+        bd_psnr(_BD_ANCHOR, [(10_000, 40.0), (10_000, 41.0)])
+    with pytest.raises(ValueError, match="positive"):
+        bd_psnr(_BD_ANCHOR, [(0.0, 40.0), (10_000, 41.0)])
     # disjoint quality ranges: BD-rate integrates over PSNR, undefined
     with pytest.raises(ValueError, match="overlap"):
         bd_rate(_BD_ANCHOR, [(1_000, 10.0), (2_000, 20.0)])
+
+
+def test_bd_tolerates_run_store_noise():
+    """Seed noise (a locally non-monotone PSNR rung) and duplicate byte
+    counts are ordinary run-store data — the Bjøntegaard fit must compute,
+    not refuse."""
+    from implicit_image_tpu.visualize.bd_rate import bd_psnr, bd_rate
+
+    noisy = [
+        (23_800, 41.25), (23_800, 41.35),      # same config re-run
+        (36_457, 47.70), (53_717, 47.55),      # non-monotone rung
+        (84_549, 55.58),
+    ]
+    r = bd_rate(_BD_ANCHOR, noisy)
+    p = bd_psnr(_BD_ANCHOR, noisy)
+    assert np.isfinite(r) and np.isfinite(p)
+    # the noisy curve tracks the anchor: both deltas stay small
+    assert abs(p) < 2.0
 
 
 def test_bd_cli_reads_run_store(tmp_path, capsys):
