@@ -341,3 +341,29 @@ def test_sequence_ekfac_pframe_carry(tmp_path):
     assert [r["kind"] for r in rows] == ["I", "P"]
     frames, _ = decode_sequence(Path(tmp_path) / "seq_unittest")
     assert frames.shape[0] == 2
+
+
+def test_sequence_files_input(tmp_path):
+    """sequence.files=a.png,b.png — real multi-file input goes through the
+    standard image loader per frame; geometry comes from the files."""
+    from implicit_image_tpu.data import save_img
+
+    v = synthetic_video(24, 24, frames=2, seed=7, motion=0.02)
+    paths = []
+    for t in range(2):
+        p = tmp_path / f"f{t}.png"
+        save_img(str(p), v[t])
+        paths.append(str(p))
+    rows = encode_sequence([
+        "mlp.depth=3", "mlp.hidden_size=16",
+        "img.height=24", "img.width=24", "img.bits=8",
+        "train.num_steps=20", "train.log_steps=20",
+        "quant=kmeans", "quant.bits=4", "quant.num_steps=4",
+        "quant.log_steps=4", "entropy_coding=zstd", "masking=none",
+        f"sequence.files={paths[0]},{paths[1]}",
+        "sequence.steps0=20", "sequence.steps=6", "sequence.max_drop=none",
+        f"output_dir={tmp_path}",
+    ])
+    assert [r["kind"] for r in rows] == ["I", "P"]
+    frames, _ = decode_sequence(tmp_path / "seq_f0")
+    assert frames.shape == (2, 24, 24, 3)
