@@ -23,7 +23,10 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
-__all__ = ["compress_image", "decompress_image", "CompressedImage"]
+__all__ = [
+    "compress_image", "compress_images", "decompress_image",
+    "CompressedImage",
+]
 
 
 def __getattr__(name):

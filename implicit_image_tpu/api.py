@@ -26,7 +26,10 @@ from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-__all__ = ["CompressedImage", "compress_image", "decompress_image"]
+__all__ = [
+    "CompressedImage", "compress_image", "compress_images",
+    "decompress_image",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +52,22 @@ class CompressedImage:
         return (
             self.run_dir / "model_quantized" / "compressed_weights.data"
         ).read_bytes()
+
+
+def _validate_array(image) -> np.ndarray:
+    arr = np.asarray(image, np.float32)
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        raise ValueError(
+            f"expected an (H, W, 3) image array, got shape {arr.shape}"
+        )
+    if not np.isfinite(arr).all():
+        raise ValueError("image contains NaN/inf values")
+    if float(arr.min()) < 0.0 or float(arr.max()) > 1.0:
+        raise ValueError(
+            "image values must be in [0, 1] "
+            f"(got [{arr.min():.3g}, {arr.max():.3g}])"
+        )
+    return arr
 
 
 def _unique_run_dir(base: Path) -> Path:
@@ -85,18 +104,7 @@ def compress_image(
     ov = [f"seed={int(seed)}", *map(str, overrides)]
     arr: Optional[np.ndarray] = None
     if not isinstance(image, (str, Path)):
-        arr = np.asarray(image, np.float32)
-        if arr.ndim != 3 or arr.shape[-1] != 3:
-            raise ValueError(
-                f"expected an (H, W, 3) image array, got shape {arr.shape}"
-            )
-        if not np.isfinite(arr).all():
-            raise ValueError("image contains NaN/inf values")
-        if float(arr.min()) < 0.0 or float(arr.max()) > 1.0:
-            raise ValueError(
-                "image values must be in [0, 1] "
-                f"(got [{arr.min():.3g}, {arr.max():.3g}])"
-            )
+        arr = _validate_array(image)
     cfg = compose(ov)
     if arr is None:
         # set path fields directly: an f"img.path={image}" override would
@@ -126,6 +134,69 @@ def compress_image(
     return CompressedImage(
         psnr=float(psnr), nbytes=int(nbytes), run_dir=run_dir
     )
+
+
+def compress_images(
+    images: Sequence[np.ndarray],
+    overrides: Sequence[str] = (),
+    out_dir: Union[str, Path, None] = None,
+    seed: int = 0,
+    names: Optional[Sequence[str]] = None,
+) -> list:
+    """Compress B same-shape images as ONE vmapped compiled program (the
+    TPU-native fleet encode — the reference's only many-images story is
+    one OS process per image via Hydra multirun / SLURM arrays).
+
+    Returns a list of CompressedImage, one per input, each backed by a
+    standard decodable run dir under out_dir (default: the first free
+    outputs/api/fleet[_k]).
+    """
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.fleet import encode_fleet
+
+    arrs = [_validate_array(im) for im in images]
+    if not arrs:
+        raise ValueError("compress_images needs at least one image")
+    if len({a.shape for a in arrs}) != 1:
+        raise ValueError(
+            "all images must share one shape (the fleet is one vmapped "
+            "program); got " + ", ".join(str(a.shape) for a in arrs)
+        )
+    names = (
+        [str(n) for n in names] if names is not None
+        else [f"img{i}" for i in range(len(arrs))]
+    )
+    if len(names) != len(arrs):
+        raise ValueError(f"{len(names)} names for {len(arrs)} images")
+    if len(set(names)) != len(names):
+        raise ValueError("member names must be unique (they become dirs)")
+    cfg = compose([f"seed={int(seed)}", *map(str, overrides)])
+    h, w = arrs[0].shape[:2]
+    cfg["img"]["height"], cfg["img"]["width"] = int(h), int(w)
+    if cfg.get("entropy_coding", {}).get("stream_name", "none") == "none":
+        raise ValueError(
+            "compress_images produces decodable bitstreams — pick an "
+            "entropy_coding backend (e.g. 'entropy_coding=auto')"
+        )
+    if out_dir is not None:
+        root = Path(str(out_dir))
+    else:
+        base = Path("outputs/api")
+        root = base / "fleet"
+        k = 0
+        while root.exists():
+            k += 1
+            root = base / f"fleet_{k}"
+    member_cfgs = []
+    for name in names:
+        m = dict(cfg)
+        m["img"] = dict(cfg["img"]) | {"name": name, "path": None}
+        member_cfgs.append(m)
+    rows = encode_fleet(cfg, arrs, names, member_cfgs, root=root)
+    return [
+        CompressedImage(psnr=float(p), nbytes=int(b), run_dir=root / n)
+        for n, p, b in rows
+    ]
 
 
 def decompress_image(

@@ -76,6 +76,17 @@ def run(argv) -> list:
         member_cfgs.append(mcfg_i)
         names.append(name)
         imgs.append(img)
+    return encode_fleet(cfg, imgs, names, member_cfgs)
+
+
+def encode_fleet(cfg, imgs, names, member_cfgs, root=None) -> list:
+    """The fleet body: B same-shape images -> ONE vmapped compiled program
+    -> per-member standard run dirs. `imgs` are preloaded (H, W, 3) arrays
+    (the CLI loads them from fleet.images; api.compress_images passes
+    arrays directly). Returns [(name, decoded_psnr, bytes), ...]."""
+    from implicit_image_tpu.parallel.ladder import build_ladder_args
+    from implicit_image_tpu.parallel.pipeline import batched_compress
+
     # model/train/optim/quant/coding args exactly as the ladder/sweeper
     # assemble them (incl. train.init_path -> init_params); masking may be
     # dense for a fleet (the ladder itself requires sparse members)
@@ -84,9 +95,11 @@ def run(argv) -> list:
     if cfg.get("masking", {}).get("dense", False):
         masking = None
 
-    root = Path(cfg.get("output_dir", "outputs")) / (
-        "fleet_" + str(cfg.get("exp_name", "run"))
-    )
+    if root is None:
+        root = Path(cfg.get("output_dir", "outputs")) / (
+            "fleet_" + str(cfg.get("exp_name", "run"))
+        )
+    root = Path(root)
     t0 = time.perf_counter()
     results = batched_compress(
         jax.random.PRNGKey(int(cfg.seed)),

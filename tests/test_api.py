@@ -92,3 +92,35 @@ def test_compress_image_output_dir_override_wins(tmp_path):
     )
     assert res.run_dir == want and want.exists()
     assert not (tmp_path / "ignored").exists()
+
+
+def test_compress_images_fleet(tmp_path):
+    """B same-shape arrays -> one vmapped program -> B decodable run dirs
+    (fleet.encode_fleet under the hood)."""
+    imgs = [synthetic_image(16, 16, seed=s) for s in (0, 1, 2)]
+    res = iit.compress_images(
+        imgs, overrides=FAST, out_dir=tmp_path / "fleet",
+        names=["a", "b", "c"],
+    )
+    assert [r.run_dir.name for r in res] == ["a", "b", "c"]
+    for r, src in zip(res, imgs):
+        dec = r.decode()
+        assert dec.shape == (16, 16, 3)
+        mse = float(np.mean((dec - src) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        # each member decodes to ITS OWN image at the reported quality
+        assert abs(psnr - r.psnr) < 0.05
+
+
+def test_compress_images_validation(tmp_path):
+    ok = synthetic_image(16, 16, seed=0)
+    with pytest.raises(ValueError, match="share one shape"):
+        iit.compress_images(
+            [ok, synthetic_image(8, 8, seed=0)], out_dir=tmp_path
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        iit.compress_images([], out_dir=tmp_path)
+    with pytest.raises(ValueError, match="unique"):
+        iit.compress_images([ok, ok], names=["x", "x"], out_dir=tmp_path)
+    with pytest.raises(ValueError, match="2 names"):
+        iit.compress_images([ok], names=["x", "y"], out_dir=tmp_path)
