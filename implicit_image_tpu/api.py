@@ -53,6 +53,13 @@ class CompressedImage:
             self.run_dir / "model_quantized" / "compressed_weights.data"
         ).read_bytes()
 
+    def save(self, path: Union[str, Path, None] = None) -> Path:
+        """Pack the run dir into ONE .iic file (coding/container_file.py);
+        decompress_image / the decompress CLI decode it directly."""
+        from implicit_image_tpu.coding.container_file import pack_run
+
+        return pack_run(self.run_dir, path)
+
 
 def _validate_array(image) -> np.ndarray:
     arr = np.asarray(image, np.float32)

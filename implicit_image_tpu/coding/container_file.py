@@ -1,0 +1,117 @@
+"""Single-file container (.iic) — pack a run dir into one artifact.
+
+The run-dir layout (config.json + model_quantized/{compressed_weights.data,
+meta_data.json}) mirrors the reference's on-disk format
+(reference entropy_coding/__init__.py:70-121 writes exactly those two
+model files); a production codec ships ONE file. `pack_run` bundles the
+three files into a stored (uncompressed — the payload is already
+entropy-coded) zip with deterministic member metadata, so identical runs
+pack to identical bytes. `decompress.decode_run`, the decompress CLI and
+api.decompress_image accept a packed file anywhere a run dir is accepted.
+
+Containers that delta-code against a SHARED artifact (quant.delta) stay
+packable — the artifact is encoder/decoder state referenced by
+path+sha256, deliberately not in the bitstream. Inter-frame sequence
+containers (a `prev` link to the previous frame) are refused: a single
+P-frame file without its chain cannot decode; pack the I-frame or use
+the sequence dir.
+
+    python -m implicit_image_tpu.coding.container_file pack <run_dir> [out.iic]
+    python -m implicit_image_tpu.decompress <file.iic>
+"""
+from __future__ import annotations
+
+import json
+import zipfile
+from pathlib import Path
+from typing import Optional, Union
+
+__all__ = ["pack_run", "unpack_run", "is_packed_container", "MEMBERS"]
+
+MEMBERS = (
+    "config.json",
+    "model_quantized/meta_data.json",
+    "model_quantized/compressed_weights.data",
+)
+# fixed timestamp -> byte-identical packs for identical runs
+_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def pack_run(
+    run_dir: Union[str, Path], out_path: Union[str, Path, None] = None
+) -> Path:
+    """Bundle a decodable run dir into one .iic file; returns its path."""
+    run_dir = Path(run_dir)
+    for name in MEMBERS:
+        if not (run_dir / name).is_file():
+            raise FileNotFoundError(
+                f"{run_dir} is not a decodable run dir (missing {name})"
+            )
+    meta = json.loads(
+        (run_dir / "model_quantized" / "meta_data.json").read_text()
+    )
+    delta = meta.get("__meta__", {}).get("delta", {})
+    if "prev" in delta:
+        raise ValueError(
+            f"{run_dir} is an inter-frame (P) container chained to "
+            f"{delta['prev']!r} — a single file cannot carry the decode "
+            "chain; pack the sequence's I-frame or ship the seq_* dir"
+        )
+    out_path = Path(out_path) if out_path else run_dir.with_suffix(".iic")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED) as z:
+        for name in MEMBERS:
+            info = zipfile.ZipInfo(name, date_time=_EPOCH)
+            z.writestr(info, (run_dir / name).read_bytes())
+    return out_path
+
+
+def is_packed_container(path: Union[str, Path]) -> bool:
+    path = Path(path)
+    if not path.is_file() or not zipfile.is_zipfile(path):
+        return False
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+    return all(m in names for m in MEMBERS)
+
+
+def unpack_run(
+    path: Union[str, Path], dest: Union[str, Path, None] = None
+) -> Path:
+    """Extract a packed container to a run dir (default: alongside the
+    file, named after its stem); returns the run dir."""
+    path = Path(path)
+    if not is_packed_container(path):
+        raise ValueError(
+            f"{path} is not a packed .iic container "
+            f"(expected a stored zip holding {', '.join(MEMBERS)})"
+        )
+    dest = Path(dest) if dest else path.parent / path.stem
+    with zipfile.ZipFile(path) as z:
+        for name in MEMBERS:
+            target = dest / name
+            # the member list is the fixed MEMBERS tuple — no traversal risk
+            target.parent.mkdir(parents=True, exist_ok=True)
+            target.write_bytes(z.read(name))
+    return dest
+
+
+def main(argv: Optional[list] = None) -> None:
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) >= 2 and argv[0] == "pack":
+        out = pack_run(argv[1], argv[2] if len(argv) > 2 else None)
+        print(f"packed {argv[1]} -> {out} ({out.stat().st_size} bytes)")
+        return
+    if len(argv) >= 2 and argv[0] == "unpack":
+        out = unpack_run(argv[1], argv[2] if len(argv) > 2 else None)
+        print(f"unpacked {argv[1]} -> {out}")
+        return
+    raise SystemExit(
+        "usage: python -m implicit_image_tpu.coding.container_file "
+        "pack <run_dir> [out.iic] | unpack <file.iic> [dest_dir]"
+    )
+
+
+if __name__ == "__main__":
+    main()

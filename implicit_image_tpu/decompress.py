@@ -60,6 +60,21 @@ def decode_run(run_dir, out_path=None, scale=None, size=None, roi=None,
     import time
 
     run_dir = Path(run_dir)
+    if run_dir.is_file():
+        # packed single-file container (.iic) — unpack next to a temp dir
+        # and decode the run dir it holds (coding/container_file.py)
+        import tempfile
+
+        from implicit_image_tpu.coding.container_file import unpack_run
+
+        with tempfile.TemporaryDirectory() as td:
+            inner = unpack_run(run_dir, Path(td) / run_dir.stem)
+            return decode_run(
+                inner,
+                out_path=out_path or run_dir.with_suffix(".decoded.png"),
+                scale=scale, size=size, roi=roi, tile_rows=tile_rows,
+                base=base, delta_artifact=delta_artifact,
+            )
     cfg = json.loads((run_dir / "config.json").read_text())
     stream = cfg.get("entropy_coding", {}).get("stream_name", "zstd")
     if stream == "none":
