@@ -187,6 +187,38 @@ def main() -> None:
 
     meets = meets_bar(flag)
 
+    # ---- in-run MXU shape ceiling (auditability for the TFLOPS fields) --
+    # Times the fit's dominant contraction shape, (512^2 x 128)@(128 x 128)
+    # fp32, as a scanned chain of dots — the measured speed-of-light for
+    # the reference width on this chip (BASELINE.md "shape ceiling"). The
+    # fit's achieved TFLOPS should sit near this number, NOT near the bf16
+    # datasheet peak: K=N=128 cannot fill the MXU pipeline.
+    ceiling_tflops = None
+    try:
+        import time as _time
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        reps = 200
+        a = jnp.zeros((512 * 512, 128), jnp.float32) + 0.5
+        b = jnp.zeros((128, 128), jnp.float32) + 0.01
+
+        def chain(a, b):
+            def body(x, _):
+                return jnp.tanh(x @ b), ()
+            out, _ = lax.scan(body, a, None, length=reps)
+            return out
+
+        cfn = jax.jit(chain).lower(a, b).compile()
+        np.asarray(cfn(a, b))[0, 0]  # warm-up
+        t0 = _time.perf_counter()
+        np.asarray(cfn(a, b))[0, 0]
+        dt = _time.perf_counter() - t0
+        ceiling_tflops = round(2 * 512 * 512 * 128 * 128 * reps / dt / 1e12, 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] ceiling micro failed: {e!r}", file=sys.stderr)
+
     if meets:
         lead_value = flag["total_wall_s"]
         lead_metric = "complete_512px_protocol_to_ref_quality_wall"
@@ -235,6 +267,14 @@ def main() -> None:
         "flagship_wall_runs": flag_walls,
         "bar_decoded_db": ref["decoded_psnr"] if ref else None,
         "bar_bytes": ref["bytes"] if ref else None,
+        # achieved compute rates (XLA cost model FLOPs / measured wall) and
+        # the same-shape measured ceiling — the shape-limited speed-of-
+        # light argument, auditable from this artifact alone
+        "flagship_achieved_tflops": (
+            flag.get("fit_achieved_tflops") if flag else None),
+        "siren_achieved_tflops": (
+            ref.get("fit_achieved_tflops") if ref else None),
+        "mxu_k128_dot_ceiling_tflops": ceiling_tflops,
         # strict same-architecture numbers (previous rounds' headline)
         "siren_fit_wall_s": ref["fit_wall_s"] if ref else None,
         "siren_fit_vs_baseline": (

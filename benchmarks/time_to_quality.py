@@ -127,8 +127,17 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     mse = float(np.mean((np.asarray(dec_img, np.float64)
                          - np.asarray(img, np.float64)) ** 2))
     decoded = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
+    # achieved rate from XLA's own cost model over the executed fit
+    # programs (FitResult.flops) — makes the BASELINE.md shape-ceiling
+    # claim auditable from the bench artifact alone (VERDICT r3 weak #5)
+    fit_tflops = (
+        round(res.flops / res.wall_seconds / 1e12, 2)
+        if res.flops else None
+    )
     out = {
         "tag": tag, "steps": steps,
+        "fit_gflop_total": round(res.flops / 1e9, 1) if res.flops else None,
+        "fit_achieved_tflops": fit_tflops,
         "fit_wall_s": round(res.wall_seconds, 3),
         "quant_wall_s": round(t1 - t0, 3),
         "code_wall_s": round(t2 - t1, 3),

@@ -139,10 +139,18 @@ def batched_fit(
             )
         )
 
-    from implicit_image_tpu.training.fit import run_segment_chain
+    from implicit_image_tpu.training.fit import (
+        estimate_step_flops,
+        run_segment_chain,
+    )
 
-    carry, metrics, wall = run_segment_chain(
-        vinit, vsegs, (keys, imgs), (imgs,), n, seg, concat_axis=1
+    # per-step FLOPs for the whole batch = one image's cost model x B
+    fps1 = estimate_step_flops(
+        init_fn, segment_fn, (keys[0], imgs[0]), (imgs[0],)
+    )
+    carry, metrics, wall, flops = run_segment_chain(
+        vinit, vsegs, (keys, imgs), (imgs,), n, seg, concat_axis=1,
+        flops_per_step=fps1 * imgs.shape[0] if fps1 else None,
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
     return FitResult(
@@ -151,4 +159,5 @@ def batched_fit(
         opt_state=opt_state,
         metrics=metrics,
         wall_seconds=wall,
+        flops=flops,
     )

@@ -138,7 +138,7 @@ def ladder_fit(
     if shard is not None:
         carry0 = jax.device_put(carry0, shard)
 
-    carry, metrics, wall = run_segment_chain(
+    carry, metrics, wall, flops = run_segment_chain(
         None, jsegs, (), (img,), n, seg, concat_axis=1, carry_override=carry0
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
@@ -148,6 +148,7 @@ def ladder_fit(
         opt_state=opt_state,
         metrics=metrics,
         wall_seconds=wall,
+        flops=flops,
     )
 
 

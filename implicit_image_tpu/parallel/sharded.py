@@ -160,10 +160,16 @@ def sharded_fit(
         )
         for length in {seg, n % seg or seg}
     }
-    from implicit_image_tpu.training.fit import run_segment_chain
+    from implicit_image_tpu.training.fit import (
+        estimate_step_flops,
+        run_segment_chain,
+    )
 
-    carry, metrics, wall = run_segment_chain(
-        jinit, jseg, (key, img), (img,), n, seg
+    carry, metrics, wall, flops = run_segment_chain(
+        jinit, jseg, (key, img), (img,), n, seg,
+        flops_per_step=estimate_step_flops(
+            init_fn, segment_fn, (key, img), (img,)
+        ),
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
     return FitResult(
@@ -172,4 +178,5 @@ def sharded_fit(
         opt_state=opt_state,
         metrics=metrics,
         wall_seconds=wall,
+        flops=flops,
     )

@@ -54,6 +54,12 @@ def parse_space(overrides: List[str]):
         # masking.density-only space runs each round as ONE vmapped
         # ladder program (B trials per compile)
         "batch": 1,
+        # trial persistence/resume (the reference's Optuna sweeper keeps
+        # its study in sqlite and resumes — conf/hydra/sweeper/optuna.yaml):
+        # completed trials append to <dir>/sweep.jsonl; a relaunch with
+        # resume=1 (default) replays them instead of re-evaluating
+        "dir": "outputs/sweep",
+        "resume": 1,
     }
     for ov in overrides:
         key, _, val = ov.partition("=")
@@ -322,14 +328,78 @@ def ask_batch(space, history, rng, params, cma=None):
     return out
 
 
-def run_sweep(evaluate_batch, space, params, rng=None):
+class SweepStore:
+    """Append-only trial log: one JSON line per completed trial, headed by
+    a fingerprint of (space, sampler, seed, lambda_kb, batch). Replaces
+    the reference Optuna sweeper's sqlite storage
+    (conf/hydra/sweeper/optuna.yaml) for kill/resume durability."""
+
+    def __init__(self, path, space, params):
+        self.path = Path(path)
+        self.fingerprint = {
+            "space": {k: [v[0], [str(a) for a in v[1]]]
+                      for k, v in sorted(space.items())},
+            "sampler": str(params["sampler"]),
+            "seed": int(params["seed"]),
+            "lambda_kb": float(params["lambda_kb"]),
+            "batch": int(params.get("batch", 1)),
+        }
+
+    def load(self) -> List[dict]:
+        """Prior trials if the file exists AND its fingerprint matches;
+        a changed space/sampler/seed invalidates replay (the proposal
+        sequence would diverge) — then [] and the file is re-headed."""
+        if not self.path.exists():
+            return []
+        lines = self.path.read_text().splitlines()
+        if not lines:
+            return []
+        head = json.loads(lines[0])
+        if head.get("_sweep") != self.fingerprint:
+            log.warning(
+                "sweep store %s was written under a different "
+                "space/sampler/seed; starting fresh", self.path,
+            )
+            return []
+        return [json.loads(ln) for ln in lines[1:] if ln.strip()]
+
+    def append(self, trial: dict) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        if not self.path.exists() or not self.path.read_text().strip():
+            self.path.write_text(
+                json.dumps({"_sweep": self.fingerprint}) + "\n"
+            )
+        with self.path.open("a") as f:
+            f.write(json.dumps(trial) + "\n")
+
+    def truncate(self, n_keep: int) -> None:
+        """Keep the header + the first n_keep trials (desync recovery:
+        stale tail lines must not survive into the next resume)."""
+        if not self.path.exists():
+            return
+        lines = self.path.read_text().splitlines()
+        self.path.write_text("\n".join(lines[: 1 + n_keep]) + "\n")
+
+
+def run_sweep(evaluate_batch, space, params, rng=None, store=None):
     """Driver shared by the CLI and tests: ask a batch, evaluate it (ONE
     call — the evaluator may vmap the whole batch), tell, repeat.
 
     evaluate_batch(values_list) -> [(psnr, bytes), ...] in order.
     Returns (trials, best_overrides).
+
+    `store` (SweepStore) persists each completed trial; on relaunch the
+    recorded results REPLAY against the deterministic proposal sequence
+    (same seed -> same asks for every sampler, including CMA-ES, whose
+    internal state is rebuilt by replaying ask/tell) so a killed sweep
+    resumes where it stopped instead of restarting from zero. A proposal
+    that stops matching the record (e.g. nondeterministic evaluator noise
+    fed back into the asks) discards the remaining record and resumes
+    live evaluation from that point.
     """
     rng = rng or random.Random(int(params["seed"]))
+    recorded = store.load() if store is not None else []
+    replayed = 0
     cma = None
     if str(params["sampler"]) == "cmaes":
         cont = {k: v for k, v in space.items() if v[0] != "choice"}
@@ -350,20 +420,47 @@ def run_sweep(evaluate_batch, space, params, rng=None):
     while t < n_trials:
         batch_values = ask_batch(space, history, rng, params, cma)
         batch_values = batch_values[: n_trials - t]
-        results = evaluate_batch(batch_values)
+        proposed_strs = [
+            {k: str(v) for k, v in values.items()} for values in batch_values
+        ]
+        head = recorded[: len(batch_values)]
+        if head and len(head) == len(batch_values) and all(
+            r["values"] == p for r, p in zip(head, proposed_strs)
+        ):
+            # replay: this whole round was already evaluated pre-kill
+            results = [(r["psnr"], r["bytes"]) for r in head]
+            recorded = recorded[len(head):]
+            replayed += len(head)
+            fresh = False
+        else:
+            if recorded:
+                log.warning(
+                    "sweep store desynced after %d replayed trials "
+                    "(proposals no longer match the record); evaluating "
+                    "live from here", replayed,
+                )
+                recorded = []
+                if store is not None:
+                    store.truncate(replayed)
+            results = evaluate_batch(batch_values)
+            fresh = True
         objectives = []
         for values, (psnr, nbytes) in zip(batch_values, results):
             objective = psnr - float(params["lambda_kb"]) * nbytes / 1024.0
             objectives.append(objective)
             history.append((values, objective))
-            trials.append(
-                {"trial": t, "values": {k: str(v) for k, v in values.items()},
-                 "psnr": psnr, "bytes": nbytes, "objective": objective}
-            )
+            trial = {
+                "trial": t, "values": {k: str(v) for k, v in values.items()},
+                "psnr": psnr, "bytes": nbytes, "objective": objective,
+            }
+            trials.append(trial)
+            if fresh and store is not None:
+                store.append(trial)
             if objective > best[0]:
                 best = (objective, values)
             log.info(
-                "trial %d: PSNR=%.3f bytes=%d obj=%.3f", t, psnr, nbytes, objective
+                "trial %d%s: PSNR=%.3f bytes=%d obj=%.3f",
+                t, " (replayed)" if not fresh else "", psnr, nbytes, objective,
             )
             t += 1
         if cma is not None and cma._pending is not None:
@@ -465,7 +562,12 @@ def cli(argv=None) -> None:
         if batchable
         else _make_serial_evaluator(fixed, params)
     )
-    trials, best = run_sweep(evaluate, space, params)
+    store = (
+        SweepStore(Path(str(params["dir"])) / "sweep.jsonl", space, params)
+        if int(params["resume"])
+        else None
+    )
+    trials, best = run_sweep(evaluate, space, params, store=store)
     out = Path("outputs/sweep_results.json")
     out.parent.mkdir(parents=True, exist_ok=True)
     best_overrides = fixed + [f"{k}={v}" for k, v in best[1].items()]

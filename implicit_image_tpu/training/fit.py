@@ -143,6 +143,36 @@ class FitResult(NamedTuple):
     # ran. Metric arrays then cover only the executed steps.
     stopped_at: Optional[int] = None
     stop_psnr_db: Optional[float] = None
+    # total FLOPs of the executed fit programs from XLA's own cost model
+    # (compiled.cost_analysis(); None when the backend reports no model).
+    # achieved TFLOPS = flops / wall_seconds / 1e12 — reported by bench.py
+    # so the shape-ceiling claim is auditable from BENCH_r*.json alone.
+    flops: Optional[float] = None
+
+
+def estimate_step_flops(init_fn, segment_fn, init_args, seg_args):
+    """FLOPs of ONE training step, from XLA's cost model.
+
+    Lowers a length-1 segment program against abstract shapes (eval_shape
+    carry — no device work, no backend compile; ~0.3 s of tracing). XLA's
+    cost model counts a while/scan body ONCE regardless of trip count
+    (verified on both cpu and TPU backends), so the faithful total for a
+    fit is per-step FLOPs x executed steps — NOT cost_analysis() of the
+    scanned program. Returns None when the backend exposes no model."""
+    try:
+        carry = jax.eval_shape(init_fn, *init_args)
+        low = jax.jit(functools.partial(segment_fn, length=1)).lower(
+            carry, *seg_args, jnp.int32(0)
+        )
+        ca = low.cost_analysis()
+    except Exception:  # noqa: BLE001 - backend-dependent API
+        return None
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else None
+    if not isinstance(ca, dict):
+        return None
+    f = ca.get("flops")
+    return float(f) if f is not None and f > 0 else None
 
 
 def _needs_momentum(masking_cfg: Optional[MaskingConfig]) -> bool:
@@ -525,11 +555,14 @@ def run_segment_chain(
     start0: int = 0,
     carry_override=None,
     on_segment=None,
+    flops_per_step=None,
 ):
     """Warm-compile then chain jitted segment executions.
 
     jsegs: {length: jitted (carry, *seg_args, start) -> (carry, metrics)}.
-    Returns (final carry, concatenated metrics, wall_seconds) — the shared
+    Returns (final carry, concatenated metrics, wall_seconds, flops) —
+    flops = `flops_per_step` (estimate_step_flops) x the steps actually
+    executed (None when no per-step figure was supplied) — the shared
     driver for fit/batched_fit/sharded_fit's runtime-watchdog workaround.
     `start0`/`carry_override` resume from a checkpointed state (metrics
     then cover steps [start0, n)); `on_segment(carry, next_step)` fires at
@@ -559,7 +592,9 @@ def run_segment_chain(
         for k in chunks[0]
     }
     _np.asarray(jnp.ravel(metrics["loss"])[-1])  # force completion
-    return carry, metrics, time.perf_counter() - t0
+    executed = start - start0
+    flops = flops_per_step * executed if flops_per_step else None
+    return carry, metrics, time.perf_counter() - t0, flops
 
 
 def make_fit_fn(
@@ -665,12 +700,16 @@ def fit(
         )
 
     if n <= seg:
+        init_fn, segment_fn = make_fit_segments(
+            mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, init_params
+        )
         fit_fn = jax.jit(
             make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg,
                         init_params)
         )
         # warm-up compile outside the timed region
         compiled = fit_fn.lower(key, img).compile()
+        fps = estimate_step_flops(init_fn, segment_fn, (key, img), (img,))
         t0 = time.perf_counter()
         params, opt_state, mask_state, metrics = compiled(key, img)
         # force a value to host: block_until_ready alone can return before
@@ -683,6 +722,7 @@ def fit(
             opt_state=opt_state,
             metrics=metrics,
             wall_seconds=wall,
+            flops=fps * n if fps else None,
         )
 
     return _fit_segmented(
@@ -802,9 +842,12 @@ def _fit_segmented(
                     return True
             return False
 
-    carry, metrics, wall = run_segment_chain(
+    carry, metrics, wall, flops = run_segment_chain(
         jinit, jseg, (key, img), (img,), n, seg,
         start0=start0, carry_override=carry_override, on_segment=on_segment,
+        flops_per_step=estimate_step_flops(
+            init_fn, segment_fn, (key, img), (img,)
+        ),
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
     return FitResult(
@@ -815,4 +858,5 @@ def _fit_segmented(
         wall_seconds=wall,
         stopped_at=stop_state["step"],
         stop_psnr_db=stop_state["psnr"],
+        flops=flops,
     )

@@ -519,3 +519,71 @@ def test_bd_cli_reads_run_store(tmp_path, capsys):
     assert out["anchor_points"] == 4 and out["test_points"] == 4
     assert abs(out["bd_rate_pct"] - (-20.0)) < 0.01
     assert out["bd_psnr_db"] > 0
+
+
+def test_sweep_store_kill_resume(tmp_path):
+    """Sweep persistence (reference conf/hydra/sweeper/optuna.yaml keeps
+    its Optuna study in sqlite and resumes): a sweep killed mid-run must
+    resume from <dir>/sweep.jsonl without re-evaluating completed trials,
+    and the resumed run must finish with trials identical to an
+    uninterrupted run (the replay feeds recorded objectives back into the
+    deterministic ask sequence, so TPE *and* CMA-ES internal state
+    rebuild exactly)."""
+    from implicit_image_tpu.sweep import SweepStore, run_sweep
+
+    space = {"x": ("uniform", ["0", "1"])}
+
+    def objective(vals):
+        return -((float(vals["x"]) - 0.3) ** 2)
+
+    for sampler in ("tpe", "cmaes"):
+        params = {"n_trials": 8, "seed": 3, "lambda_kb": 0.0,
+                  "sampler": sampler, "n_startup": 3, "gamma": 0.25,
+                  "batch": 1}
+        store_path = tmp_path / sampler / "sweep.jsonl"
+
+        calls = {"n": 0}
+
+        def evaluate(batch_values):
+            calls["n"] += len(batch_values)
+            return [(objective(v), 0) for v in batch_values]
+
+        # uninterrupted run (no store) = the ground truth
+        truth, truth_best = run_sweep(evaluate, space, dict(params))
+        assert calls["n"] == 8
+
+        # killed run: the evaluator dies at the 2nd evaluation round
+        # (cmaes rounds are population-sized, tpe rounds are single
+        # trials — killing on a round boundary covers both)
+        calls["n"] = 0
+        rounds = {"n": 0}
+
+        def dying(batch_values):
+            rounds["n"] += 1
+            if rounds["n"] > 1:
+                raise RuntimeError("killed")
+            return evaluate(batch_values)
+
+        store = SweepStore(store_path, space, params)
+        try:
+            run_sweep(dying, space, dict(params), store=store)
+        except RuntimeError:
+            pass
+        survived = calls["n"]
+        assert 0 < survived < 8
+        assert len(store.load()) == survived
+
+        # resume: the recorded trials replay with ZERO evaluator calls,
+        # the rest evaluate live; the final record matches the truth run
+        calls["n"] = 0
+        store2 = SweepStore(store_path, space, params)
+        trials, best = run_sweep(evaluate, space, dict(params), store=store2)
+        assert calls["n"] == 8 - survived, (
+            f"{sampler}: re-evaluated replayable trials")
+        assert trials == truth, sampler
+        assert best == truth_best, sampler
+        assert len(store2.load()) == 8
+
+        # a changed seed invalidates the record (proposals would diverge)
+        other = SweepStore(store_path, space, {**params, "seed": 4})
+        assert other.load() == []
