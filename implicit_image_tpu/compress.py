@@ -298,12 +298,39 @@ def main(
     )
 
     init_path = cfg.train.get("init_path") or None
-    if init_path:
+    if init_path == "auto":
+        # warm/cold arbitration: warm only inside its measured-win regime
+        # AND when a committed artifact matches this architecture
+        from implicit_image_tpu.training.metainit import resolve_auto_init
+
+        params_w, init_path, why = resolve_auto_init(
+            mdef.name, mcfg, num_steps
+        )
+        if params_w is not None:
+            fit_kwargs["init_params"] = params_w
+            log.info("fit: init_path=auto -> warm (%s)", why)
+        else:
+            log.info("fit: init_path=auto -> cold (%s)", why)
+    elif init_path:
         # meta-learned warm start (training/metainit.py): shared
         # encoder-side state, zero bitstream cost — the container still
         # carries full quantized weights, so decode needs nothing extra
-        from implicit_image_tpu.training.metainit import load_meta_init
+        from implicit_image_tpu.training.metainit import (
+            WARM_BUDGET_MAX_STEPS,
+            load_meta_init,
+        )
 
+        if num_steps > WARM_BUDGET_MAX_STEPS:
+            # known-bad regime guard: warm saturates below the cold
+            # asymptote past ~b1200 (BASELINE.md) — honor the explicit
+            # config but say so loudly; init_path=auto picks cold here
+            log.warning(
+                "fit: explicit warm start at %d steps is past the "
+                "measured warm-win regime (~%d); expect LOWER decoded "
+                "quality than a cold start — use train.init_path=auto "
+                "for budget-aware arbitration", num_steps,
+                WARM_BUDGET_MAX_STEPS,
+            )
         fit_kwargs["init_params"] = load_meta_init(
             init_path, expect_model=mdef.name, expect_mcfg=mcfg
         )

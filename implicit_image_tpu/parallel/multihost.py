@@ -142,6 +142,11 @@ def _worker_main(argv: Sequence[str]) -> None:
     # report file: gloo/absl chatter can interleave with stdout mid-line,
     # so the machine-readable report goes to its own file when given
     ap.add_argument("--report", default=None)
+    # fault injection (tests/test_parallel.py dead-worker path): this
+    # process exits uncleanly right after distributed init, leaving its
+    # peers blocked in the allgather — the supervisor must detect it and
+    # tear the fleet down instead of hanging
+    ap.add_argument("--die", action="store_true")
     args = ap.parse_args(argv)
 
     import jax
@@ -149,6 +154,8 @@ def _worker_main(argv: Sequence[str]) -> None:
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
     init_multihost(args.coordinator, args.num_processes, args.process_id)
+    if args.die:
+        sys.exit(17)
 
     import jax.numpy as jnp
     import numpy as np
@@ -209,11 +216,23 @@ def launch_dryrun(
     steps: int = 20,
     port: int = 0,
     timeout: float = 300.0,
+    die_process: Optional[int] = None,
 ):
     """Spawn a local multi-process dryrun; returns the workers' parsed
     JSON reports. Validates init/global-mesh/collective/fleet paths
-    without multi-host hardware (gloo over localhost)."""
+    without multi-host hardware (gloo over localhost).
+
+    Failure detection: the supervisor POLLS the fleet — the moment any
+    worker exits non-zero (e.g. `die_process=p` fault injection, or a
+    real crash) the survivors, which would otherwise block in the
+    allgather until the gloo timeout, are killed and a RuntimeError
+    reports which worker died. A fleet that makes no progress past
+    `timeout` seconds is torn down the same way (TimeoutError). Worker
+    stdout/stderr go to files, not pipes, so a chatty worker can never
+    deadlock against a full pipe buffer."""
     import socket
+    import tempfile
+    import time as _time
 
     if port == 0:
         s = socket.socket()
@@ -229,10 +248,10 @@ def launch_dryrun(
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
-    import tempfile
-
     tmp = tempfile.mkdtemp(prefix="multihost_dryrun_")
     report_files = [os.path.join(tmp, f"report_{i}.json") for i in range(num_processes)]
+    out_files = [open(os.path.join(tmp, f"worker_{i}.log"), "w+")
+                 for i in range(num_processes)]
     procs = [
         subprocess.Popen(
             [
@@ -244,21 +263,56 @@ def launch_dryrun(
                 "--fleet-size", str(fleet_size),
                 "--steps", str(steps),
                 "--report", report_files[i],
-            ],
+            ]
+            + (["--die"] if die_process == i else []),
             env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
+            stdout=out_files[i],
+            stderr=subprocess.STDOUT,
         )
         for i in range(num_processes)
     ]
+
+    def _worker_log(i, limit=2000):
+        out_files[i].flush()
+        out_files[i].seek(0)
+        return out_files[i].read()[-limit:]
+
+    deadline = _time.monotonic() + timeout
+    try:
+        while True:
+            codes = [p.poll() for p in procs]
+            dead = [i for i, rc in enumerate(codes)
+                    if rc is not None and rc != 0]
+            if dead:
+                raise RuntimeError(
+                    f"worker(s) {dead} exited "
+                    f"{[codes[i] for i in dead]}; fleet torn down\n"
+                    f"worker {dead[0]} log:\n{_worker_log(dead[0])}"
+                )
+            if all(rc == 0 for rc in codes):
+                break
+            if _time.monotonic() > deadline:
+                alive = [i for i, rc in enumerate(codes) if rc is None]
+                raise TimeoutError(
+                    f"dryrun made no progress in {timeout}s; worker(s) "
+                    f"{alive} still running — fleet torn down"
+                )
+            _time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            if p.poll() is None:
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    pass
+        for f in out_files:
+            f.close()
+
     reports = []
-    for p, rf in zip(procs, report_files):
-        out, err = p.communicate(timeout=timeout)
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"worker exited {p.returncode}\nstdout:\n{out}\nstderr:\n{err[-2000:]}"
-            )
+    for i, rf in enumerate(report_files):
         with open(rf) as f:
             reports.append(json.loads(f.read()))
     return reports

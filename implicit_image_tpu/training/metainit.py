@@ -51,7 +51,15 @@ __all__ = [
     "meta_train",
     "save_meta_init",
     "load_meta_init",
+    "resolve_auto_init",
+    "WARM_BUDGET_MAX_STEPS",
 ]
+
+# BASELINE.md "Meta-learned initialization": warm starts SATURATE — the
+# warm trajectory's asymptote sits below the cold one, so past ~1200
+# effective steps cold wins decoded quality. `train.init_path=auto` picks
+# the warm artifact only inside the measured-win regime.
+WARM_BUDGET_MAX_STEPS = 1200
 
 # evaluation images (bench.py / benchmarks/time_to_quality.py) — the meta
 # pool must never contain them
@@ -288,3 +296,49 @@ def load_meta_init(path, expect_model: Optional[str] = None, expect_mcfg=None):
 def build_meta_model(model_name: str, **mlp_kwargs):
     """Convenience: (mdef, mcfg) for CLI/benchmark use."""
     return build_model(model_name, **mlp_kwargs)
+
+
+def default_meta_dir():
+    """The committed artifact store: <repo>/assets/meta."""
+    from pathlib import Path
+
+    return Path(__file__).resolve().parents[2] / "assets" / "meta"
+
+
+def resolve_auto_init(model_name: str, mcfg, num_steps: int, meta_dir=None):
+    """`train.init_path=auto` warm/cold arbitration (VERDICT r3 item 4).
+
+    Returns (params_or_None, path_or_None, reason). Warm is selected ONLY
+    when both hold:
+      * the effective budget (num_steps x multiplier, as passed) is inside
+        the measured warm-win regime (<= WARM_BUDGET_MAX_STEPS — past it
+        the warm asymptote loses decoded quality, BASELINE.md), and
+      * a committed artifact in assets/meta/ matches the run's
+        architecture (load_meta_init's model+mcfg validation).
+    Otherwise (None, None, why) — the fit cold-starts, and the reason is
+    logged so a user can see WHY auto declined the warm arm.
+    """
+    from pathlib import Path
+
+    if num_steps > WARM_BUDGET_MAX_STEPS:
+        return None, None, (
+            f"budget {num_steps} steps > warm-win regime "
+            f"(~{WARM_BUDGET_MAX_STEPS}); warm starts saturate below the "
+            "cold asymptote there (BASELINE.md), cold-starting"
+        )
+    root = Path(meta_dir) if meta_dir is not None else default_meta_dir()
+    if not root.is_dir():
+        return None, None, f"no artifact store at {root}"
+    rejected = []
+    for p in sorted(root.glob("*.npz")):
+        try:
+            params = load_meta_init(
+                p, expect_model=model_name, expect_mcfg=mcfg
+            )
+            return params, p, f"matched artifact {p.name}"
+        except Exception as e:  # noqa: BLE001 - mismatches are expected
+            rejected.append(f"{p.name}: {e}")
+    return None, None, (
+        "no matching artifact in "
+        f"{root} ({'; '.join(rejected) if rejected else 'empty'})"
+    )

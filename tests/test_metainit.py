@@ -257,3 +257,98 @@ def test_meta_train_cli(tmp_path):
     assert run(cfg) == str(out)
     loaded = load_meta_init(out, expect_model="siren")
     assert len(loaded) == 3
+
+
+def test_resolve_auto_init_arbitration(tmp_path, monkeypatch):
+    """train.init_path=auto (VERDICT r3 item 4): warm only when the
+    budget is inside the measured warm-win regime AND a committed
+    artifact matches the architecture; otherwise cold with a reason."""
+    from implicit_image_tpu.training import metainit
+    from implicit_image_tpu.training.metainit import (
+        WARM_BUDGET_MAX_STEPS,
+        resolve_auto_init,
+        save_meta_init,
+    )
+
+    mdef, mcfg, grid = _tiny_problem()
+    params = mdef.init(jax.random.PRNGKey(5), mcfg)
+    meta_dir = tmp_path / "meta"
+    meta_dir.mkdir()
+
+    # empty store -> cold
+    p, path, why = resolve_auto_init(mdef.name, mcfg, 500, meta_dir=meta_dir)
+    assert p is None and path is None and "no matching artifact" in why
+
+    # mismatched architecture -> cold, and the reason names the artifact
+    other_def, other_cfg = build_model("siren", depth=3, hidden_size=32)
+    save_meta_init(meta_dir / "wrong.npz", other_def.init(
+        jax.random.PRNGKey(0), other_cfg), other_def.name, other_cfg)
+    p, path, why = resolve_auto_init(mdef.name, mcfg, 500, meta_dir=meta_dir)
+    assert p is None and "wrong.npz" in why
+
+    # matching artifact inside the regime -> warm
+    save_meta_init(meta_dir / "good.npz", params, mdef.name, mcfg)
+    p, path, why = resolve_auto_init(mdef.name, mcfg, 500, meta_dir=meta_dir)
+    assert p is not None and path.name == "good.npz"
+    np.testing.assert_array_equal(np.asarray(p[0]["w"]),
+                                  np.asarray(params[0]["w"]))
+
+    # past the saturation budget -> cold even though the artifact matches
+    p, path, why = resolve_auto_init(
+        mdef.name, mcfg, WARM_BUDGET_MAX_STEPS + 1, meta_dir=meta_dir
+    )
+    assert p is None and "saturate" in why
+
+
+def test_init_path_auto_through_compress(tmp_path, monkeypatch, caplog):
+    """compress.py honors train.init_path=auto: warm inside the regime
+    (reproducing the explicit-path run bit-for-bit), cold past it, and
+    an explicit warm past the regime warns."""
+    import logging
+
+    from implicit_image_tpu.compress import main as compress_main
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.training import metainit
+
+    mdef, mcfg, grid = _tiny_problem()
+    params = mdef.init(jax.random.PRNGKey(5), mcfg)
+    meta_dir = tmp_path / "meta"
+    meta_dir.mkdir()
+    path = meta_dir / "tiny.npz"
+    save_meta_init(path, params, mdef.name, mcfg)
+    monkeypatch.setattr(metainit, "default_meta_dir", lambda: meta_dir)
+
+    base = [
+        "img=synthetic", "img.height=24", "img.width=24",
+        "mlp.depth=3", "mlp.hidden_size=16",
+        "train.num_steps=5", "train.log_steps=5",
+        "masking=none", "quant=none", "entropy_coding=plain",
+    ]
+    with caplog.at_level(logging.INFO, logger="implicit_image_tpu"):
+        psnr_auto, _ = compress_main(compose(
+            base + ["train.init_path=auto", f"output_dir={tmp_path}/auto"]
+        ))
+    assert any("auto -> warm" in r.message for r in caplog.records)
+
+    psnr_explicit, _ = compress_main(compose(
+        base + [f"train.init_path={path}", f"output_dir={tmp_path}/exp"]
+    ))
+    assert psnr_auto == psnr_explicit  # same artifact, same arbitration
+
+    # budget past the regime: auto goes cold and matches the cold run
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="implicit_image_tpu"):
+        psnr_auto_big, _ = compress_main(compose(
+            base + ["train.init_path=auto", "train.num_steps=1301",
+                    "train.log_steps=1301", f"output_dir={tmp_path}/autobig"]
+        ))
+    assert any("auto -> cold" in r.message for r in caplog.records)
+
+    # explicit warm past the regime is honored but warns
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="implicit_image_tpu"):
+        compress_main(compose(
+            base + [f"train.init_path={path}", "train.num_steps=1301",
+                    "train.log_steps=1301", f"output_dir={tmp_path}/expbig"]
+        ))
+    assert any("warm-win regime" in r.message for r in caplog.records)

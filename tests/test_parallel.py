@@ -428,27 +428,50 @@ def test_pipeline_forwards_coding_kwargs(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
-def test_multihost_dryrun_two_processes():
-    """SURVEY §2.8 DCN scope: 2 real `jax.distributed.initialize`
-    processes (gloo over localhost, 4 virtual CPU devices each) build the
+def test_multihost_dryrun_four_processes_multi_fit():
+    """SURVEY §2.8 DCN scope: 4 real `jax.distributed.initialize`
+    processes (gloo over localhost, 2 virtual CPU devices each) build the
     GLOBAL 8-device mesh, run a jitted psum across process boundaries,
-    and fit a fleet of independent images whose allgathered results agree
-    across processes."""
+    and fit a fleet of 9 independent images (>1 fit per process, uneven
+    3/2/2/2 split exercising _shard_bounds) whose allgathered results
+    agree across all processes."""
     from implicit_image_tpu.parallel.multihost import launch_dryrun
 
     reports = launch_dryrun(
-        num_processes=2, devices_per_process=4, fleet_size=3, steps=20
+        num_processes=4, devices_per_process=2, fleet_size=9, steps=20
     )
-    assert len(reports) == 2
+    assert len(reports) == 4
     for r in reports:
-        assert r["process_count"] == 2
+        assert r["process_count"] == 4
         assert r["global_devices"] == 8
-        assert r["local_devices"] == 4
+        assert r["local_devices"] == 2
         assert r["psum_ok"]
-        assert len(r["fleet_psnrs"]) == 3
+        assert len(r["fleet_psnrs"]) == 9
         assert all(np.isfinite(p) for p in r["fleet_psnrs"])
-    # both processes see the SAME fleet-wide result
-    assert reports[0]["fleet_psnrs"] == reports[1]["fleet_psnrs"]
+    # every process sees the SAME fleet-wide result
+    for r in reports[1:]:
+        assert r["fleet_psnrs"] == reports[0]["fleet_psnrs"]
+
+
+@pytest.mark.slow
+def test_multihost_dead_worker_fails_fast():
+    """Failure path (VERDICT r3 weak #8): a worker that dies after
+    distributed init leaves its peers blocked in the allgather; the
+    supervisor must detect the death, kill the survivors, and raise —
+    NOT hang until the gloo timeout. `die_process=1` injects the fault
+    (worker 1 exits 17 post-init)."""
+    import time
+
+    from implicit_image_tpu.parallel.multihost import launch_dryrun
+
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match=r"worker\(s\) \[1\] exited"):
+        launch_dryrun(
+            num_processes=3, devices_per_process=2, fleet_size=3,
+            steps=20, timeout=240.0, die_process=1,
+        )
+    # detection must ride the worker's death, not the 240 s budget
+    assert time.monotonic() - t0 < 180.0
 
 
 def test_parse_ladder_cli_axes():
