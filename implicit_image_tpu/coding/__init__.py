@@ -249,6 +249,29 @@ def _plane_ungroup(dec: bytes, infos) -> Dict[str, np.ndarray]:
     return out
 
 
+def delta_meta_entry(delta: Dict[str, Any], stream_name: str) -> Dict[str, Any]:
+    """Normalize a `delta` kwarg into the manifest's __meta__.delta entry
+    (shared by the flat and progressive container writers)."""
+    entry = {
+        "sha256": str(delta["sha256"]),
+        "layers": [int(i) for i in delta["layers"]],
+    }
+    if delta.get("xor"):
+        # unquantized tensors stored as bit-pattern XOR against the
+        # shared reference (apply_xor_residual) — lossless
+        entry["xor"] = [str(n) for n in delta["xor"]]
+    if "prev" in delta:
+        # inter-frame residual (sequence.py): offsets come from the
+        # PREVIOUS container's decoded weights; `prev` is a path
+        # relative to this container dir, sha256 is of the previous
+        # container's compressed_weights.data (chain integrity)
+        entry["prev"] = str(delta["prev"])
+        entry["stream"] = str(delta.get("stream", stream_name))
+    else:
+        entry["artifact"] = str(delta["artifact"])
+    return entry
+
+
 def compress_state_dict(
     state_dict: Dict[str, np.ndarray],
     dir_name: Union[str, Path],
@@ -304,24 +327,7 @@ def compress_state_dict(
         # shared-artifact notion), so writing __meta__ is fine even at
         # shuffle=False
         meta.setdefault("__meta__", {"format": 1, "shuffle": False})
-        entry = {
-            "sha256": str(delta["sha256"]),
-            "layers": [int(i) for i in delta["layers"]],
-        }
-        if delta.get("xor"):
-            # unquantized tensors stored as bit-pattern XOR against the
-            # shared reference (apply_xor_residual) — lossless
-            entry["xor"] = [str(n) for n in delta["xor"]]
-        if "prev" in delta:
-            # inter-frame residual (sequence.py): offsets come from the
-            # PREVIOUS container's decoded weights; `prev` is a path
-            # relative to this container dir, sha256 is of the previous
-            # container's compressed_weights.data (chain integrity)
-            entry["prev"] = str(delta["prev"])
-            entry["stream"] = str(delta.get("stream", stream_name))
-        else:
-            entry["artifact"] = str(delta["artifact"])
-        meta["__meta__"]["delta"] = entry
+        meta["__meta__"]["delta"] = delta_meta_entry(delta, stream_name)
 
     payload = encode_stream(stream_name, raw, **kwargs)
     binary_file.write_bytes(payload)

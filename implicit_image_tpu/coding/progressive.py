@@ -44,9 +44,18 @@ __all__ = ["compress_progressive", "read_progressive", "base_bytes"]
 _RUN = 16  # ranks per base group (hi nibble)
 
 
-def _split_entries(state_dict):
+def _split_entries(state_dict, pinned_layers=frozenset()):
     """Partition the state dict into (base_entries, refine_entries), both
-    ordered name->array, applying rank-nesting to flat-VQ uint8 labels."""
+    ordered name->array, applying rank-nesting to flat-VQ uint8 labels.
+
+    `pinned_layers` (delta streams): layer indices whose label 0 is the
+    frozen PRUNED slot (training/quant_phase.py) — there the permutation
+    pins label 0 <-> rank 0 and value-sorts only labels 1.., so the
+    decoder's sparsity test `labels != 0` keeps meaning "pruned" on rank
+    labels: the full stream stays bit-exact to the flat delta container,
+    and the base prefix zeroes pruned weights exactly (the other rank-
+    0-group centroids zero too — the measured base-quality cost of
+    progressivity on a delta stream)."""
     base: "OrderedDict[str, np.ndarray]" = OrderedDict()
     refine: "OrderedDict[str, np.ndarray]" = OrderedDict()
     for name, arr in state_dict.items():
@@ -59,7 +68,13 @@ def _split_entries(state_dict):
                 and book.ndim == 1
                 and book.size <= 256
             ):
-                order = np.argsort(book, kind="stable")
+                layer_i = int(name.split(".", 2)[1])
+                if layer_i in pinned_layers and book.size > 1:
+                    order = np.concatenate(
+                        [[0], 1 + np.argsort(book[1:], kind="stable")]
+                    )
+                else:
+                    order = np.argsort(book, kind="stable")
                 rank_of = np.empty(book.size, np.uint8)
                 rank_of[order] = np.arange(book.size, dtype=np.uint8)
                 ranks = rank_of[arr]
@@ -95,6 +110,7 @@ def compress_progressive(
     dir_name: Union[str, Path],
     stream_name: str = "auto",
     base_finetune=None,
+    delta=None,
     **kwargs,
 ) -> int:
     """Write the format-4 progressive container; returns total payload
@@ -104,14 +120,24 @@ def compress_progressive(
     `.base_centroids` entries (same shapes/dtypes) — the encoder-side
     output-distortion finetune (quant/base_layer.py). It can never touch
     full-stream fidelity: the refinement layer ignores base_centroids.
+
+    `delta` (quant.delta + progressive, VERDICT r3 item 5): same dict as
+    compress_state_dict's — the quantized layers' codebooks are RESIDUAL
+    codebooks against the shared warm-start artifact. Rank nesting then
+    pins label 0 <-> rank 0 on those layers (see _split_entries), so the
+    full stream decodes bit-exact to the flat delta container while the
+    base prefix still stands alone (offsets + 16-entry residual books).
     """
-    from implicit_image_tpu.coding import _plane_group_payload
+    from implicit_image_tpu.coding import _plane_group_payload, delta_meta_entry
 
     dir_name = Path(dir_name)
     dir_name.mkdir(exist_ok=True, parents=True)
 
     base, refine = _split_entries(
-        OrderedDict((k, np.ascontiguousarray(v)) for k, v in state_dict.items())
+        OrderedDict((k, np.ascontiguousarray(v)) for k, v in state_dict.items()),
+        pinned_layers=(
+            frozenset(int(i) for i in delta["layers"]) if delta else frozenset()
+        ),
     )
     if base_finetune is not None:
         for name, book in (base_finetune(base) or {}).items():
@@ -146,6 +172,8 @@ def compress_progressive(
         "shuffle": True,
         "base_bytes": len(base_blob),
     }
+    if delta is not None:
+        meta["__meta__"]["delta"] = delta_meta_entry(delta, stream_name)
     (dir_name / "compressed_weights.data").write_bytes(base_blob + refine_blob)
     (dir_name / "meta_data.json").write_text(
         json.dumps(meta, indent=2, sort_keys=True)

@@ -572,15 +572,28 @@ def main(
         kwargs = {k: v for k, v in ec.items()
                   if k not in ("stream_name", "half", "progressive",
                                "base_finetune", "xor")}
-        if delta_info is not None and ec.get("progressive", False):
-            raise ValueError(
-                "quant.delta and entropy_coding.progressive cannot "
-                "combine (the base-prefix decode has no offset notion)"
+        refmap = None
+        if delta_info is not None and bool(ec.get("xor", True)):
+            # lossless XOR residual for the UNquantized tensors of a
+            # delta container (coding.apply_xor_residual): near-
+            # identical floats share high bits, so the plane-grouped
+            # backend crushes the XOR — measured in BASELINE.md
+            # "Delta quantization"; entropy_coding.xor=false opts out
+            from implicit_image_tpu.coding import (
+                apply_xor_residual,
+                state_ref_map,
             )
+
+            refmap = state_ref_map(fit_kwargs["init_params"])
+            state, xor_names = apply_xor_residual(state, refmap)
+            delta_info["xor"] = xor_names
         if ec.get("progressive", False):
             # format-4 quality-scalable container (coding/progressive.py):
             # a prefix decodes standalone at base quality, the full stream
-            # is bit-exact to the non-progressive decode
+            # is bit-exact to the non-progressive decode — INCLUDING delta
+            # streams (VERDICT r3 item 5): rank nesting pins the pruned
+            # label so the flagship's residual-coded stream gains a
+            # standalone base layer
             from implicit_image_tpu.coding.progressive import (
                 base_bytes as _base_bytes,
                 compress_progressive,
@@ -594,36 +607,48 @@ def main(
                     finetune_base_codebooks,
                 )
 
+                ft_extra = {}
+                if delta_info is not None:
+                    # residual books finetune against the base-decode
+                    # semantics: w = (book[hi] + offset) * (hi != 0)
+                    ft_extra = {
+                        "delta_layers": list(delta_info["layers"]),
+                        "delta_offsets": {
+                            i: np.asarray(
+                                fit_kwargs["init_params"][i]["w"]
+                            )
+                            for i in delta_info["layers"]
+                        },
+                    }
+
                 def base_ft(entries):
+                    if delta_info is not None and delta_info.get("xor"):
+                        # the XOR transform is a storage trick; the
+                        # finetune renders real weights, so un-XOR the
+                        # fp tensors it will read
+                        from implicit_image_tpu.coding import _xor_arrays
+
+                        entries = dict(entries)
+                        for n in delta_info["xor"]:
+                            if n in entries:
+                                entries[n] = _xor_arrays(
+                                    entries[n], refmap[n]
+                                )
                     return finetune_base_codebooks(
-                        mdef, mcfg, grid, img, entries
+                        mdef, mcfg, grid, img, entries, **ft_extra
                     )
 
             compressed_bytes = compress_progressive(
                 state, Path(run_dir) / "model_quantized", ec.stream_name,
-                base_finetune=base_ft, **kwargs,
+                base_finetune=base_ft, delta=delta_info, **kwargs,
             )
             log.info(
-                "Compressed bytes %d (progressive: base prefix %d)",
+                "Compressed bytes %d (progressive: base prefix %d%s)",
                 compressed_bytes,
                 _base_bytes(Path(run_dir) / "model_quantized"),
+                ", delta" if delta_info is not None else "",
             )
         else:
-            if delta_info is not None and bool(ec.get("xor", True)):
-                # lossless XOR residual for the UNquantized tensors of a
-                # delta container (coding.apply_xor_residual): near-
-                # identical floats share high bits, so the plane-grouped
-                # backend crushes the XOR — measured in BASELINE.md
-                # "Delta quantization"; entropy_coding.xor=false opts out
-                from implicit_image_tpu.coding import (
-                    apply_xor_residual,
-                    state_ref_map,
-                )
-
-                state, xor_names = apply_xor_residual(
-                    state, state_ref_map(fit_kwargs["init_params"])
-                )
-                delta_info["xor"] = xor_names
             compressed_bytes = compress_state_dict(
                 state, Path(run_dir) / "model_quantized", ec.stream_name,
                 delta=delta_info, **kwargs,

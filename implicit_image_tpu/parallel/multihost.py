@@ -155,7 +155,11 @@ def _worker_main(argv: Sequence[str]) -> None:
         jax.config.update("jax_platforms", "cpu")
     init_multihost(args.coordinator, args.num_processes, args.process_id)
     if args.die:
-        sys.exit(17)
+        # hard exit, like a real crash: sys.exit would run jax's
+        # distributed atexit shutdown, which BLOCKS waiting for the peers
+        # (who in turn wait for us in the allgather) — exactly the
+        # deadlock the supervisor exists to break
+        os._exit(17)
 
     import jax.numpy as jnp
     import numpy as np

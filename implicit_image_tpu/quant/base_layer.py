@@ -33,6 +33,8 @@ def finetune_base_codebooks(
     base_entries,
     steps: int = 100,
     lr: float = 1e-3,
+    delta_layers=(),
+    delta_offsets=None,
 ) -> Dict[str, np.ndarray]:
     """base_entries (the format-4 base section, name->array) ->
     {"layers.{i}.base_centroids": finetuned array} in the stored dtype.
@@ -40,6 +42,12 @@ def finetune_base_codebooks(
     Frozen: hi labels, every unsplit tensor (fp weights/biases/extras,
     uint16-label VQ, per-channel QAT codes). Trainable: the run-mean
     codebooks only.
+
+    `delta_layers`/`delta_offsets` (progressive delta streams): the listed
+    layers' base books are RESIDUAL books, so the render materializes
+    w = (book[hi] + offset) * (hi != 0) — the exact base-decode semantics
+    (coding/progressive.py pinned rank 0 = pruned) — with
+    delta_offsets[i] the shared artifact's layer-i weight.
     """
     h, w, _ = grid.shape
     target = jnp.asarray(np.asarray(img, np.float32)).reshape(h * w, -1)
@@ -82,10 +90,19 @@ def finetune_base_codebooks(
         for _, name, _ in book_names
     ]
 
+    delta_layers = frozenset(int(i) for i in delta_layers)
+    offs = {
+        int(i): jnp.asarray(np.asarray(v, np.float32))
+        for i, v in (delta_offsets or {}).items()
+    }
+
     def build_params(books):
         layers = {i: dict(d) for i, d in template.items()}
         for (i, _, _), book in zip(book_names, books):
-            layers.setdefault(i, {})["w"] = book[hi_of[i]]
+            w = book[hi_of[i]]
+            if i in delta_layers:
+                w = (w + offs[i]) * (hi_of[i] != 0)
+            layers.setdefault(i, {})["w"] = w
         return tuple(layers[i] for i in sorted(layers))
 
     def loss_fn(books):

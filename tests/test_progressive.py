@@ -230,3 +230,141 @@ def test_cli_progressive_round_trip(tmp_path):
     assert stats["out"].endswith("decoded_base.png")
     # refinement must change the render (the base layer is coarser)
     assert not np.allclose(img_base, img_full)
+
+
+# ---- delta + progressive (VERDICT r3 item 5) ----
+
+def _delta_problem(tmp_path):
+    """A sparse delta-quantized layer + artifact, the real quant path."""
+    import hashlib
+
+    import jax
+
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.quant import quantize_weight
+    from implicit_image_tpu.training.metainit import save_meta_init
+
+    mdef, mcfg = build_model(
+        "siren", depth=3, hidden_size=16, input_size=2, output_size=3
+    )
+    meta_params = mdef.init(jax.random.PRNGKey(5), mcfg)
+    art_path = tmp_path / "meta.npz"
+    save_meta_init(art_path, meta_params, mdef.name, mcfg)
+    params = mdef.init(jax.random.PRNGKey(1), mcfg)
+
+    i = 1
+    rng = np.random.default_rng(0)
+    w = np.asarray(params[i]["w"]).copy()
+    w[rng.random(w.shape) < 0.4] = 0.0  # pruned positions (label 0)
+    offset = meta_params[i]["w"]
+    snapped, book = quantize_weight(w, bits=8, offset=offset)
+    labels = np.asarray(book.labels).astype(np.uint8)
+    assert (labels == 0).any() and (labels != 0).any()
+
+    state = OrderedDict([
+        ("layers.0.weight", np.asarray(params[0]["w"], np.float32)),
+        (f"layers.{i}.labeled_weight", labels),
+        (f"layers.{i}.centroids", np.asarray(book.centroids, np.float32)),
+        ("layers.2.weight", np.asarray(params[2]["w"], np.float32)),
+    ])
+    info = {
+        "artifact": str(art_path),
+        "sha256": hashlib.sha256(art_path.read_bytes()).hexdigest(),
+        "layers": [i],
+    }
+    return state, info, np.asarray(snapped), labels
+
+
+def test_delta_progressive_full_decode_bit_exact(tmp_path):
+    """A progressive DELTA container's full decode equals the flat delta
+    container's bit-for-bit: the pinned rank permutation keeps `labels
+    != 0` meaning pruned, so offsets + masking reconstruct identically."""
+    state, info, snapped, labels = _delta_problem(tmp_path)
+    d_prog, d_flat = tmp_path / "prog", tmp_path / "flat"
+    compress_progressive(state, d_prog, "zstd", delta=dict(info))
+    compress_state_dict(state, d_flat, "zstd", delta=dict(info))
+
+    dec_p = decompress_state_dict(d_prog, "zstd")
+    dec_f = decompress_state_dict(d_flat, "zstd")
+    assert set(dec_p) == set(dec_f)
+    for name in dec_f:
+        np.testing.assert_array_equal(dec_p[name], dec_f[name])
+    np.testing.assert_allclose(dec_p["layers.1.weight"], snapped, atol=1e-6)
+    # pruned positions are EXACT zeros
+    assert (dec_p["layers.1.weight"][labels == 0] == 0.0).all()
+
+
+def test_delta_progressive_base_prefix(tmp_path):
+    """The base prefix of a delta stream decodes STANDALONE (physically
+    truncated file): pruned weights stay exact zeros (rank 0 pinned),
+    non-pruned weights approximate offset + 16-entry residual book."""
+    state, info, snapped, labels = _delta_problem(tmp_path)
+    d = tmp_path / "prog"
+    total = compress_progressive(state, d, "zstd", delta=dict(info))
+    nbase = base_bytes(d)
+    assert 0 < nbase < total
+
+    # physically truncate to the base prefix
+    blob = (d / "compressed_weights.data").read_bytes()
+    (d / "compressed_weights.data").write_bytes(blob[:nbase])
+    dec_b = decompress_state_dict(d, "zstd", base_only=True)
+    wb = dec_b["layers.1.weight"]
+    assert np.isfinite(wb).all()
+    # pruned exact at base quality; group-0 non-pruned also zero (the
+    # documented base cost of a delta stream)
+    assert (wb[labels == 0] == 0.0).all()
+    # base approximates the full-quality weights (same scale, correlated)
+    nz = (wb != 0) & (snapped != 0)
+    assert nz.sum() > 0.5 * (snapped != 0).sum()
+    corr = np.corrcoef(wb[nz], snapped[nz])[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_cli_delta_progressive_round_trip(tmp_path):
+    """compress.py with quant.delta=true AND entropy_coding.progressive:
+    the flagship residual stream gains a standalone base layer; full
+    decode matches the summary, base decode renders finite and worse-or-
+    equal quality."""
+    import jax
+
+    from implicit_image_tpu.compress import main as compress_main
+    from implicit_image_tpu.config import compose
+    from implicit_image_tpu.decompress import decode_run
+    from implicit_image_tpu.models import build_model
+    from implicit_image_tpu.training.metainit import save_meta_init
+
+    mdef, mcfg = build_model(
+        "siren", depth=3, hidden_size=16, input_size=2, output_size=3
+    )
+    meta_params = mdef.init(jax.random.PRNGKey(5), mcfg)
+    art_path = tmp_path / "meta.npz"
+    save_meta_init(art_path, meta_params, mdef.name, mcfg)
+
+    overrides = [
+        "img=synthetic", "img.height=24", "img.width=24",
+        "mlp.depth=3", "mlp.hidden_size=16",
+        "train.num_steps=5", "train.log_steps=5",
+        "masking=RigL", "masking.density=0.5",
+        "quant=kmeans", "quant.bits=8", "quant.num_steps=4",
+        "quant.log_steps=4", "quant.delta=true",
+        "entropy_coding=zstd", "entropy_coding.progressive=true",
+        f"train.init_path={art_path}",
+        f"output_dir={tmp_path}/run",
+    ]
+    psnr, nbytes = compress_main(compose(overrides))
+    assert np.isfinite(psnr) and nbytes > 0
+
+    manifest = json.loads(
+        (tmp_path / "run" / "model_quantized" / "meta_data.json").read_text()
+    )
+    hdr = manifest["__meta__"]
+    assert hdr["format"] == 4 and "delta" in hdr
+    assert 0 < hdr["base_bytes"] < nbytes
+
+    img_full, _ = decode_run(tmp_path / "run")
+    summary = json.loads((tmp_path / "run" / "summary.json").read_text())
+    assert np.isclose(summary["Decoded PSNR"], psnr)
+
+    img_base, _ = decode_run(tmp_path / "run", base=True)
+    assert img_base.shape == img_full.shape
+    assert np.isfinite(np.asarray(img_base)).all()
