@@ -11,13 +11,17 @@ api.decompress_image accept a packed file anywhere a run dir is accepted.
 
 Containers that delta-code against a SHARED artifact (quant.delta) stay
 packable — the artifact is encoder/decoder state referenced by
-path+sha256, deliberately not in the bitstream. Inter-frame sequence
-containers (a `prev` link to the previous frame) are refused: a single
-P-frame file without its chain cannot decode; pack the I-frame or use
-the sequence dir.
+path+sha256, deliberately not in the bitstream. A SINGLE inter-frame
+(P) container (a `prev` link to the previous frame) is refused in .iic —
+one file without its chain cannot decode — but a WHOLE sequence packs
+into one `.iiv` file (`pack_sequence`): all frames plus a sequence.json
+GOP index, decodable by `sequence.decode_sequence` directly (including
+frame-seek).
 
     python -m implicit_image_tpu.coding.container_file pack <run_dir> [out.iic]
     python -m implicit_image_tpu.decompress <file.iic>
+    python -m implicit_image_tpu.coding.container_file pack-seq <seq_dir> [out.iiv]
+    python -m implicit_image_tpu.sequence decode <file.iiv> [frame=t]
 """
 from __future__ import annotations
 
@@ -26,7 +30,11 @@ import zipfile
 from pathlib import Path
 from typing import Optional, Union
 
-__all__ = ["pack_run", "unpack_run", "is_packed_container", "MEMBERS"]
+__all__ = [
+    "pack_run", "unpack_run", "is_packed_container", "MEMBERS",
+    "pack_sequence", "unpack_sequence", "is_packed_sequence",
+    "sequence_index",
+]
 
 MEMBERS = (
     "config.json",
@@ -95,6 +103,116 @@ def unpack_run(
     return dest
 
 
+# ---- sequence container (.iiv) — pack an I+P chain into ONE file ----
+# The per-frame `prev` links are INTERNAL to the archive (relative frame
+# names), so unlike a single P-frame .iic the whole chain ships and
+# decodes; I-frame quant.delta artifacts stay external shared state
+# (path + sha256 in each frame manifest), exactly like .iic.
+
+_FRAME_MEMBERS = (
+    "config.json",
+    "summary.json",
+    "model_quantized/meta_data.json",
+    "model_quantized/compressed_weights.data",
+)
+_SEQ_INDEX = "sequence.json"
+
+
+def sequence_index(seq_root: Union[str, Path]) -> dict:
+    """Build the .iiv index for a seq_* dir: ordered frames with their
+    kind (I = standalone, P = chained to `prev`) read from the frame
+    manifests — the GOP map decode_sequence(frame=t) seeks with."""
+    seq_root = Path(seq_root)
+    frame_dirs = sorted(
+        d for d in seq_root.iterdir()
+        if d.is_dir() and d.name.startswith("frame_")
+    )
+    if not frame_dirs:
+        raise FileNotFoundError(f"no frame_* dirs under {seq_root}")
+    frames = []
+    for d in frame_dirs:
+        meta = json.loads(
+            (d / "model_quantized" / "meta_data.json").read_text()
+        )
+        delta = meta.get("__meta__", {}).get("delta", {})
+        frames.append({
+            "name": d.name,
+            "kind": "P" if "prev" in delta else "I",
+            "prev": delta.get("prev"),
+        })
+    if frames[0]["kind"] != "I":
+        raise ValueError(
+            f"{seq_root}: first frame {frames[0]['name']} is not an "
+            "I-frame — the chain has no decode root"
+        )
+    return {"format": "iiv-1", "frames": frames}
+
+
+def pack_sequence(
+    seq_root: Union[str, Path], out_path: Union[str, Path, None] = None
+) -> Path:
+    """Bundle a seq_* dir (sequence.py output) into one .iiv file."""
+    seq_root = Path(seq_root)
+    index = sequence_index(seq_root)
+    out_path = (
+        Path(out_path) if out_path else seq_root.with_suffix(".iiv")
+    )
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED) as z:
+        info = zipfile.ZipInfo(_SEQ_INDEX, date_time=_EPOCH)
+        z.writestr(info, json.dumps(index, indent=2, sort_keys=True))
+        for fr in index["frames"]:
+            for name in _FRAME_MEMBERS:
+                src = seq_root / fr["name"] / name
+                if not src.is_file():
+                    raise FileNotFoundError(
+                        f"{seq_root / fr['name']} is not a decodable "
+                        f"frame dir (missing {name})"
+                    )
+                member = zipfile.ZipInfo(
+                    f"{fr['name']}/{name}", date_time=_EPOCH
+                )
+                z.writestr(member, src.read_bytes())
+    return out_path
+
+
+def is_packed_sequence(path: Union[str, Path]) -> bool:
+    path = Path(path)
+    if not path.is_file() or not zipfile.is_zipfile(path):
+        return False
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+    return _SEQ_INDEX in names
+
+
+def unpack_sequence(
+    path: Union[str, Path], dest: Union[str, Path, None] = None
+) -> Path:
+    """Extract a .iiv file back to a seq dir; returns that dir."""
+    path = Path(path)
+    if not is_packed_sequence(path):
+        raise ValueError(
+            f"{path} is not a packed .iiv sequence container "
+            f"(expected a stored zip with a {_SEQ_INDEX} index)"
+        )
+    dest = Path(dest) if dest else path.parent / path.stem
+    with zipfile.ZipFile(path) as z:
+        index = json.loads(z.read(_SEQ_INDEX))
+        (dest / _SEQ_INDEX).parent.mkdir(parents=True, exist_ok=True)
+        (dest / _SEQ_INDEX).write_text(
+            json.dumps(index, indent=2, sort_keys=True)
+        )
+        for fr in index["frames"]:
+            if "/" in fr["name"] or fr["name"].startswith("."):
+                raise ValueError(f"suspicious frame name {fr['name']!r}")
+            for name in _FRAME_MEMBERS:
+                target = dest / fr["name"] / name
+                # member paths are rebuilt from the fixed tuple — no
+                # traversal risk from hostile archives
+                target.parent.mkdir(parents=True, exist_ok=True)
+                target.write_bytes(z.read(f"{fr['name']}/{name}"))
+    return dest
+
+
 def main(argv: Optional[list] = None) -> None:
     import sys
 
@@ -107,9 +225,18 @@ def main(argv: Optional[list] = None) -> None:
         out = unpack_run(argv[1], argv[2] if len(argv) > 2 else None)
         print(f"unpacked {argv[1]} -> {out}")
         return
+    if len(argv) >= 2 and argv[0] == "pack-seq":
+        out = pack_sequence(argv[1], argv[2] if len(argv) > 2 else None)
+        print(f"packed {argv[1]} -> {out} ({out.stat().st_size} bytes)")
+        return
+    if len(argv) >= 2 and argv[0] == "unpack-seq":
+        out = unpack_sequence(argv[1], argv[2] if len(argv) > 2 else None)
+        print(f"unpacked {argv[1]} -> {out}")
+        return
     raise SystemExit(
         "usage: python -m implicit_image_tpu.coding.container_file "
-        "pack <run_dir> [out.iic] | unpack <file.iic> [dest_dir]"
+        "pack <run_dir> [out.iic] | unpack <file.iic> [dest_dir] | "
+        "pack-seq <seq_dir> [out.iiv] | unpack-seq <file.iiv> [dest_dir]"
     )
 
 

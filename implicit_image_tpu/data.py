@@ -31,6 +31,7 @@ __all__ = [
     "get_grid_window",
     "pixel_batches",
     "synthetic_image",
+    "synthetic_ood",
     "stable_seed",
     "save_img",
     "resolve_benchmark_path",
@@ -309,6 +310,58 @@ def synthetic_image(
     img -= img.min()
     img /= img.max() + 1e-12
     return img
+
+
+def synthetic_ood(
+    kind: str, height: int = 512, width: int = 512, seed: int = 0
+) -> np.ndarray:
+    """Deterministic OUT-OF-DISTRIBUTION stand-ins, (H,W,3) in [0,1].
+
+    The meta-init warm start (training/metainit.py) was trained on the
+    smooth multi-frequency `synthetic_image` family; these families
+    deliberately break its statistics so the `train.init_path=auto`
+    arbitration can be stress-tested where warm should LOSE
+    (benchmarks/metainit_ood.py; VERDICT r3 item 4):
+
+      pink:  1/f-spectrum noise per channel (natural-image-like power law
+             but random phase — no smooth structure)
+      text:  high-contrast glyph-like strokes on a flat page (sharp
+             axis-aligned edges, bimodal histogram)
+      noise: white noise (the incompressible extreme)
+    """
+    rng = np.random.default_rng(stable_seed(f"ood_{kind}") + seed)
+    if kind == "noise":
+        return rng.random((height, width, 3), dtype=np.float32)
+    if kind == "pink":
+        fy = np.fft.fftfreq(height)[:, None]
+        fx = np.fft.fftfreq(width)[None, :]
+        f = np.sqrt(fy * fy + fx * fx)
+        f[0, 0] = 1.0
+        img = np.zeros((height, width, 3), dtype=np.float32)
+        for c in range(3):
+            phase = rng.uniform(0, 2 * np.pi, size=(height, width))
+            spec = (1.0 / f) * np.exp(1j * phase)
+            img[:, :, c] = np.real(np.fft.ifft2(spec)).astype(np.float32)
+        img -= img.min()
+        img /= img.max() + 1e-12
+        return img
+    if kind == "text":
+        img = np.full((height, width), 0.92, dtype=np.float32)  # page
+        n_rows = max(height // 16, 1)
+        for r in range(n_rows):
+            y0 = r * 16 + 4
+            x = 8
+            while x < width - 8:
+                glyph_w = int(rng.integers(3, 9))
+                gap = int(rng.integers(2, 5))
+                if rng.random() < 0.85:  # word body vs space
+                    gh = int(rng.integers(6, 10))
+                    img[y0 : y0 + gh, x : x + glyph_w] = 0.08
+                    if rng.random() < 0.3:  # ascender/descender
+                        img[y0 - 2 : y0, x : x + 2] = 0.08
+                x += glyph_w + gap
+        return np.repeat(img[:, :, None], 3, axis=2)
+    raise ValueError(f"unknown OOD kind {kind!r} (pink|text|noise)")
 
 
 def synthetic_video(

@@ -505,10 +505,20 @@ def _finish_frame(cfg, frame_dir, render, img, dec_params,
     return row
 
 
-def decode_sequence(root, stream: Optional[str] = None):
-    """Decode every frame under a seq_* dir in O(T) (each frame's offsets
-    are the frame just decoded; the per-link sha256 checks still run).
-    Returns (frames (T,H,W,3) float32, frame dir names)."""
+def decode_sequence(root, stream: Optional[str] = None,
+                    frame: Optional[int] = None):
+    """Decode a sequence from a seq_* dir OR a packed single-file `.iiv`
+    container (coding/container_file.py pack_sequence).
+
+    frame=None: decode every frame in O(T) (each frame's offsets are the
+    frame just decoded; the per-link sha256 checks still run). Returns
+    (frames (T,H,W,3) float32, frame dir names).
+
+    frame=t: GOP seek (VERDICT r3 item 6) — walk only from the nearest
+    I-frame at or before t (I-frames are standalone; kinds come from the
+    frame manifests' delta.prev links), so the cost is O(distance to the
+    last I-frame), not O(t). Returns ((H,W,3) float32, frame name).
+    """
     from implicit_image_tpu.coding import (
         decompress_state_dict,
         params_from_state_dict,
@@ -517,6 +527,15 @@ def decode_sequence(root, stream: Optional[str] = None):
     from implicit_image_tpu.models import build_model_from_config
 
     root = Path(root)
+    if root.is_file():
+        # packed .iiv — unpack beside a temp dir and decode from there
+        import tempfile
+
+        from implicit_image_tpu.coding.container_file import unpack_sequence
+
+        with tempfile.TemporaryDirectory() as tmp:
+            seq_dir = unpack_sequence(root, Path(tmp) / root.stem)
+            return decode_sequence(seq_dir, stream, frame)
     frame_dirs = sorted(
         d for d in root.iterdir()
         if d.is_dir() and d.name.startswith("frame_")
@@ -530,6 +549,30 @@ def decode_sequence(root, stream: Optional[str] = None):
     h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
     grid = get_grid(h, w)
     render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
+
+    if frame is not None:
+        t = int(frame)
+        if not 0 <= t < len(frame_dirs):
+            raise IndexError(
+                f"frame {t} out of range (sequence has {len(frame_dirs)})"
+            )
+
+        def _is_iframe(d: Path) -> bool:
+            meta = json.loads(
+                (d / "model_quantized" / "meta_data.json").read_text()
+            )
+            return "prev" not in meta.get("__meta__", {}).get("delta", {})
+
+        start = t
+        while start > 0 and not _is_iframe(frame_dirs[start]):
+            start -= 1
+        prev_state = None
+        for d in frame_dirs[start: t + 1]:
+            prev_state = decompress_state_dict(
+                d / "model_quantized", stream, prev_state=prev_state
+            )
+        img = np.asarray(render(params_from_state_dict(prev_state)))
+        return img, frame_dirs[t].name
 
     out = []
     prev_state: Optional[Dict[str, np.ndarray]] = None
@@ -549,19 +592,40 @@ def cli(argv=None) -> None:
     )
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and argv[0] == "decode":
-        t0 = time.perf_counter()
-        frames, names = decode_sequence(argv[1])
-        wall = time.perf_counter() - t0
         from implicit_image_tpu.data import save_img
 
+        seek = None
+        for a in argv[2:]:
+            if a.startswith("frame="):
+                seek = int(a.split("=", 1)[1])
+        out_root = Path(argv[1])
+        out_root = out_root.parent if out_root.is_file() else out_root
+        t0 = time.perf_counter()
+        if seek is not None:
+            img, name = decode_sequence(argv[1], frame=seek)
+            wall = time.perf_counter() - t0
+            save_img(out_root / f"{name}.png", img)
+            print(
+                f"decoded frame {seek} ({name}, {img.shape[0]}x"
+                f"{img.shape[1]}) via GOP seek in {wall:.2f}s"
+            )
+            return
+        frames, names = decode_sequence(argv[1])
+        wall = time.perf_counter() - t0
         for f, n in zip(frames, names):
-            save_img(Path(argv[1]) / f"{n}.png", f)
+            save_img(out_root / f"{n}.png", f)
         t, h, w = frames.shape[:3]
         print(
-            f"decoded {t} frames ({h}x{w}) -> {argv[1]}/frame_*.png in "
+            f"decoded {t} frames ({h}x{w}) -> {out_root}/frame_*.png in "
             f"{wall:.2f}s ({t / wall:.1f} frames/s incl. host entropy "
             f"decode + chain walk)"
         )
+        return
+    if argv and argv[0] == "pack":
+        from implicit_image_tpu.coding.container_file import pack_sequence
+
+        out = pack_sequence(argv[1], argv[2] if len(argv) > 2 else None)
+        print(f"packed {argv[1]} -> {out} ({out.stat().st_size} bytes)")
         return
     encode_sequence(argv)
 

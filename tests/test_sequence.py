@@ -367,3 +367,75 @@ def test_sequence_files_input(tmp_path):
     assert [r["kind"] for r in rows] == ["I", "P"]
     frames, _ = decode_sequence(tmp_path / "seq_f0")
     assert frames.shape == (2, 24, 24, 3)
+
+
+def test_sequence_iiv_pack_roundtrip_and_gop_seek(tmp_path):
+    """Single-file sequence artifact + GOP seek (VERDICT r3 item 6): a
+    gop=2 sequence packs into ONE .iiv whose index records the I/P map;
+    decode_sequence on the FILE equals the dir decode bit-for-bit, and
+    frame=t seeks from the nearest I-frame (P offsets exact) instead of
+    walking the whole chain."""
+    from implicit_image_tpu.coding.container_file import (
+        is_packed_sequence,
+        pack_sequence,
+        sequence_index,
+        unpack_sequence,
+    )
+
+    encode_sequence(SEQ_OVERRIDES + [
+        f"output_dir={tmp_path}", "masking=none",
+        "sequence.frames=4", "sequence.gop=2",
+    ])
+    root = tmp_path / "seq_unittest"
+
+    idx = sequence_index(root)
+    assert [f["kind"] for f in idx["frames"]] == ["I", "P", "I", "P"]
+
+    iiv = pack_sequence(root, tmp_path / "clip.iiv")
+    assert is_packed_sequence(iiv)
+    # deterministic bytes: packing the same dir twice is bit-identical
+    again = pack_sequence(root, tmp_path / "again.iiv")
+    assert iiv.read_bytes() == again.read_bytes()
+
+    ref_frames, ref_names = decode_sequence(root)
+    file_frames, file_names = decode_sequence(iiv)
+    assert file_names == ref_names
+    np.testing.assert_array_equal(file_frames, ref_frames)
+
+    # GOP seek on both the dir and the packed file: every frame matches
+    # the full chain decode exactly
+    for t in range(4):
+        img_d, name_d = decode_sequence(root, frame=t)
+        np.testing.assert_array_equal(img_d, ref_frames[t])
+        assert name_d == ref_names[t]
+    img_f, _ = decode_sequence(iiv, frame=3)
+    np.testing.assert_array_equal(img_f, ref_frames[3])
+
+    with pytest.raises(IndexError):
+        decode_sequence(root, frame=4)
+
+    # unpack restores a decodable seq dir
+    restored = unpack_sequence(iiv, tmp_path / "restored")
+    r_frames, r_names = decode_sequence(restored)
+    np.testing.assert_array_equal(r_frames, ref_frames)
+
+    # a pure P-chain (gop=0 fixture shape): seek to the tail walks from
+    # frame 0 only because no later I exists — still exact
+    # (covered by the gop case above where frames 1,3 seek from 0,2)
+
+
+def test_sequence_iiv_refuses_rootless_chain(tmp_path):
+    """An archive whose first frame is a P-frame has no decode root; the
+    index builder must refuse at PACK time, not produce a dead file."""
+    from implicit_image_tpu.coding.container_file import sequence_index
+
+    encode_sequence(SEQ_OVERRIDES + [
+        f"output_dir={tmp_path}", "masking=none", "sequence.frames=3",
+    ])
+    root = tmp_path / "seq_unittest"
+    # drop the I-frame: the remaining chain starts at a P-frame
+    import shutil
+
+    shutil.rmtree(root / "frame_0000")
+    with pytest.raises(ValueError, match="not an\n?.*I-frame|I-frame"):
+        sequence_index(root)
