@@ -154,17 +154,24 @@ def estimate_step_flops(init_fn, segment_fn, init_args, seg_args):
     """FLOPs of ONE training step, from XLA's cost model.
 
     Lowers a length-1 segment program against abstract shapes (eval_shape
-    carry — no device work, no backend compile; ~0.3 s of tracing). XLA's
-    cost model counts a while/scan body ONCE regardless of trip count
-    (verified on both cpu and TPU backends), so the faithful total for a
-    fit is per-step FLOPs x executed steps — NOT cost_analysis() of the
-    scanned program. Returns None when the backend exposes no model."""
+    carry) and runs HLO cost analysis on the CPU BACKEND explicitly —
+    flop counts are platform-independent, the CPU analysis is local and
+    ~0.3-0.6 s of host work, and crucially it never touches the device
+    runtime (measured: Lowered.cost_analysis against the tunneled TPU
+    backend stalls for MINUTES on sparse fit programs — it ships the HLO
+    to the server's cost model). XLA's cost model counts a while/scan
+    body ONCE regardless of trip count (verified on cpu and TPU), so the
+    faithful total for a fit is per-step FLOPs x executed steps — NOT
+    cost_analysis() of the scanned program. Returns None when no local
+    cpu backend or no cost model is available."""
     try:
-        carry = jax.eval_shape(init_fn, *init_args)
-        low = jax.jit(functools.partial(segment_fn, length=1)).lower(
-            carry, *seg_args, jnp.int32(0)
-        )
-        ca = low.cost_analysis()
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            carry = jax.eval_shape(init_fn, *init_args)
+            low = jax.jit(functools.partial(segment_fn, length=1)).trace(
+                carry, *seg_args, jnp.int32(0)
+            ).lower()
+            ca = low.cost_analysis()
     except Exception:  # noqa: BLE001 - backend-dependent API
         return None
     if isinstance(ca, (list, tuple)):
