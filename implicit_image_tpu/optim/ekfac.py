@@ -115,9 +115,56 @@ def _perturbed_forward(params, coords, cfg, model_name: str):
                     x = z
             out = x / 2.0 + 0.5
             acts.extend(acts_x + acts_y + acts_f)
+        elif model_name == "wavelet_siren":
+            # mirror wavelet_siren_apply (models/wavelet_siren.py:139-178):
+            # TWO SIREN stacks on their OWN grids (LF at the DWT-LL
+            # resolution, HF at the detail-band resolution — each layer
+            # therefore captures its stack's sample count, not N), then
+            # idwt + chroma upsample + color transform; the loss sees the
+            # full-res flat output against the training target
+            from implicit_image_tpu.models.wavelet_siren import (
+                _grid_flat,
+                ycbcr_to_rgb,
+            )
+            from implicit_image_tpu.ops.wavelet import idwt2
+
+            def stack(pslice, pert, scfg, x):
+                n_l = len(pslice)
+                sf = fast_sin if getattr(scfg, "fast_sine", True) else jnp.sin
+                for i, layer in enumerate(pslice):
+                    acts.append(x)
+                    z = x @ layer["w"] + layer["b"] + pert[i]
+                    if not (i == n_l - 1 and scfg.outermost_linear):
+                        x = sf(scfg.omegas[i] * z)
+                    else:
+                        x = z
+                return x / 2.0 + 0.5
+
+            n_lf = cfg.n_lf_layers
+            lf_h, lf_w = cfg.lf_shape
+            hf_h, hf_w = cfg.hf_shape
+            lf_img = stack(
+                params[:n_lf], perturbs[:n_lf], cfg.lf_config,
+                (_grid_flat(lf_h, lf_w) - 0.5) * 2.0,
+            ).reshape(lf_h, lf_w, cfg.output_size)
+            hf_img = stack(
+                params[n_lf:], perturbs[n_lf:], cfg.hf_config,
+                (_grid_flat(hf_h, hf_w) - 0.5) * 2.0,
+            ).reshape(hf_h, hf_w, 3)
+            h, w = cfg.height, cfg.width
+            y = idwt2(
+                lf_img[:, :, 0], hf_img[:, :, 0], hf_img[:, :, 1],
+                hf_img[:, :, 2], (h, w),
+            )
+            cbcr = jax.image.resize(
+                lf_img[:, :, 1:], (h, w, 2), method="bilinear"
+            )
+            ycbcr = jnp.concatenate([y[:, :, None], cbcr], axis=-1)
+            out = ycbcr_to_rgb(ycbcr).reshape(h * w, 3)
         else:
             raise NotImplementedError(
-                f"EKFAC capture supports siren/fourier/coordx, got {model_name}"
+                "EKFAC capture supports siren/fourier/coordx/wavelet_siren, "
+                f"got {model_name}"
             )
         return out, acts
 
@@ -132,8 +179,20 @@ def capture_layer_stats(
     save_input/save_grad_output hooks (ekfac.py:247-279)."""
     lin_layers = [layer for layer in params if "w" in layer]
     n = coords.shape[0]
+    if mdef.name == "wavelet_siren":
+        # each sub-SIREN runs on its OWN grid: LF layers see lf_h*lf_w
+        # samples, HF layers hf_h*hf_w — per-layer sample counts differ
+        # (the EKFAC math is per-layer; mismatched N across layers is fine)
+        n_lf_px = mcfg.lf_shape[0] * mcfg.lf_shape[1]
+        n_hf_px = mcfg.hf_shape[0] * mcfg.hf_shape[1]
+        counts = [n_lf_px] * mcfg.n_lf_layers + [n_hf_px] * (
+            len(lin_layers) - mcfg.n_lf_layers
+        )
+    else:
+        counts = [n] * len(lin_layers)
     perturbs = [
-        jnp.zeros((n, layer["w"].shape[1]), jnp.float32) for layer in lin_layers
+        jnp.zeros((c, layer["w"].shape[1]), jnp.float32)
+        for c, layer in zip(counts, lin_layers)
     ]
     fwd = _perturbed_forward([l for l in params], coords, mcfg, mdef.name)
 

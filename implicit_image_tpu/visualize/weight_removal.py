@@ -48,7 +48,16 @@ def gather(outputs_root="outputs"):
         psnr = float(run.get("Quant PSNR", run["PSNR"]))
         method, density = _classify(run)
         if method == "none":
-            dense_psnr = psnr
+            # the dense baseline line is the PROTOCOL control (w128 d8,
+            # multiplier 5) — width×depth grid members are also
+            # masking=none and must not masquerade as it
+            cfg = run.get("config") or {}
+            mlp = cfg.get("mlp") or {}
+            tr = cfg.get("train") or {}
+            if (int(mlp.get("hidden_size", 0)) == 128
+                    and int(mlp.get("depth", 0)) == 8
+                    and int(tr.get("multiplier", 1)) == 5):
+                dense_psnr = psnr
             continue
         if density is not None:
             table[method].append((float(density), psnr))

@@ -325,3 +325,68 @@ def test_conv_counting_matches_reference_counter():
         np.testing.assert_allclose(got_m, ref_m, rtol=1e-9)
         np.testing.assert_allclose(got_a, ref_a, rtol=1e-9)
         np.testing.assert_allclose(got_pc, ref_pc, rtol=1e-9)
+
+
+def test_ekfac_capture_wavelet_siren():
+    """EKFAC capture for wavelet_siren (r3 weak #7: the family was
+    guarded out): per-layer sample counts differ between the LF and HF
+    sub-SIRENs (each runs on its own DWT-resolution grid), per-sample
+    pre-activation grads still sum to each layer's bias grad through the
+    idwt + chroma-upsample + color transform, and preconditioning
+    preserves shapes."""
+    from implicit_image_tpu.optim.ekfac import (
+        capture_layer_stats,
+        ekfac_init,
+        ekfac_precondition,
+        ekfac_update_stats,
+    )
+
+    mdef, mcfg = build_model(
+        "wavelet_siren", depth=3, hidden_size=8, height=16, width=16,
+    )
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    coords = get_grid(16, 16).reshape(-1, 2)
+    target = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    acts, grads = capture_layer_stats(mdef, mcfg, params, coords, target)
+    assert len(acts) == len(params) == len(grads)
+    n_lf_px = mcfg.lf_shape[0] * mcfg.lf_shape[1]
+    n_hf_px = mcfg.hf_shape[0] * mcfg.hf_shape[1]
+    assert acts[0].shape[0] == n_lf_px
+    assert acts[mcfg.n_lf_layers].shape[0] == n_hf_px
+    assert n_lf_px != 256  # genuinely its own grid, not the train grid
+
+    def loss(p):
+        return jnp.mean((mdef.apply_flat(p, coords, mcfg) - target) ** 2)
+
+    g_auto = jax.grad(loss)(params)
+    for i in range(len(params)):
+        np.testing.assert_allclose(
+            np.asarray(grads[i].sum(0)), np.asarray(g_auto[i]["b"]),
+            rtol=1e-3, atol=1e-7, err_msg=f"layer {i}",
+        )
+
+    state = ekfac_init(params)
+    state = ekfac_update_stats(state, acts, grads)
+    pre = ekfac_precondition(state, g_auto)
+    for layer, orig in zip(pre, g_auto):
+        for k in layer:
+            assert layer[k].shape == orig[k].shape
+
+
+def test_ekfac_fit_wavelet_converges():
+    """preconditioner='ekfac' runs end-to-end on wavelet_siren."""
+    from implicit_image_tpu.training.fit import OptimConfig, TrainConfig, fit
+
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model(
+        "wavelet_siren", depth=3, hidden_size=16, height=16, width=16,
+    )
+    res = fit(
+        jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+        TrainConfig(num_steps=60, log_steps=30),
+        OptimConfig(lr=1e-3, preconditioner="ekfac", precond_interval=10),
+    )
+    p = np.asarray(res.metrics["psnr"])
+    p = p[np.isfinite(p)]
+    assert p.size and p[-1] > 10.0, p
