@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["EkfacState", "ekfac_init", "ekfac_update_stats", "ekfac_precondition",
-           "capture_layer_stats"]
+           "capture_layer_stats", "model_skip_indices"]
 
 
 class EkfacState(NamedTuple):
@@ -161,14 +161,41 @@ def _perturbed_forward(params, coords, cfg, model_name: str):
             )
             ycbcr = jnp.concatenate([y[:, :, None], cbcr], axis=-1)
             out = ycbcr_to_rgb(ycbcr).reshape(h * w, 3)
+        elif model_name == "hashgrid":
+            # params[0] is the fused feature table (models/hashgrid.py:38)
+            # — an embedding, not a Linear layer: EKFAC's Kronecker factors
+            # have no meaning for it (and A would be table_size²), so the
+            # table is NOT captured (model_skip_indices) and its grads
+            # pass through unpreconditioned; the ReLU MLP ladder gets the
+            # standard capture on the pyramid features
+            from implicit_image_tpu.models.hashgrid import _pyramid_features
+
+            x = _pyramid_features(params[0]["w"], coords, cfg, None)
+            layers = params[1:]
+            n = len(layers)
+            for i, layer in enumerate(layers):
+                acts.append(x)
+                z = x @ layer["w"] + layer["b"] + perturbs[i]
+                # _mlp_ladder: ReLU hidden, LINEAR output (hashgrid.py:215)
+                x = jnp.maximum(z, 0.0) if i < n - 1 else z
+            out = x
         else:
             raise NotImplementedError(
-                "EKFAC capture supports siren/fourier/coordx/wavelet_siren, "
-                f"got {model_name}"
+                "EKFAC capture supports siren/fourier/coordx/wavelet_siren/"
+                f"hashgrid, got {model_name}"
             )
         return out, acts
 
     return fwd
+
+
+def model_skip_indices(model_name: str, params) -> frozenset:
+    """Layer indices EKFAC must leave alone for this family (embedding
+    tables etc. — no Kronecker structure). Shared by ekfac_init,
+    ekfac_precondition and capture_layer_stats so factor order aligns."""
+    if model_name == "hashgrid":
+        return frozenset({0})
+    return frozenset()
 
 
 def capture_layer_stats(
@@ -177,7 +204,11 @@ def capture_layer_stats(
     """Per-layer (a, g): layer inputs and per-sample pre-activation grads
     of the MSE loss — the functional analogue of the reference's
     save_input/save_grad_output hooks (ekfac.py:247-279)."""
-    lin_layers = [layer for layer in params if "w" in layer]
+    skip = model_skip_indices(mdef.name, params)
+    lin_layers = [
+        layer for i, layer in enumerate(params)
+        if "w" in layer and i not in skip
+    ]
     n = coords.shape[0]
     if mdef.name == "wavelet_siren":
         # each sub-SIREN runs on its OWN grid: LF layers see lf_h*lf_w
@@ -204,10 +235,12 @@ def capture_layer_stats(
     return acts, grads
 
 
-def ekfac_init(params) -> EkfacState:
+def ekfac_init(params, skip: frozenset = frozenset()) -> EkfacState:
+    """Factors for every Linear layer; `skip` (model_skip_indices) leaves
+    non-Linear leaves like the hashgrid table without factors."""
     ua, ug, m2 = [], [], []
-    for layer in params:
-        if "w" not in layer:
+    for i, layer in enumerate(params):
+        if "w" not in layer or i in skip:
             continue
         fi, fo = layer["w"].shape
         ua.append(jnp.eye(fi + 1))
@@ -250,13 +283,17 @@ def ekfac_update_stats(
     return EkfacState(ua=tuple(ua_new), ug=tuple(ug_new), m2=tuple(m2_new))
 
 
-def ekfac_precondition(state: EkfacState, grads, eps: float = 0.1):
+def ekfac_precondition(
+    state: EkfacState, grads, eps: float = 0.1,
+    skip: frozenset = frozenset(),
+):
     """Precondition a grads pytree (w/b leaves) in the KFE basis
-    (reference _precond :96-162)."""
+    (reference _precond :96-162). `skip` layers (no factors — e.g. the
+    hashgrid table) pass through unpreconditioned."""
     out = []
     j = 0
-    for layer in grads:
-        if "w" not in layer:
+    for i, layer in enumerate(grads):
+        if "w" not in layer or i in skip:
             out.append(layer)
             continue
         gw, gb = layer["w"], layer.get("b")

@@ -331,9 +331,14 @@ def encode_sequence(argv) -> List[dict]:
         if p_optim_cfg.preconditioner == "ekfac":
             # carry structure must match make_fit_segments' init_fn
             # (training/fit.py) or the compiled P segment rejects it
-            from implicit_image_tpu.optim.ekfac import ekfac_init
+            from implicit_image_tpu.optim.ekfac import (
+                ekfac_init,
+                model_skip_indices,
+            )
 
-            ekfac_state = ekfac_init(params)
+            ekfac_state = ekfac_init(
+                params, model_skip_indices(mdef.name, params)
+            )
         else:
             ekfac_state = ()
         return (params, opt_state, mask_state, loop_key, ekfac_state)

@@ -374,6 +374,7 @@ def make_train_step(
                 capture_layer_stats,
                 ekfac_precondition,
                 ekfac_update_stats,
+                model_skip_indices,
             )
 
             acts, pgrads = capture_layer_stats(
@@ -394,7 +395,8 @@ def make_train_step(
                 ekfac_state,
             )
             grads = ekfac_precondition(
-                ekfac_state, grads, eps=optim_cfg.precond_eps
+                ekfac_state, grads, eps=optim_cfg.precond_eps,
+                skip=model_skip_indices(mdef.name, params),
             )
 
         lr = schedule(step)
@@ -531,9 +533,14 @@ def make_fit_segments(
         else:
             mask_state = _dummy_mask_state(params)
         if optim_cfg.preconditioner == "ekfac":
-            from implicit_image_tpu.optim.ekfac import ekfac_init
+            from implicit_image_tpu.optim.ekfac import (
+                ekfac_init,
+                model_skip_indices,
+            )
 
-            ekfac_state = ekfac_init(params)
+            ekfac_state = ekfac_init(
+                params, model_skip_indices(mdef.name, params)
+            )
         else:
             ekfac_state = ()
         return (params, opt_state, mask_state, loop_key, ekfac_state)
