@@ -61,14 +61,27 @@ def _psnr(img, ref):
 
 def main(kv) -> None:
     steps = int(kv.get("steps", 1000))
-    h = w = 512
+    h = w = int(kv.get("hw", 512))  # hw=32 steps=20: CPU smoke (cold init)
     img = synthetic_image(h, w, seed=0)
     grid = get_grid(h, w)
     c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
                                split_depth=5)
     meta_path = REPO / "assets/meta/coordx_s5w96_512.npz"
-    meta_params = load_meta_init(meta_path, "coordx", c_cfg)
-    sha = hashlib.sha256(meta_path.read_bytes()).hexdigest()
+    if h == 512:
+        meta_params = load_meta_init(meta_path, "coordx", c_cfg)
+        sha = hashlib.sha256(meta_path.read_bytes()).hexdigest()
+    else:  # smoke mode: a fixed pseudo-artifact at the right shapes
+        import numpy as _np
+
+        import jax as _jax
+
+        meta_params = c_def.init(_jax.random.PRNGKey(99), c_cfg)
+        from implicit_image_tpu.training.metainit import save_meta_init
+
+        meta_path = Path("outputs/bench/_smoke_meta.npz")
+        meta_path.parent.mkdir(parents=True, exist_ok=True)
+        save_meta_init(meta_path, meta_params, "coordx", c_cfg)
+        sha = hashlib.sha256(meta_path.read_bytes()).hexdigest()
 
     print(f"device={jax.devices()[0].device_kind}")
     res = fit(jax.random.PRNGKey(0), c_def, c_cfg, grid, img,

@@ -42,12 +42,13 @@ def main(kv) -> None:
     gop = int(kv.get("gop", 4))
     steps0 = int(kv.get("steps0", 1000))
     steps_p = int(kv.get("steps", 250))
+    hw = int(kv.get("hw", 512))  # hw=24 steps0=20 steps=6: CPU smoke
     out_root = Path(kv.get("out", "outputs/bench/seqdec"))
 
     print(f"device={jax.devices()[0].device_kind}")
     t0 = time.perf_counter()
     results = encode_sequence([
-        "img=synthetic", "img.height=512", "img.width=512",
+        "img=synthetic", f"img.height={hw}", f"img.width={hw}",
         "mlp=coordx", "mlp.hidden_size=96", "mlp.split_depth=5",
         "masking=RigL", "masking.density=0.85",
         "quant=kmeans", "quant.num_steps=100", "quant.log_steps=100",
