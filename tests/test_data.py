@@ -148,3 +148,43 @@ def test_verify_benchmarks_tofu_and_enforce(tmp_path, monkeypatch):
         f.write(b"P6\n16 16\n255\n" + arr.astype(np.uint8).tobytes())
     mpath.write_text(_json.dumps(manifest))
     assert vb.verify(manifest_path=mpath) == 1
+
+
+def test_synthetic_ood_families():
+    """OOD stand-ins (train.init_path=auto stress content): deterministic,
+    in range, per-family statistics match their construction — pink has a
+    decaying power spectrum, text is near-bimodal high-contrast, noise is
+    white."""
+    import numpy as np
+
+    from implicit_image_tpu.data import synthetic_ood
+
+    for kind in ("pink", "text", "noise"):
+        a = synthetic_ood(kind, 48, 64, seed=1)
+        b = synthetic_ood(kind, 48, 64, seed=1)
+        assert a.shape == (48, 64, 3) and a.dtype == np.float32
+        np.testing.assert_array_equal(a, b)
+        assert 0.0 <= a.min() and a.max() <= 1.0
+        assert np.abs(a - synthetic_ood(kind, 48, 64, seed=2)).max() > 0.01
+
+    # pink: low-frequency energy dominates (power-law spectrum)
+    pink = synthetic_ood("pink", 64, 64, seed=0)[:, :, 0]
+    spec = np.abs(np.fft.fft2(pink - pink.mean())) ** 2
+    lo = spec[1:4, 1:4].mean()
+    hi = spec[28:32, 28:32].mean()
+    assert lo > 50 * hi, (lo, hi)
+
+    # noise: flat spectrum by comparison
+    noise = synthetic_ood("noise", 64, 64, seed=0)[:, :, 0]
+    spec_n = np.abs(np.fft.fft2(noise - noise.mean())) ** 2
+    assert spec_n[1:4, 1:4].mean() < 10 * spec_n[28:32, 28:32].mean()
+
+    # text: bimodal (page + ink) => most mass near the two modes
+    text = synthetic_ood("text", 64, 64, seed=0)[:, :, 0]
+    near_modes = ((np.abs(text - 0.92) < 0.05) | (np.abs(text - 0.08) < 0.05))
+    assert near_modes.mean() > 0.95
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown OOD kind"):
+        synthetic_ood("fractal")
