@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["EkfacState", "ekfac_init", "ekfac_update_stats", "ekfac_precondition",
-           "capture_layer_stats", "model_skip_indices"]
+           "capture_layer_stats", "model_skip_indices",
+           "ekfac_update_stats_chunked"]
 
 
 class EkfacState(NamedTuple):
@@ -281,6 +282,126 @@ def ekfac_update_stats(
         ug_new.append(ug)
         m2_new.append(m2)
     return EkfacState(ua=tuple(ua_new), ug=tuple(ug_new), m2=tuple(m2_new))
+
+
+def ekfac_update_stats_chunked(
+    state: EkfacState,
+    mdef,
+    mcfg,
+    params,
+    coords,
+    target,
+    chunks: int,
+    alpha: float = 0.75,
+    recompute_eigs: bool = True,
+) -> EkfacState:
+    """ekfac_update_stats with activation memory bounded at ONE pixel
+    chunk — the capture+Gram accumulation runs as a `lax.scan` over
+    `chunks` equal coordinate chunks, so preconditioner='ekfac' composes
+    with train.pixel_chunks>1 (the r3 guard refused the combination
+    because the full-grid capture re-materialized what pixel_chunks
+    bounds). Per-pixel models only: wavelet_siren renders on its own
+    full grids and cannot chunk (training/fit.py keeps its guard).
+
+    Numerics match the unchunked path exactly (up to chunk-sum fp
+    reassociation): A and G are plain Gram sums over chunks; m2 needs
+    the eigenbasis, so a recompute step runs TWO chunk passes (pass 1
+    accumulates A/G, eigh, pass 2 projects m2 in the NEW basis — the
+    same order the unchunked update applies), while plain steps project
+    in the carried basis in the single pass."""
+    if mdef.name == "wavelet_siren":
+        raise ValueError(
+            "chunked EKFAC capture is undefined for full-grid models "
+            "(wavelet_siren renders on its own DWT grids)"
+        )
+    n_total = coords.shape[0]
+    assert n_total % chunks == 0, (n_total, chunks)
+    n_c = n_total // chunks
+    coords_c = coords.reshape(chunks, n_c, -1)
+    target_c = target.reshape(chunks, n_c, -1)
+
+    lin_shapes = [
+        layer["w"].shape
+        for i, layer in enumerate(params)
+        if "w" in layer and i not in model_skip_indices(mdef.name, params)
+    ]
+
+    def chunk_stats(c_coords, c_target):
+        """Per-chunk (a1ᵀa1, gsᵀgs, acts, gs) with global-mean loss
+        scaling, so chunk Gram sums equal the full-batch Grams."""
+        perturbs = [
+            jnp.zeros((n_c, fo), jnp.float32) for _, fo in lin_shapes
+        ]
+        fwd = _perturbed_forward(
+            [l for l in params], c_coords, mcfg, mdef.name
+        )
+
+        def loss_fn(perturbs):
+            out, acts = fwd(perturbs)
+            # SUM over the chunk / (n_total*C) == this chunk's share of
+            # the global mean -> per-sample grads carry the same scaling
+            # the unchunked capture's jnp.mean loss produces
+            return jnp.sum((out - c_target) ** 2) / (
+                n_total * out.shape[-1]
+            ), acts
+
+        grads, acts = jax.grad(loss_fn, has_aux=True)(perturbs)
+        out = []
+        for a, g in zip(acts, grads):
+            a1 = jnp.concatenate([a, jnp.ones((n_c, 1), a.dtype)], axis=1)
+            gs = g * n_total
+            out.append((a1.T @ a1, gs.T @ gs, a1, gs))
+        return out
+
+    def gram_pass():
+        def body(carry, xs):
+            c_coords, c_target = xs
+            stats = chunk_stats(c_coords, c_target)
+            return (
+                tuple(ca + s[0] for ca, s in zip(carry[0], stats)),
+                tuple(cg + s[1] for cg, s in zip(carry[1], stats)),
+            ), None
+
+        init = (
+            tuple(jnp.zeros((fi + 1, fi + 1)) for fi, _ in lin_shapes),
+            tuple(jnp.zeros((fo, fo)) for _, fo in lin_shapes),
+        )
+        (a_sums, g_sums), _ = jax.lax.scan(
+            body, init, (coords_c, target_c)
+        )
+        return a_sums, g_sums
+
+    def m2_pass(ua_t, ug_t):
+        def body(carry, xs):
+            c_coords, c_target = xs
+            stats = chunk_stats(c_coords, c_target)
+            new = []
+            for m2c, ua, ug, (_, _, a1, gs) in zip(
+                carry, ua_t, ug_t, stats
+            ):
+                ga = (gs @ ug).T
+                aa = (a1 @ ua).T
+                new.append(m2c + (ga**2) @ (aa**2).T)
+            return tuple(new), None
+
+        init = tuple(
+            jnp.zeros((fo, fi + 1)) for fi, fo in lin_shapes
+        )
+        m2_sums, _ = jax.lax.scan(body, init, (coords_c, target_c))
+        return m2_sums
+
+    if recompute_eigs:
+        a_sums, g_sums = gram_pass()
+        ua_t = tuple(jnp.linalg.eigh(a / n_total)[1] for a in a_sums)
+        ug_t = tuple(jnp.linalg.eigh(g / n_total)[1] for g in g_sums)
+    else:
+        ua_t, ug_t = state.ua, state.ug
+    m2_sums = m2_pass(ua_t, ug_t)
+    m2_new = tuple(
+        alpha * m2 + (1 - alpha) * (m2s / n_total)
+        for m2, m2s in zip(state.m2, m2_sums)
+    )
+    return EkfacState(ua=ua_t, ug=ug_t, m2=m2_new)
 
 
 def ekfac_precondition(

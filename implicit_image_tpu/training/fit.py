@@ -353,10 +353,14 @@ def make_train_step(
         grad_fn = jax.value_and_grad(loss_fn)
 
     use_ekfac = optim_cfg.preconditioner == "ekfac"
-    if use_ekfac and train_cfg.pixel_chunks > 1:
-        # capture_layer_stats runs over the full grid, re-materializing the
-        # activations pixel_chunks exists to bound — refuse the silent OOM
-        raise ValueError("preconditioner='ekfac' is incompatible with pixel_chunks>1")
+    if (use_ekfac and train_cfg.pixel_chunks > 1
+            and mdef.name == "wavelet_siren"):
+        # the chunked capture accumulates per-pixel Grams; wavelet_siren
+        # renders on its own full DWT grids and cannot chunk
+        raise ValueError(
+            "preconditioner='ekfac' with pixel_chunks>1 is undefined for "
+            "full-grid models (wavelet_siren)"
+        )
     if use_ekfac and mdef.name.startswith("feather"):
         # Feathermap params are (V1, V2, scalers), not layer weights; the
         # EKFAC capture needs materialized per-layer (a, g)
@@ -374,19 +378,40 @@ def make_train_step(
                 capture_layer_stats,
                 ekfac_precondition,
                 ekfac_update_stats,
+                ekfac_update_stats_chunked,
                 model_skip_indices,
             )
 
-            acts, pgrads = capture_layer_stats(
-                mdef, mcfg, params, coords, target_flat
-            )
             # recompute eigenbases every precond_interval steps; KFE second
             # moments update every step (EKFAC's amortized schedule)
-            def with_eigs(st):
-                return ekfac_update_stats(st, acts, pgrads, recompute_eigs=True)
+            if train_cfg.pixel_chunks > 1:
+                # chunked capture: Gram accumulation over pixel chunks
+                # bounds activation memory like the loss/grad path does
+                def with_eigs(st):
+                    return ekfac_update_stats_chunked(
+                        st, mdef, mcfg, params, coords, target_flat,
+                        train_cfg.pixel_chunks, recompute_eigs=True,
+                    )
 
-            def without_eigs(st):
-                return ekfac_update_stats(st, acts, pgrads, recompute_eigs=False)
+                def without_eigs(st):
+                    return ekfac_update_stats_chunked(
+                        st, mdef, mcfg, params, coords, target_flat,
+                        train_cfg.pixel_chunks, recompute_eigs=False,
+                    )
+            else:
+                acts, pgrads = capture_layer_stats(
+                    mdef, mcfg, params, coords, target_flat
+                )
+
+                def with_eigs(st):
+                    return ekfac_update_stats(
+                        st, acts, pgrads, recompute_eigs=True
+                    )
+
+                def without_eigs(st):
+                    return ekfac_update_stats(
+                        st, acts, pgrads, recompute_eigs=False
+                    )
 
             ekfac_state = jax.lax.cond(
                 step % optim_cfg.precond_interval == 0,
