@@ -14,7 +14,14 @@ the same capability with zero deps:
     (Gaussian KDE in the transformed space; weighted counts for choice),
     propose the candidate maximizing l(x)/g(x). The same model-based
     sample efficiency class as the reference's Optuna TPE sweeper.
-  * objective: maximize PSNR (default) or maximize PSNR - lambda*KB.
+  * objective: maximize PSNR (default) or maximize PSNR - lambda*KB,
+  * persistence/resume (the reference's Optuna sweeper keeps its study
+    in sqlite — conf/hydra/sweeper/optuna.yaml): every completed trial
+    appends to `<dir>/sweep.jsonl` (dir=outputs/sweep default); a killed
+    sweep relaunched with the same space/sampler/seed REPLAYS the record
+    against the deterministic proposal sequence and resumes where it
+    stopped (TPE and CMA-ES internal state rebuild exactly). `resume=0`
+    disables the store.
 
 CLI:
   python -m implicit_image_tpu.sweep n_trials=15 seed=0 sampler=tpe \
