@@ -202,11 +202,17 @@ def main() -> None:
 
         reps = 200
         a = jnp.zeros((512 * 512, 128), jnp.float32) + 0.5
-        b = jnp.zeros((128, 128), jnp.float32) + 0.01
+        # orthogonal-ish b keeps the carried activations in range over
+        # 200 chained dots without any elementwise op: at this skinny
+        # shape even one multiply on the (M,128) output costs more VPU
+        # time than the K=128 dot costs MXU time and would corrupt the
+        # ceiling reading; the scan's data dependence alone prevents
+        # folding (b is a runtime argument, x is the carry)
+        b = jnp.eye(128, dtype=jnp.float32) * 0.999 + 0.001
 
         def chain(a, b):
             def body(x, _):
-                return jnp.tanh(x @ b), ()
+                return x @ b, ()
             out, _ = lax.scan(body, a, None, length=reps)
             return out
 
