@@ -433,8 +433,12 @@ def cli(argv=None) -> None:
     optim_cfg, quant_cfg = args["optim_cfg"], args["quant_cfg"]
     stream_name = args["stream_name"]
 
+    # root carries the masking method: three ladders of one exp_name
+    # (RigL/SNFS/Pruning study sweeps) must not overwrite one another's
+    # member run dirs (r4 study post-mortem)
+    mname = (cfg.get("masking") or {}).get("name") or "dense"
     root = Path(cfg.get("output_dir", "outputs")) / cfg.img.name / (
-        "ladder_" + cfg.get("exp_name", "run")
+        f"ladder_{mname}_" + cfg.get("exp_name", "run")
     )
     t0 = time.perf_counter()
     results = ladder_compress(

@@ -32,7 +32,12 @@ def _classify(run):
         # on the method curves (they compress via width/hashing, not masks)
         if not masking or masking.get("name") in (None, "none"):
             return "none", None
-        return masking.get("name"), masking.get("density")
+        density = masking.get("density")
+        if masking.get("name") == "Pruning":
+            # GMP sweeps final_density (init density stays 1.0) — the
+            # study axis is the FINAL density
+            density = masking.get("final_density", density)
+        return masking.get("name"), density
     d = run["dir"]
     m = _METHOD.search(d)
     if m is None or m.group(1) == "none":
