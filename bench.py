@@ -189,10 +189,15 @@ def main() -> None:
 
     # ---- in-run MXU shape ceiling (auditability for the TFLOPS fields) --
     # Times the fit's dominant contraction shape, (512^2 x 128)@(128 x 128)
-    # fp32, as a scanned chain of dots — the measured speed-of-light for
-    # the reference width on this chip (BASELINE.md "shape ceiling"). The
-    # fit's achieved TFLOPS should sit near this number, NOT near the bf16
-    # datasheet peak: K=N=128 cannot fill the MXU pipeline.
+    # default-precision, as a scanned chain of EIGHT DISTINCT dots per
+    # iteration (the d8 fit's structure). Distinct runtime matrices are
+    # load-bearing: with one constant b XLA reassociates the unrolled
+    # chain into x @ (b^8) and the reading inflates 8x; and a
+    # one-dot-per-iteration chain underreads ~8x (scan-carry round trips
+    # dominate a single 0.34 ms dot). Measured r4: ~73 TFLOPS sustained —
+    # the fit's achieved-TFLOPS fields sit at ~1/3 of this because the
+    # inter-matmul VPU work (sine, backward elementwise, optimizer) binds,
+    # NOT the MXU shape (BASELINE.md "shape ceiling, revised").
     ceiling_tflops = None
     try:
         import time as _time
@@ -200,28 +205,35 @@ def main() -> None:
         import jax.numpy as jnp
         from jax import lax
 
-        reps = 200
+        depth, reps = 8, 250
         a = jnp.zeros((512 * 512, 128), jnp.float32) + 0.5
-        # orthogonal-ish b keeps the carried activations in range over
-        # 200 chained dots without any elementwise op: at this skinny
-        # shape even one multiply on the (M,128) output costs more VPU
-        # time than the K=128 dot costs MXU time and would corrupt the
-        # ceiling reading; the scan's data dependence alone prevents
-        # folding (b is a runtime argument, x is the carry)
-        b = jnp.eye(128, dtype=jnp.float32) * 0.999 + 0.001
+        key = jax.random.PRNGKey(0)
+        bs = jnp.stack([
+            jnp.eye(128) * 0.999
+            + jax.random.normal(jax.random.fold_in(key, i), (128, 128))
+            * 1e-4
+            for i in range(depth)
+        ])
 
-        def chain(a, b):
+        def chain(a, bs):
             def body(x, _):
-                return x @ b, ()
+                for i in range(depth):
+                    x = x @ bs[i]
+                return x, ()
             out, _ = lax.scan(body, a, None, length=reps)
-            return out
+            # scalar return: fetching the full (512^2,128) result costs
+            # seconds of tunnel transfer and would swamp the timing; the
+            # scan carry forces every dot regardless (no DCE)
+            return out[0, 0]
 
-        cfn = jax.jit(chain).lower(a, b).compile()
-        np.asarray(cfn(a, b))[0, 0]  # warm-up
+        cfn = jax.jit(chain).lower(a, bs).compile()
+        np.asarray(cfn(a, bs))  # warm-up
         t0 = _time.perf_counter()
-        np.asarray(cfn(a, b))[0, 0]
+        np.asarray(cfn(a, bs))
         dt = _time.perf_counter() - t0
-        ceiling_tflops = round(2 * 512 * 512 * 128 * 128 * reps / dt / 1e12, 1)
+        ceiling_tflops = round(
+            2 * 512 * 512 * 128 * 128 * depth * reps / dt / 1e12, 1
+        )
     except Exception as e:  # noqa: BLE001
         print(f"[bench] ceiling micro failed: {e!r}", file=sys.stderr)
 
@@ -280,7 +292,7 @@ def main() -> None:
             flag.get("fit_achieved_tflops") if flag else None),
         "siren_achieved_tflops": (
             ref.get("fit_achieved_tflops") if ref else None),
-        "mxu_k128_dot_ceiling_tflops": ceiling_tflops,
+        "mxu_k128_chained_dot_tflops": ceiling_tflops,
         # strict same-architecture numbers (previous rounds' headline)
         "siren_fit_wall_s": ref["fit_wall_s"] if ref else None,
         "siren_fit_vs_baseline": (
