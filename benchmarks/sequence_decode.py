@@ -100,9 +100,15 @@ def main(kv) -> None:
     fps = frames / wall
 
     # ---- GOP seek: last frame of the clip (worst P-walk <= gop-1) ----
+    # cold = first seek in a fresh consumer (render compile + upload
+    # caches); warm = a player scrubbing (the value-keyed render cache
+    # makes repeated seeks pay only the chain walk + render)
     t4 = time.perf_counter()
     img_t, name_t = decode_sequence(root, frame=frames - 1)
     seek_wall = time.perf_counter() - t4
+    t5 = time.perf_counter()
+    decode_sequence(root, frame=frames - 1)
+    seek_warm = time.perf_counter() - t5
 
     # ---- single-file artifact ----
     iiv = pack_sequence(root, out_root / "benchclip.iiv")
@@ -122,7 +128,8 @@ def main(kv) -> None:
         "decode_device_s": round(dev_s, 3),
         "decode_wall_s": round(wall, 3),
         "decode_frames_per_s": round(fps, 2),
-        "gop_seek_last_frame_s": round(seek_wall, 3),
+        "gop_seek_last_frame_cold_s": round(seek_wall, 3),
+        "gop_seek_last_frame_warm_s": round(seek_warm, 3),
         "iiv_bytes": iiv.stat().st_size,
         "iiv_overhead_vs_streams": round(
             iiv.stat().st_size / max(stream_bytes, 1) - 1.0, 4),

@@ -528,7 +528,6 @@ def decode_sequence(root, stream: Optional[str] = None,
         decompress_state_dict,
         params_from_state_dict,
     )
-    from implicit_image_tpu.data import get_grid
     from implicit_image_tpu.models import build_model_from_config
 
     root = Path(root)
@@ -552,8 +551,12 @@ def decode_sequence(root, stream: Optional[str] = None,
         stream = cfg.get("entropy_coding", {}).get("stream_name", "zstd")
     mdef, mcfg = build_model_from_config(cfg)
     h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
-    grid = get_grid(h, w)
-    render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
+    # value-keyed compiled-render cache (coding._get_render): repeated
+    # decode/seek calls — a player scrubbing a clip — must not pay a
+    # fresh ~15-20 s tunnel recompile per call
+    from implicit_image_tpu.coding import _get_render
+
+    render = _get_render(mdef, mcfg, h, w)
 
     if frame is not None:
         t = int(frame)

@@ -55,13 +55,15 @@ def gather(outputs_root="outputs"):
         if method == "none":
             # the dense baseline line is the PROTOCOL control (w128 d8,
             # multiplier 5) — width×depth grid members are also
-            # masking=none and must not masquerade as it
+            # masking=none and must not masquerade as it. Reject only on
+            # POSITIVE evidence of a non-protocol config (a store without
+            # mlp/train records still gets its dense line)
             cfg = run.get("config") or {}
             mlp = cfg.get("mlp") or {}
             tr = cfg.get("train") or {}
-            if (int(mlp.get("hidden_size", 0)) == 128
-                    and int(mlp.get("depth", 0)) == 8
-                    and int(tr.get("multiplier", 1)) == 5):
+            if (int(mlp.get("hidden_size", 128)) == 128
+                    and int(mlp.get("depth", 8)) == 8
+                    and int(tr.get("multiplier", 5)) == 5):
                 dense_psnr = psnr
             continue
         if density is not None:

@@ -37,9 +37,10 @@ def gather_full(outputs_root="outputs"):
             cfg = run.get("config") or {}
             mlp = cfg.get("mlp") or {}
             tr = cfg.get("train") or {}
-            if (int(mlp.get("hidden_size", 0)) == 128
-                    and int(mlp.get("depth", 0)) == 8
-                    and int(tr.get("multiplier", 1)) == 5):
+            # reject only on POSITIVE evidence of a non-protocol config
+            if (int(mlp.get("hidden_size", 128)) == 128
+                    and int(mlp.get("depth", 8)) == 8
+                    and int(tr.get("multiplier", 5)) == 5):
                 dense = (float(psnr), nbytes)
             continue
         if density is not None:
