@@ -28,7 +28,7 @@ from __future__ import annotations
 import json
 import zipfile
 from pathlib import Path
-from typing import Optional, Union
+from typing import Optional, Sequence, Union
 
 __all__ = [
     "pack_run", "unpack_run", "is_packed_container", "MEMBERS",
@@ -184,19 +184,34 @@ def is_packed_sequence(path: Union[str, Path]) -> bool:
     return _SEQ_INDEX in names
 
 
-def unpack_sequence(
-    path: Union[str, Path], dest: Union[str, Path, None] = None
-) -> Path:
-    """Extract a .iiv file back to a seq dir; returns that dir."""
+def read_sequence_index(path: Union[str, Path]) -> dict:
+    """The sequence.json GOP index of a packed .iiv, without extracting
+    any frame payloads (zip central-directory + one small member read)."""
     path = Path(path)
     if not is_packed_sequence(path):
         raise ValueError(
             f"{path} is not a packed .iiv sequence container "
             f"(expected a stored zip with a {_SEQ_INDEX} index)"
         )
-    dest = Path(dest) if dest else path.parent / path.stem
     with zipfile.ZipFile(path) as z:
-        index = json.loads(z.read(_SEQ_INDEX))
+        return json.loads(z.read(_SEQ_INDEX))
+
+
+def unpack_sequence(
+    path: Union[str, Path],
+    dest: Union[str, Path, None] = None,
+    frames: Optional[Sequence[str]] = None,
+) -> Path:
+    """Extract a .iiv file back to a seq dir; returns that dir.
+
+    `frames` (GOP seek): extract only the named frame dirs — a seek to
+    frame t needs just the nearest I-frame and the P-chain to t, so the
+    rest of the archive's payload bytes are never read."""
+    path = Path(path)
+    index = read_sequence_index(path)
+    dest = Path(dest) if dest else path.parent / path.stem
+    want = None if frames is None else set(frames)
+    with zipfile.ZipFile(path) as z:
         (dest / _SEQ_INDEX).parent.mkdir(parents=True, exist_ok=True)
         (dest / _SEQ_INDEX).write_text(
             json.dumps(index, indent=2, sort_keys=True)
@@ -204,6 +219,8 @@ def unpack_sequence(
         for fr in index["frames"]:
             if "/" in fr["name"] or fr["name"].startswith("."):
                 raise ValueError(f"suspicious frame name {fr['name']!r}")
+            if want is not None and fr["name"] not in want:
+                continue
             for name in _FRAME_MEMBERS:
                 target = dest / fr["name"] / name
                 # member paths are rebuilt from the fixed tuple — no

@@ -532,13 +532,37 @@ def decode_sequence(root, stream: Optional[str] = None,
 
     root = Path(root)
     if root.is_file():
-        # packed .iiv — unpack beside a temp dir and decode from there
+        # packed .iiv — unpack beside a temp dir and decode from there.
+        # A frame seek reads the GOP index first and extracts ONLY the
+        # nearest I-frame and the P-chain to t (the rest of the archive's
+        # payload is never read).
         import tempfile
 
-        from implicit_image_tpu.coding.container_file import unpack_sequence
+        from implicit_image_tpu.coding.container_file import (
+            read_sequence_index,
+            unpack_sequence,
+        )
 
+        needed = None
+        if frame is not None:
+            frames_idx = read_sequence_index(root)["frames"]
+            t = int(frame)
+            if not 0 <= t < len(frames_idx):
+                raise IndexError(
+                    f"frame {t} out of range (sequence has "
+                    f"{len(frames_idx)})"
+                )
+            start = t
+            while start > 0 and frames_idx[start]["kind"] != "I":
+                start -= 1
+            needed = [f["name"] for f in frames_idx[start: t + 1]]
+            # the extracted dir holds only the chain; re-index the seek
+            # to its position inside it
+            frame = t - start
         with tempfile.TemporaryDirectory() as tmp:
-            seq_dir = unpack_sequence(root, Path(tmp) / root.stem)
+            seq_dir = unpack_sequence(
+                root, Path(tmp) / root.stem, frames=needed
+            )
             return decode_sequence(seq_dir, stream, frame)
     frame_dirs = sorted(
         d for d in root.iterdir()

@@ -419,6 +419,16 @@ def test_sequence_iiv_pack_roundtrip_and_gop_seek(tmp_path):
     r_frames, r_names = decode_sequence(restored)
     np.testing.assert_array_equal(r_frames, ref_frames)
 
+    # selective unpack (the packed-seek fast path): only the requested
+    # frame dirs are extracted
+    part = unpack_sequence(iiv, tmp_path / "part",
+                           frames=["frame_0002", "frame_0003"])
+    got = sorted(d.name for d in part.iterdir() if d.is_dir())
+    assert got == ["frame_0002", "frame_0003"]
+    # the partial dir decodes its GOP (frame 2 is an I-frame)
+    img2, _ = decode_sequence(part, frame=0)
+    np.testing.assert_array_equal(img2, ref_frames[2])
+
     # a pure P-chain (gop=0 fixture shape): seek to the tail walks from
     # frame 0 only because no later I exists — still exact
     # (covered by the gop case above where frames 1,3 seek from 0,2)
