@@ -300,7 +300,9 @@ def main() -> None:
         "siren_protocol_wall_s": ref["total_wall_s"] if ref else None,
         "siren_fit_psnr_db": ref["fit_psnr"] if ref else None,
         # throughput form: batched vmapped fits, 3.68 s/fit measured
-        # (64 x 256^2 x 2000 steps; benchmarks/batched_throughput.py)
+        # (64 x 256^2 x 2000 steps; benchmarks/batched_throughput.py;
+        # re-validated round 4: 235.62 s total = 3681.5 ms/fit, mean
+        # 50.59 dB — byte-stable across rounds)
         "batched_s_per_fit": 3.68,
         "batched_vs_baseline": round(REF_ESTIMATE_S / 3.68, 1),
     }))
