@@ -55,7 +55,7 @@ from implicit_image_tpu.training.quant_phase import make_quant_fit_fn  # noqa: E
 def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
                   log_steps=None, stream="zstd", half="auto",
                   masking_cfg=None, quant_lr=None, init_params=None,
-                  delta_info=None):
+                  delta_info=None, matmul_precision=None):
     """fit -> kmeans-8 codebook finetune -> entropy code -> decode.
     Returns dict with stage walls, decoded PSNR, rate. Every wall is the
     compiled-execution wall (compile excluded, as in BASELINE.md — the
@@ -74,7 +74,8 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     h, w = grid.shape[:2]
     res = fit(
         jax.random.PRNGKey(0), mdef, mcfg, grid, img,
-        TrainConfig(num_steps=steps, log_steps=log_steps or max(steps // 4, 1)),
+        TrainConfig(num_steps=steps, log_steps=log_steps or max(steps // 4, 1),
+                    matmul_precision=matmul_precision),
         optim_cfg, masking_cfg, init_params=init_params,
     )
     p = np.asarray(res.metrics["psnr"]).reshape(-1)
@@ -86,6 +87,7 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     qfn = jax.jit(make_quant_fit_fn(
         mdef, mcfg, grid, qcfg, optim_cfg, masks,
         offset_params=init_params if delta_info is not None else None,
+        matmul_precision=matmul_precision,
     ))
     qfn_c = qfn.lower(res.params, img).compile()
     t0 = time.perf_counter()

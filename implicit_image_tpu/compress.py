@@ -254,6 +254,7 @@ def main(
         segment_steps=_auto_segment_steps(cfg),
         loss=str(cfg.train.get("loss", "mse")),
         ssim_weight=float(cfg.train.get("ssim_weight", 0.84)),
+        matmul_precision=cfg.train.get("matmul_precision") or None,
     )
     # PyYAML parses bare "3e-4" as a string; coerce fields that LOOK
     # numeric, leave real strings (e.g. preconditioner="ekfac") alone
@@ -304,7 +305,8 @@ def main(
         from implicit_image_tpu.training.metainit import resolve_auto_init
 
         params_w, init_path, why = resolve_auto_init(
-            mdef.name, mcfg, num_steps
+            mdef.name, mcfg, num_steps,
+            matmul_precision=cfg.train.get("matmul_precision") or None,
         )
         if params_w is not None:
             fit_kwargs["init_params"] = params_w
@@ -439,6 +441,7 @@ def main(
             # same watchdog budget as the fit (only bites when the auto
             # segment is shorter than quant.num_steps, e.g. hashgrid)
             segment_steps=train_cfg.segment_steps,
+            matmul_precision=train_cfg.matmul_precision,
         )
         if bool(quant_cfg_raw.get("delta", False)):
             # delta mode (beyond reference): quantized layers cluster +

@@ -77,12 +77,24 @@ def run(cfg) -> str:
         log.info("meta-step %d/%d post-adapt loss %.3e",
                  step, meta_cfg.outer_steps, loss)
 
-    params, losses, wall = meta_train(
-        mdef, mcfg, grid, pool, meta_cfg, log=progress
-    )
+    prec = cfg.get("train", {}).get("matmul_precision") or None
+    if prec:
+        # meta-train under the same MXU pass precision the consuming fits
+        # will use — the basin is precision-specific (metainit.py
+        # save_meta_init docstring)
+        import jax as _jax
+
+        with _jax.default_matmul_precision(str(prec)):
+            params, losses, wall = meta_train(
+                mdef, mcfg, grid, pool, meta_cfg, log=progress
+            )
+    else:
+        params, losses, wall = meta_train(
+            mdef, mcfg, grid, pool, meta_cfg, log=progress
+        )
     out = out or f"outputs/meta/{mdef.name}_{h}x{w}.npz"
     Path(out).parent.mkdir(parents=True, exist_ok=True)
-    save_meta_init(out, params, mdef.name, mcfg)
+    save_meta_init(out, params, mdef.name, mcfg, matmul_precision=prec)
     log.info("meta-train: %.1fs, final post-adapt loss %.3e -> %s",
              wall, float(losses[-1]), out)
     print(f"META_INIT path={out} wall_s={wall:.1f} "

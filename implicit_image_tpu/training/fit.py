@@ -96,6 +96,13 @@ class TrainConfig:
     # either way (the protocol's distortion axis).
     loss: str = "mse"
     ssim_weight: float = 0.84
+    # MXU pass precision for the fit's matmuls: None (JAX default = ONE
+    # bf16 pass on TPU) | "tensorfloat32" (3 passes) | "float32" (6) |
+    # "bfloat16" (explicit 1). The torch reference computes fp32, and the
+    # single-pass default is MEASURED to cost the protocol SIREN 6.3 dB
+    # of converged quality; "tensorfloat32" recovers it at +32% wall
+    # (BASELINE.md "Matmul pass precision").
+    matmul_precision: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -208,6 +215,7 @@ def make_loss_fn(
     grid_hw=None,
     loss_name="mse",
     ssim_weight=0.84,
+    matmul_precision=None,
 ):
     apply_flat = mdef.apply_flat
     if use_pallas and mdef.name == "siren":
@@ -246,15 +254,32 @@ def make_loss_fn(
         h, w = grid_hw
         grid = coords.reshape(h, w, coords.shape[-1])
 
-        def loss_fn(params):
+        def raw_loss_fn(params):
             pred = mdef.apply(params, grid, mcfg, compute_dtype)
             return distortion(pred.reshape(h * w, -1))
 
     else:
 
-        def loss_fn(params):
+        def raw_loss_fn(params):
             pred = apply_flat(params, coords, mcfg, compute_dtype)
             return distortion(pred)
+
+    if matmul_precision:
+        # MXU pass precision for the fit's dot_generals (train.
+        # matmul_precision). The silent TPU default is ONE bf16 pass —
+        # measured to cost the protocol SIREN 6.3 dB of converged fit
+        # quality vs "tensorfloat32" (3 passes) at +32% wall
+        # (BASELINE.md "Matmul pass precision"). The precision attr is
+        # baked into the primal dots at trace time, so the backward
+        # transpose inherits it.
+        raw = raw_loss_fn
+
+        def loss_fn(params):
+            with jax.default_matmul_precision(matmul_precision):
+                return raw(params)
+
+    else:
+        loss_fn = raw_loss_fn
 
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
@@ -291,6 +316,7 @@ def make_train_step(
         grid_hw=grid_hw,
         loss_name=loss_name,
         ssim_weight=getattr(train_cfg, "ssim_weight", 0.84),
+        matmul_precision=getattr(train_cfg, "matmul_precision", None),
     )
     if getattr(optim_cfg, "lr_schedule", "step") == "cosine":
         from implicit_image_tpu.optim import cosine_lr

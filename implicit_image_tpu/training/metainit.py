@@ -52,6 +52,7 @@ __all__ = [
     "save_meta_init",
     "load_meta_init",
     "resolve_auto_init",
+    "meta_precision",
     "WARM_BUDGET_MAX_STEPS",
 ]
 
@@ -241,9 +242,16 @@ def meta_train(
     return meta_params, loss_curve, time.perf_counter() - t0
 
 
-def save_meta_init(path, params, model_name: str, mcfg) -> None:
+def save_meta_init(path, params, model_name: str, mcfg,
+                   matmul_precision=None) -> None:
     """Persist a meta-init as a flat .npz (checkpoint.py conventions) with
-    the architecture recorded so a mismatched load fails loudly."""
+    the architecture recorded so a mismatched load fails loudly.
+
+    `matmul_precision` records the MXU pass precision the artifact was
+    meta-trained under (train.matmul_precision): warm starts are basin
+    state, and a basin tuned under 1-pass bf16 dynamics LOSES ~1 dB when
+    consumed by a tensorfloat32 fit (measured, BASELINE.md "Matmul pass
+    precision") — resolve_auto_init matches it against the run's."""
     import dataclasses
 
     from implicit_image_tpu.training.checkpoint import _flat_layers
@@ -251,6 +259,7 @@ def save_meta_init(path, params, model_name: str, mcfg) -> None:
     out = {
         "meta.n_layers": np.asarray(len(params)),
         "meta.model": np.asarray(model_name),
+        "meta.matmul_precision": np.asarray(str(matmul_precision or "")),
     }
     for f in dataclasses.fields(mcfg):
         v = getattr(mcfg, f.name)
@@ -305,7 +314,18 @@ def default_meta_dir():
     return Path(__file__).resolve().parents[2] / "assets" / "meta"
 
 
-def resolve_auto_init(model_name: str, mcfg, num_steps: int, meta_dir=None):
+def meta_precision(path) -> Optional[str]:
+    """The matmul_precision an artifact was meta-trained under (None for
+    pre-field artifacts = the 1-pass bf16 default era)."""
+    data = np.load(path, allow_pickle=False)
+    if "meta.matmul_precision" not in data:
+        return None
+    v = str(data["meta.matmul_precision"])
+    return v or None
+
+
+def resolve_auto_init(model_name: str, mcfg, num_steps: int, meta_dir=None,
+                      matmul_precision=None):
     """`train.init_path=auto` warm/cold arbitration (VERDICT r3 item 4).
 
     Returns (params_or_None, path_or_None, reason). Warm is selected ONLY
@@ -332,6 +352,15 @@ def resolve_auto_init(model_name: str, mcfg, num_steps: int, meta_dir=None):
     rejected = []
     for p in sorted(root.glob("*.npz")):
         try:
+            art_prec = meta_precision(p)
+            if art_prec != (matmul_precision or None):
+                # basin state is precision-specific: a bf16-era artifact
+                # consumed by a tf32 fit loses ~1 dB (BASELINE.md)
+                rejected.append(
+                    f"{p.name}: meta-trained under matmul_precision="
+                    f"{art_prec}, run uses {matmul_precision or None}"
+                )
+                continue
             params = load_meta_init(
                 p, expect_model=model_name, expect_mcfg=mcfg
             )

@@ -74,6 +74,7 @@ def make_quant_fit_fn(
     compute_dtype=None,
     pixel_chunks: int = 1,
     offset_params=None,
+    matmul_precision=None,
 ):
     """Build quant_fit(params, img) -> (final params, codebooks, metrics).
 
@@ -109,13 +110,22 @@ def make_quant_fit_fn(
         # apply (O(H+W) branch work), exactly as the fit loss does
         # (training/fit.py make_loss_fn) — ~2x the per-step speed of the
         # flat path at the reference shapes
-        def _forward(params):
+        def _forward_raw(params):
             return mdef.apply(params, grid, mcfg, compute_dtype).reshape(
                 h * w, -1
             )
     else:
-        def _forward(params):
+        def _forward_raw(params):
             return mdef.apply_flat(params, coords, mcfg, compute_dtype)
+
+    if matmul_precision:
+        # same MXU pass-precision control as the fit loss
+        # (training/fit.py make_loss_fn matmul_precision)
+        def _forward(params):
+            with jax.default_matmul_precision(matmul_precision):
+                return _forward_raw(params)
+    else:
+        _forward = _forward_raw
 
     if k > 1:
         # contiguous row blocks of a tensor-product grid are themselves
@@ -124,15 +134,22 @@ def make_quant_fit_fn(
         if mdef.separable and h % k == 0:
             chunk_inputs = grid.reshape(k, h // k, w, c)
 
-            def _forward_chunk(params, g):
+            def _forward_chunk_raw(params, g):
                 return mdef.apply(params, g, mcfg, compute_dtype).reshape(
                     (h // k) * w, -1
                 )
         else:
             chunk_inputs = coords.reshape(k, n // k, c)
 
-            def _forward_chunk(params, cc):
+            def _forward_chunk_raw(params, cc):
                 return mdef.apply_flat(params, cc, mcfg, compute_dtype)
+
+        if matmul_precision:
+            def _forward_chunk(params, x):
+                with jax.default_matmul_precision(matmul_precision):
+                    return _forward_chunk_raw(params, x)
+        else:
+            _forward_chunk = _forward_chunk_raw
 
     def _make_grad_fn(transform, target_flat):
         """value_and_grad of mse(_forward(transform(state)), target),
@@ -410,6 +427,7 @@ def quant_finetune(
     pixel_chunks: int = 1,
     segment_steps: Optional[int] = None,
     offset_params=None,
+    matmul_precision=None,
 ) -> QuantResult:
     """Compile + run the quant phase (single image).
 
@@ -421,7 +439,7 @@ def quant_finetune(
     quant_fit = make_quant_fit_fn(
         mdef, mcfg, grid, quant_cfg, optim_cfg, masks,
         compute_dtype, pixel_chunks=pixel_chunks,
-        offset_params=offset_params,
+        offset_params=offset_params, matmul_precision=matmul_precision,
     )
     img = jnp.asarray(img)
     seg = int(segment_steps) if segment_steps else quant_cfg.num_steps

@@ -352,3 +352,38 @@ def test_init_path_auto_through_compress(tmp_path, monkeypatch, caplog):
                     "train.log_steps=1301", f"output_dir={tmp_path}/expbig"]
         ))
     assert any("warm-win regime" in r.message for r in caplog.records)
+
+
+def test_resolve_auto_init_matches_precision(tmp_path):
+    """Warm-start basins are precision-specific (BASELINE.md "Matmul pass
+    precision"): auto picks the artifact whose recorded meta-training
+    matmul_precision equals the run's, and declines a mismatch with a
+    reason naming both."""
+    from implicit_image_tpu.training.metainit import (
+        meta_precision,
+        resolve_auto_init,
+        save_meta_init,
+    )
+
+    mdef, mcfg, grid = _tiny_problem()
+    params = mdef.init(jax.random.PRNGKey(5), mcfg)
+    meta_dir = tmp_path / "meta"
+    meta_dir.mkdir()
+    save_meta_init(meta_dir / "default.npz", params, mdef.name, mcfg)
+    save_meta_init(meta_dir / "tf32.npz", params, mdef.name, mcfg,
+                   matmul_precision="tensorfloat32")
+    assert meta_precision(meta_dir / "default.npz") is None
+    assert meta_precision(meta_dir / "tf32.npz") == "tensorfloat32"
+
+    p, path, why = resolve_auto_init(mdef.name, mcfg, 500, meta_dir=meta_dir)
+    assert path.name == "default.npz"
+    p, path, why = resolve_auto_init(
+        mdef.name, mcfg, 500, meta_dir=meta_dir,
+        matmul_precision="tensorfloat32",
+    )
+    assert path.name == "tf32.npz"
+    p, path, why = resolve_auto_init(
+        mdef.name, mcfg, 500, meta_dir=meta_dir,
+        matmul_precision="float32",
+    )
+    assert p is None and "matmul_precision" in why
