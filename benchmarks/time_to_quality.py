@@ -115,8 +115,12 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     t2 = time.perf_counter()
 
     # decode: host entropy decode + upload + render, with the render
-    # program precompiled (per-image marginal cost; compile amortizes)
-    render = jax.jit(lambda pr: mdef.apply(pr, grid, mcfg))
+    # program precompiled (per-image marginal cost; compile amortizes) —
+    # the production decoder render (tf32 default; a 1-pass bf16 render
+    # caps decoded readings near ~53 dB)
+    from implicit_image_tpu.coding import _get_render
+
+    render = _get_render(mdef, mcfg, h, w)
     state0 = decompress_state_dict(out_dir, stream)
     params0 = params_from_state_dict(state0)
     np.asarray(render(params0))  # warm-up compile

@@ -574,16 +574,29 @@ def params_from_state_dict(state_dict: Dict[str, np.ndarray]) -> Tuple[dict, ...
 _render_cache: Dict[tuple, Any] = {}
 
 
-def _get_render(mdef, mcfg, height: int, width: int):
+def _get_render(mdef, mcfg, height: int, width: int,
+                precision: str = "tensorfloat32"):
     import jax
 
     from implicit_image_tpu.data import get_grid
 
-    key = (mdef, mcfg, int(height), int(width))
+    key = (mdef, mcfg, int(height), int(width), precision)
     fn = _render_cache.get(key)
     if fn is None:
         grid = get_grid(height, width)
-        fn = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
+        if precision:
+            # DECODER matmul precision: the silent TPU default is one
+            # bf16 pass, which CAPS the rendered quality near ~53 dB —
+            # visibly lossy against 58+ dB bitstreams (measured,
+            # BASELINE.md "Matmul pass precision"). Three passes cost
+            # ~10 ms extra at 512²; accuracy is the decoder's job.
+            def render(p):
+                with jax.default_matmul_precision(precision):
+                    return mdef.apply(p, grid, mcfg)
+
+            fn = jax.jit(render)
+        else:
+            fn = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
         _render_cache[key] = fn
     return fn
 
@@ -672,7 +685,12 @@ def _get_region_render(mdef, mcfg):
     key = ("region", mdef, mcfg)
     fn = _render_cache.get(key)
     if fn is None:
-        fn = jax.jit(lambda p, g: mdef.apply(p, g, mcfg))
+        # same decoder-precision default as _get_render
+        def render(p, g):
+            with jax.default_matmul_precision("tensorfloat32"):
+                return mdef.apply(p, g, mcfg)
+
+        fn = jax.jit(render)
         _render_cache[key] = fn
     return fn
 

@@ -166,7 +166,12 @@ def decode_runs(run_dirs):
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *[infos[i][5] for i in idxs]
         )
-        render = jax.jit(jax.vmap(lambda p: mdef.apply(p, grid, mcfg)))
+        # decoder render precision (coding._get_render rationale)
+        def _one(p):
+            with jax.default_matmul_precision("tensorfloat32"):
+                return mdef.apply(p, grid, mcfg)
+
+        render = jax.jit(jax.vmap(_one))
         outs = np.asarray(render(stacked))
         for j, i in enumerate(idxs):
             images[i] = outs[j]

@@ -503,13 +503,26 @@ def make_train_step(
         )
 
         def eval_branch(params):
-            if grid_hw is not None and mdef.separable:
-                gh, gw = grid_hw
-                pred = mdef.apply(
-                    params, coords.reshape(gh, gw, -1), mcfg, compute_dtype
-                ).reshape(gh * gw, -1)
+            # eval forward at the SAME matmul precision as the training
+            # loss — a 1-pass bf16 eval render caps the READING near
+            # ~53 dB and would misreport a tf32 trajectory that actually
+            # sits at 58+ (measured; BASELINE.md "Matmul pass precision")
+            mp = getattr(train_cfg, "matmul_precision", None)
+
+            def fwd(params):
+                if grid_hw is not None and mdef.separable:
+                    gh, gw = grid_hw
+                    return mdef.apply(
+                        params, coords.reshape(gh, gw, -1), mcfg,
+                        compute_dtype,
+                    ).reshape(gh * gw, -1)
+                return mdef.apply_flat(params, coords, mcfg, compute_dtype)
+
+            if mp:
+                with jax.default_matmul_precision(mp):
+                    pred = fwd(params)
             else:
-                pred = mdef.apply_flat(params, coords, mcfg, compute_dtype)
+                pred = fwd(params)
             test_loss = mse(pred, target_flat)
             return (
                 test_loss,
