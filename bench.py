@@ -75,14 +75,23 @@ def main() -> None:
     PRECISION = "tensorfloat32"
 
     # ---- quality bar: reference operating point, complete protocol ----
+    # one untimed warm-up + one measured run through a shared program
+    # cache, so the bar's stage walls are steady-state too (the same
+    # fleet-warm convention as the flagship repeats — see full_protocol's
+    # program_cache doc; BASELINE.md "Quant-phase breakdown")
     ref = None
     try:
         s_def, s_cfg = build_model("siren", depth=8, hidden_size=128)
-        ref = full_protocol(
-            "siren_ref", s_def, s_cfg, grid, img, 2000, OptimConfig(),
-            "outputs/bench/siren_ref", stream="zstd",
-            matmul_precision=PRECISION,
-        )
+        bar_cache = {}
+        for i in range(2):
+            ref = full_protocol(
+                "siren_ref", s_def, s_cfg, grid, img, 2000, OptimConfig(),
+                "outputs/bench/siren_ref", stream="zstd",
+                matmul_precision=PRECISION, program_cache=bar_cache,
+            )
+            if i == 0:
+                print(f"[bench] bar warm-up run (untimed): "
+                      f"{ref['total_wall_s']} s", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] reference-point protocol failed: {e!r}",
               file=sys.stderr)
@@ -110,7 +119,17 @@ def main() -> None:
                                split_depth=5)
 
     def run_flagship(tag, steps, init_params, delta_info=None):
+        # one program_cache per tag: the fit + quant programs compile once
+        # and every repeat reuses them (masks/offsets are TRACED args of
+        # the cached quant program, so reuse is sound) — repeats measure
+        # the steady-state wall a fleet encoding N images actually pays.
+        # quant_row_stride=4: codebook finetune against every 4th row —
+        # measured R-D neutral (decoded -0.01/-0.03/-0.02 dB, bytes
+        # -16/+0/+20 B) on the three 512² stand-ins at this point while
+        # halving the finetune wall (BASELINE.md "Quant-phase
+        # breakdown"); decoded PSNR is always the full image.
         runs = []
+        cache = {}
         try:
             for i in range(4):
                 r = full_protocol(
@@ -119,6 +138,7 @@ def main() -> None:
                     stream="auto", masking_cfg=MaskingConfig(density=0.85),
                     init_params=init_params, delta_info=delta_info,
                     matmul_precision=PRECISION,
+                    program_cache=cache, quant_row_stride=4,
                 )
                 if i == 0:
                     print(f"[bench] warm-up run (untimed): "
@@ -140,6 +160,38 @@ def main() -> None:
             and r["decoded_psnr"] >= ref["decoded_psnr"]
             and r["bytes"] <= ref["bytes"]
         )
+
+    # ---- batched throughput arm: the 64-concurrent-fits north star -----
+    # measured IN-RUN at the current precision default (VERDICT r4 weak
+    # #2: the old 3.68 s/fit figure was a hardcoded bf16-era transcription)
+    batched = None
+    try:
+        from implicit_image_tpu.parallel.batched import batched_fit
+        from implicit_image_tpu.training.fit import TrainConfig
+
+        bside, bn, bsteps = 256, 64, 2000
+        b_def, b_cfg = build_model("siren", depth=8, hidden_size=128)
+        img_batch = np.stack(
+            [synthetic_image(bside, bside, seed=s) for s in range(bn)]
+        )
+        bres = batched_fit(
+            jax.random.PRNGKey(0), b_def, b_cfg, get_grid(bside, bside),
+            img_batch,
+            TrainConfig(num_steps=bsteps, log_steps=bsteps, pixel_chunks=8,
+                        matmul_precision=PRECISION),
+            OptimConfig(),
+        )
+        bpsnr = np.asarray(bres.metrics["psnr"])[:, -1]
+        batched = {
+            "b": bn, "side": bside, "steps": bsteps,
+            "precision": PRECISION,
+            "total_wall_s": round(bres.wall_seconds, 2),
+            "s_per_fit": round(bres.wall_seconds / bn, 3),
+            "psnr_mean_db": round(float(bpsnr.mean()), 2),
+        }
+        print(f"[bench] batched arm: {batched}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] batched arm failed: {e!r}", file=sys.stderr)
 
     meta_params = None
     # the tf32 artifact: meta-trained UNDER the tensorfloat32 pass
@@ -316,12 +368,14 @@ def main() -> None:
             round(REF_ESTIMATE_S / ref["fit_wall_s"], 2) if ref else None),
         "siren_protocol_wall_s": ref["total_wall_s"] if ref else None,
         "siren_fit_psnr_db": ref["fit_psnr"] if ref else None,
-        # throughput form: batched vmapped fits, 3.68 s/fit measured
-        # (64 x 256^2 x 2000 steps; benchmarks/batched_throughput.py;
-        # re-validated round 4: 235.62 s total = 3681.5 ms/fit, mean
-        # 50.59 dB — byte-stable across rounds)
-        "batched_s_per_fit": 3.68,
-        "batched_vs_baseline": round(REF_ESTIMATE_S / 3.68, 1),
+        # throughput form: B=64 vmapped 256^2 x 2000-step fits measured
+        # IN THIS RUN at the precision above (benchmarks/
+        # batched_throughput.py is the standalone driver)
+        "batched_s_per_fit": batched["s_per_fit"] if batched else None,
+        "batched_vs_baseline": (
+            round(REF_ESTIMATE_S / batched["s_per_fit"], 1)
+            if batched else None),
+        "batched_detail": batched,
     }))
 
 

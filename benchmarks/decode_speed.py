@@ -34,11 +34,13 @@ def main(side: int = 512, backend: str = "auto") -> None:
     mdef, mcfg = build_model("siren", depth=8, hidden_size=128)
     res = fit(
         jax.random.PRNGKey(0), mdef, mcfg, grid, img,
-        TrainConfig(num_steps=500, log_steps=500), OptimConfig(),
+        TrainConfig(num_steps=500, log_steps=500,
+                    matmul_precision="tensorfloat32"), OptimConfig(),
     )
     qres = quant_finetune(
         res.params, img, mdef, mcfg, grid,
         QuantConfig(bits=8, num_steps=50), OptimConfig(lr=1e-4),
+        matmul_precision="tensorfloat32",
     )
     state = linear_state_dict(qres.params, qres.codebooks, half=True)
     with tempfile.TemporaryDirectory() as d:

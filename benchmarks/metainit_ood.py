@@ -39,14 +39,20 @@ def main(kv) -> None:
     budgets = [int(x) for x in kv.get("budgets", "1000").split(",")]
     kinds = kv.get("kinds", "pink,text,noise").split(",")
 
+    prec = kv.get("precision", "tensorfloat32")
+    prec = None if prec in ("none", "null", "") else prec
     c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
                                split_depth=5)
-    meta_path = REPO / "assets/meta/coordx_s5w96_512.npz"
+    # tf32 artifact since r5 (basins are precision-specific — metainit.py)
+    meta_path = REPO / "assets/meta/coordx_s5w96_512_tf32.npz"
     meta_params = load_meta_init(meta_path, "coordx", c_cfg)
     masking = MaskingConfig(density=0.85)
 
     print(f"device={jax.devices()[0].device_kind}")
     report = []
+    # shared program caches: warm/cold differ (init_params is baked into
+    # the fit program), but each is ONE program across kinds x budgets
+    cache_w, cache_c = {}, {}
     for kind in kinds:
         img = synthetic_ood(kind, h, w, seed=0)
         for b in budgets:
@@ -54,12 +60,14 @@ def main(kv) -> None:
                 f"ood_{kind}_warm_b{b}", c_def, c_cfg, grid, img, b,
                 OptimConfig(), f"outputs/bench/ood_{kind}_warm_b{b}",
                 stream="auto", masking_cfg=masking,
-                init_params=meta_params,
+                init_params=meta_params, matmul_precision=prec,
+                program_cache=cache_w if len(budgets) == 1 else None,
             )
             cold = full_protocol(
                 f"ood_{kind}_cold_b{b}", c_def, c_cfg, grid, img, b,
                 OptimConfig(), f"outputs/bench/ood_{kind}_cold_b{b}",
-                stream="auto", masking_cfg=masking,
+                stream="auto", masking_cfg=masking, matmul_precision=prec,
+                program_cache=cache_c if len(budgets) == 1 else None,
             )
             row = {
                 "kind": kind, "budget": b,

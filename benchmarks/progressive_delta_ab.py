@@ -64,9 +64,12 @@ def main(kv) -> None:
     h = w = int(kv.get("hw", 512))  # hw=32 steps=20: CPU smoke (cold init)
     img = synthetic_image(h, w, seed=0)
     grid = get_grid(h, w)
+    prec = kv.get("precision", "tensorfloat32")
+    prec = None if prec in ("none", "null", "") else prec
     c_def, c_cfg = build_model("coordx", depth=8, hidden_size=96,
                                split_depth=5)
-    meta_path = REPO / "assets/meta/coordx_s5w96_512.npz"
+    # tf32 artifact since r5 (basins are precision-specific — metainit.py)
+    meta_path = REPO / "assets/meta/coordx_s5w96_512_tf32.npz"
     if h == 512:
         meta_params = load_meta_init(meta_path, "coordx", c_cfg)
         sha = hashlib.sha256(meta_path.read_bytes()).hexdigest()
@@ -85,11 +88,18 @@ def main(kv) -> None:
 
     print(f"device={jax.devices()[0].device_kind}")
     res = fit(jax.random.PRNGKey(0), c_def, c_cfg, grid, img,
-              TrainConfig(num_steps=steps, log_steps=250), OptimConfig(),
+              TrainConfig(num_steps=steps, log_steps=250,
+                          matmul_precision=prec), OptimConfig(),
               MaskingConfig(density=0.85), init_params=meta_params)
     masks = res.mask_state.masks if res.mask_state is not None else None
     qcfg = QuantConfig(name="KMeans", bits=8, num_steps=100, log_steps=100)
-    render = jax.jit(lambda p: c_def.apply(p, grid, c_cfg))
+
+    # production-decoder precision (a 1-pass bf16 render caps readings)
+    def _render(p):
+        with jax.default_matmul_precision("tensorfloat32"):
+            return c_def.apply(p, grid, c_cfg)
+
+    render = jax.jit(_render)
 
     out_root = Path(kv.get("out", "outputs/bench/prog_delta_ab"))
     report = {}
@@ -120,7 +130,7 @@ def main(kv) -> None:
     # ---- arm 1+2: delta-quantized state, flat vs progressive ----
     qfn = jax.jit(make_quant_fit_fn(
         c_def, c_cfg, grid, qcfg, OptimConfig(), masks,
-        offset_params=meta_params,
+        offset_params=meta_params, matmul_precision=prec,
     ))
     params_q, codebooks, qm = qfn(res.params, img)
     delta_layers = [i for i, cb in enumerate(codebooks) if cb is not None]
@@ -171,6 +181,7 @@ def main(kv) -> None:
     # ---- arm 3: absolute quant, progressive (round-3 arm, control) ----
     qfn_a = jax.jit(make_quant_fit_fn(
         c_def, c_cfg, grid, qcfg, OptimConfig(), masks,
+        matmul_precision=prec,
     ))
     params_a, codebooks_a, _ = qfn_a(res.params, img)
     state_a = linear_state_dict(params_a, codebooks_a, half="auto")

@@ -72,7 +72,13 @@ def main(kv) -> None:
     mdef, mcfg = build_model_from_config(cfg)
     h, w = int(cfg["img"]["height"]), int(cfg["img"]["width"])
     grid = get_grid(h, w)
-    render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))
+    # production-decoder precision (tf32, 3 passes — the r5 default; a
+    # 1-pass bf16 render is faster but not what decode_run ships)
+    def _render(p):
+        with jax.default_matmul_precision("tensorfloat32"):
+            return mdef.apply(p, grid, mcfg)
+
+    render = jax.jit(_render)
 
     def decode_pass(timed: bool):
         host_s = dev_s = 0.0

@@ -20,6 +20,16 @@ centroid values, reordered). The cost of progressivity is only the
 entropy lost by coding the nibble planes separately (measured in
 BASELINE.md "Progressive container").
 
+Since round 5 the lo plane is CONTEXT-PARTITIONED ("ctx_lo" header
+flag): each tensor's lo nibbles are stored grouped by their hi value
+(stable sort by hi), which the decoder inverts because it has already
+read hi from the base section. Separate coding of the planes costs
+H(hi)+H(lo) ≥ H(rank) bits; grouping lets the (adaptive / dictionary)
+backends approach the conditional H(lo|hi), so the split tax collapses
+to the coder's context-adaptation overhead — measured to cut the
+progressive rate tax vs the flat container (BASELINE.md "Progressive
+container"). Pre-r5 containers (no flag) decode unchanged.
+
 Layout: `compressed_weights.data` = base_blob || refine_blob, each an
 independently-decodable `encode_stream` payload; `meta_data.json` tags
 every tensor with its section and `__meta__.base_bytes` marks the prefix
@@ -90,9 +100,17 @@ def _split_entries(state_dict, pinned_layers=frozenset()):
                         (vals * c).sum() / c.sum() if c.sum() else vals.mean()
                     )
                 stem = name[: -len(".labeled_weight")]
-                base[f"{stem}.labels_hi"] = (ranks >> 4).astype(np.uint8)
+                hi = (ranks >> 4).astype(np.uint8)
+                lo = (ranks & 15).astype(np.uint8)
+                # ctx_lo: store lo grouped by its hi context (stable, so
+                # the decoder inverts it from hi alone) — the backends
+                # then code ~H(lo|hi) instead of the marginal H(lo)
+                perm = np.argsort(hi.reshape(-1), kind="stable")
+                base[f"{stem}.labels_hi"] = hi
                 base[f"{stem}.base_centroids"] = base_book
-                refine[f"{stem}.labels_lo"] = (ranks & 15).astype(np.uint8)
+                refine[f"{stem}.labels_lo"] = (
+                    lo.reshape(-1)[perm].reshape(lo.shape)
+                )
                 refine[f"{stem}.centroids"] = sorted_book
                 continue
         if name.endswith(".centroids") and any(
@@ -170,6 +188,7 @@ def compress_progressive(
         "format": 4,
         "plane_group": True,
         "shuffle": True,
+        "ctx_lo": True,  # lo plane grouped by hi context (see module doc)
         "base_bytes": len(base_blob),
     }
     if delta is not None:
@@ -257,10 +276,18 @@ def read_progressive(
         return out
 
     refine = _section(1, payload[nbase:])
+    ctx_lo = bool(hdr.get("ctx_lo", False))
     for name, arr in base.items():
         if name.endswith(".labels_hi"):
             stem = name[: -len(".labels_hi")]
             lo = refine[f"{stem}.labels_lo"]
+            if ctx_lo:
+                # invert the encoder's group-by-hi permutation (stable
+                # sort of the hi plane we just decoded)
+                perm = np.argsort(arr.reshape(-1), kind="stable")
+                lo_flat = np.empty(lo.size, lo.dtype)
+                lo_flat[perm] = lo.reshape(-1)
+                lo = lo_flat.reshape(lo.shape)
             out[f"{stem}.labeled_weight"] = (
                 (arr.astype(np.uint16) << 4) | lo.astype(np.uint16)
             ).astype(np.uint8)

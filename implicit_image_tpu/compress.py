@@ -414,6 +414,9 @@ def main(
             qscheme=str(quant_cfg_raw.get("qscheme", "per_channel")),
             lr=(float(quant_cfg_raw["lr"])
                 if quant_cfg_raw.get("lr") is not None else None),
+            # encoder-side finetune-target row subsample (quant/__init__
+            # QuantConfig.row_stride; 1 = reference parity)
+            row_stride=int(quant_cfg_raw.get("row_stride", 1)),
             # None = the reference's first/last-layer skip; an explicit
             # list (e.g. [] for hashgrid, whose capacity is params[0])
             # overrides it

@@ -210,6 +210,8 @@ def ladder_compress(
                 offset_params=(
                     init_params if delta_info is not None else None
                 ),
+                matmul_precision=getattr(
+                    train_cfg, "matmul_precision", None),
             )
             return fn(params, img)
 
@@ -285,6 +287,10 @@ def build_ladder_args(cfg) -> dict:
         log_steps=int(cfg.train.log_steps),
         multiplier=mult,
         segment_steps=_auto_segment_steps(cfg),
+        # train.matmul_precision rides every ladder/fleet/sequence/target
+        # member (round-4 discovery: the silent 1-bf16-pass default costs
+        # ~6.3 dB converged; the CLI default is tensorfloat32 since r5)
+        matmul_precision=cfg.train.get("matmul_precision") or None,
     )
     optim_kwargs = {}
     for k, v in cfg.optim.items():

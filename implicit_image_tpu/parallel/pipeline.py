@@ -118,7 +118,9 @@ def sharded_compress(
     if quant_cfg is not None and quant_cfg.name != "none":
         masks = res.mask_state.masks if res.mask_state is not None else None
         qfn = jax.jit(
-            make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg, masks),
+            make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg, masks,
+                              matmul_precision=getattr(
+                                  train_cfg, "matmul_precision", None)),
             in_shardings=(
                 NamedSharding(mesh, P()),  # params replicated
                 NamedSharding(mesh, P("pixel")),  # target row-sharded
@@ -216,6 +218,8 @@ def batched_compress(
                 offset_params=(
                     init_params if delta_info is not None else None
                 ),
+                matmul_precision=getattr(
+                    train_cfg, "matmul_precision", None),
             )
             return fn(params, img)
 

@@ -93,10 +93,21 @@ class QuantConfig:
     # (quant.bit_alloc=auto). KMeans mode only. The container needs no
     # format change: centroid counts are per-tensor in the manifest.
     bits_per_layer: Optional[Tuple[Optional[int], ...]] = None
+    # Finetune-target row subsample: optimize the codebooks against every
+    # `row_stride`-th image row instead of the full grid. Encoder-side
+    # only (the bitstream and the decoded image are full-resolution);
+    # centroid gradients are sums over thousands of member weights, so a
+    # 4x row subsample was measured R-D neutral at the flagship point
+    # while cutting the finetune wall ~2x (BASELINE.md "Quant-phase
+    # breakdown"). A row subset of a tensor-product grid is itself a
+    # tensor product, so CoordX keeps its separable fast path. 1 = full
+    # grid (reference parity).
+    row_stride: int = 1
 
     def __post_init__(self):
         assert self.name in ("KMeans", "QAT"), self.name
         assert self.qscheme in ("per_channel", "per_tensor"), self.qscheme
+        assert int(self.row_stride) >= 1, self.row_stride
         if self.bits_per_layer is not None:
             assert self.name == "KMeans", "bits_per_layer is KMeans-only"
             assert all(

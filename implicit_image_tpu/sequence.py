@@ -211,7 +211,14 @@ def encode_sequence(argv) -> List[dict]:
     prev_dir: Optional[Path] = None
     prev_params = None  # decoded params pytree of the previous frame
     nonlocal_state: Dict[str, object] = {}  # full decoded state dict
-    render = jax.jit(lambda p: mdef.apply(p, grid, mcfg))  # shared, 1 compile
+    # shared, 1 compile; tf32 passes to match the decoder default — a
+    # 1-pass bf16 render caps PSNR readings near ~53 dB and would both
+    # misreport frames and mis-trigger the max_drop scene-cut guard
+    def _render(p):
+        with jax.default_matmul_precision("tensorfloat32"):
+            return mdef.apply(p, grid, mcfg)
+
+    render = jax.jit(_render)
 
     # quant.delta + train.init_path: I-frames code residuals against the
     # shared meta artifact (the same flagship scheme, BASELINE.md "Delta
@@ -240,7 +247,9 @@ def encode_sequence(argv) -> List[dict]:
         length: jax.jit(functools.partial(i_segment_fn, length=length))
         for length in i_lengths
     }
-    qfn = make_quant_fit_fn(mdef, mcfg, grid, quant_cfg, optim_cfg)
+    qfn = make_quant_fit_fn(
+        mdef, mcfg, grid, quant_cfg, optim_cfg,
+        matmul_precision=getattr(train_cfg, "matmul_precision", None))
     jquant = jax.jit(qfn.with_offsets)
 
     def encode_iframe(t: int, t_start: Optional[float] = None) -> None:

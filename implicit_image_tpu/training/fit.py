@@ -351,10 +351,18 @@ def make_train_step(
 
         def grad_fn(params):
             def chunk_loss(p, c, t):
+                # matmul_precision MUST ride the per-chunk loss too: the
+                # r5 multi-seed precision ladder caught the chunked path
+                # silently dropping it (a pixel_chunks>1 "tf32" fit ran
+                # 1-pass bf16, −6 dB converged — BASELINE.md "Multi-seed
+                # precision bar"); regression-pinned by
+                # tests/test_fit.py::test_matmul_precision_reaches_chunked_loss
                 return make_loss_fn(
                     mdef, mcfg, c, t, compute_dtype,
                     train_cfg.use_pallas, train_cfg.remat,
                     grid_hw=sub_hw,
+                    matmul_precision=getattr(
+                        train_cfg, "matmul_precision", None),
                 )(p)
 
             def body(acc, ct):
@@ -634,6 +642,7 @@ def run_segment_chain(
     carry_override=None,
     on_segment=None,
     flops_per_step=None,
+    warm_compile=True,
 ):
     """Warm-compile then chain jitted segment executions.
 
@@ -651,8 +660,12 @@ def run_segment_chain(
     import numpy as _np
 
     carry0 = carry_override if carry_override is not None else jinit(*init_args)
-    for f in jsegs.values():
-        f.lower(carry0, *seg_args, jnp.int32(0)).compile()
+    if warm_compile:
+        # skip when the caller reuses already-executed jitted segments (a
+        # fit() program_cache hit): their __call__ cache is warm, and an
+        # AOT lower().compile() here would re-trace + re-compile
+        for f in jsegs.values():
+            f.lower(carry0, *seg_args, jnp.int32(0)).compile()
 
     t0 = time.perf_counter()
     carry = carry0
@@ -731,8 +744,19 @@ def fit(
     watch=None,
     init_params=None,
     stop_psnr=None,
+    program_cache=None,
 ) -> FitResult:
     """Compile + run one fit; returns final params and per-step metric arrays.
+
+    `program_cache`: a caller-owned dict; when passed, the compiled fit
+    programs (and the per-step FLOPs estimate) are stashed in it on the
+    first call and REUSED on later calls — the caller must pass the same
+    (mdef, mcfg, grid shape, configs, init_params) every time, since
+    those are baked into the cached programs. This is the fleet-warm
+    serving shape: repeated fits pay compile + the first-execution
+    warm-up (~0.7-1.5 s on this runtime) once, not per image —
+    BENCH_r04's quant stage overcounted exactly this (BASELINE.md
+    "Quant-phase breakdown").
 
     Fits longer than train_cfg.segment_steps are chained as repeated
     executions of one compiled segment (plus one remainder program) —
@@ -778,16 +802,24 @@ def fit(
         )
 
     if n <= seg:
-        init_fn, segment_fn = make_fit_segments(
-            mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, init_params
-        )
-        fit_fn = jax.jit(
-            make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg,
-                        init_params)
-        )
-        # warm-up compile outside the timed region
-        compiled = fit_fn.lower(key, img).compile()
-        fps = estimate_step_flops(init_fn, segment_fn, (key, img), (img,))
+        if program_cache is not None and "monolithic" in program_cache:
+            compiled, fps = program_cache["monolithic"]
+        else:
+            init_fn, segment_fn = make_fit_segments(
+                mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg,
+                init_params
+            )
+            fit_fn = jax.jit(
+                make_fit_fn(mdef, mcfg, grid, train_cfg, optim_cfg,
+                            masking_cfg, init_params)
+            )
+            # warm-up compile outside the timed region
+            compiled = fit_fn.lower(key, img).compile()
+            fps = estimate_step_flops(
+                init_fn, segment_fn, (key, img), (img,)
+            )
+            if program_cache is not None:
+                program_cache["monolithic"] = (compiled, fps)
         t0 = time.perf_counter()
         params, opt_state, mask_state, metrics = compiled(key, img)
         # force a value to host: block_until_ready alone can return before
@@ -805,22 +837,27 @@ def fit(
 
     return _fit_segmented(
         key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
-        None, None, None, init_params,
+        None, None, None, init_params, program_cache=program_cache,
     )
 
 
 def _fit_segmented(
     key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
     checkpoint_path, resume_from, watch=None, init_params=None,
-    stop_psnr=None,
+    stop_psnr=None, program_cache=None,
 ):
     sparse = masking_cfg is not None and not masking_cfg.dense
     n = train_cfg.num_steps
     seg = max(1, train_cfg.segment_steps)
-    init_fn, segment_fn = make_fit_segments(
-        mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, init_params
-    )
-    jinit = jax.jit(init_fn)
+    cached = program_cache is not None and "segmented" in program_cache
+    if cached:
+        jinit, _jseg_cached, _fps_cached = program_cache["segmented"]
+        init_fn = segment_fn = None
+    else:
+        init_fn, segment_fn = make_fit_segments(
+            mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, init_params
+        )
+        jinit = jax.jit(init_fn)
     lengths = set()
     start_probe = 0
     if resume_from is not None:
@@ -837,10 +874,20 @@ def _fit_segmented(
     while s < n:
         lengths.add(min(seg, n - s))
         s += min(seg, n - s)
-    jseg = {
-        length: jax.jit(functools.partial(segment_fn, length=length))
-        for length in (lengths or {min(seg, n)})
-    }
+    if cached:
+        jseg = _jseg_cached
+        if not set(lengths or {min(seg, n)}) <= set(jseg):
+            raise ValueError(
+                "program_cache was built for different segment lengths "
+                f"({sorted(jseg)}) than this call needs "
+                f"({sorted(lengths)}) — pass identical arguments on every "
+                "cached fit() call"
+            )
+    else:
+        jseg = {
+            length: jax.jit(functools.partial(segment_fn, length=length))
+            for length in (lengths or {min(seg, n)})
+        }
 
     carry_override = None
     start0 = 0
@@ -920,12 +967,17 @@ def _fit_segmented(
                     return True
             return False
 
+    if cached:
+        fps = _fps_cached
+    else:
+        fps = estimate_step_flops(init_fn, segment_fn, (key, img), (img,))
+        if program_cache is not None:
+            program_cache["segmented"] = (jinit, jseg, fps)
     carry, metrics, wall, flops = run_segment_chain(
         jinit, jseg, (key, img), (img,), n, seg,
         start0=start0, carry_override=carry_override, on_segment=on_segment,
-        flops_per_step=estimate_step_flops(
-            init_fn, segment_fn, (key, img), (img,)
-        ),
+        flops_per_step=fps,
+        warm_compile=not cached,
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
     return FitResult(

@@ -435,7 +435,18 @@ def quant_finetune(
     device executions (runtime ~60 s watchdog workaround, exactly like the
     fit's run_segment_chain) — numerically the same steps, just split; the
     default single execution is unchanged.
+
+    quant_cfg.row_stride > 1 subsamples the finetune TARGET to every
+    s-th image row (encoder-side only: the codebooks/bitstream stay
+    full-precision artifacts and any decode is full-resolution). The
+    returned metrics are then measured on the subsampled grid — the
+    caller's decoded-PSNR close-the-loop (compress.py) remains the
+    full-image truth.
     """
+    stride = int(getattr(quant_cfg, "row_stride", 1))
+    if stride > 1:
+        grid = jnp.asarray(grid)[::stride]
+        img = jnp.asarray(img)[::stride]
     quant_fit = make_quant_fit_fn(
         mdef, mcfg, grid, quant_cfg, optim_cfg, masks,
         compute_dtype, pixel_chunks=pixel_chunks,

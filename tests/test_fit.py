@@ -370,3 +370,35 @@ def test_matmul_precision_config_plumbs():
             f"output_dir={td}/run",
         ]))
         assert np.isfinite(psnr) and nbytes > 0
+
+
+def test_matmul_precision_reaches_chunked_loss():
+    """pixel_chunks > 1 must carry train.matmul_precision into the
+    per-chunk loss: the r5 precision ladder caught the chunked grad_fn
+    rebuilding make_loss_fn WITHOUT it, silently running 1-pass bf16
+    (−6 dB converged) on every chunked 'tf32' fit. Structural pin: the
+    traced train step's dot_generals carry Precision.HIGH (=
+    tensorfloat32) exactly when the config asks for it."""
+    from implicit_image_tpu.training.fit import make_train_step
+
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+    coords = grid.reshape(-1, 2)
+    target = np.asarray(img).reshape(-1, 3)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    params = mdef.init(jax.random.PRNGKey(0), mcfg)
+    from implicit_image_tpu.optim import opt_init
+    from implicit_image_tpu.training.fit import _dummy_mask_state
+
+    for chunks in (1, 4):
+        for prec, expect in ((None, False), ("tensorfloat32", True)):
+            step = make_train_step(
+                mdef, mcfg, jnp.asarray(coords), jnp.asarray(target),
+                TrainConfig(num_steps=4, log_steps=2, pixel_chunks=chunks,
+                            matmul_precision=prec),
+                OptimConfig(), grid_hw=(16, 16),
+            )
+            carry = (params, opt_init(params, OptimConfig()),
+                     _dummy_mask_state(params), jax.random.PRNGKey(1), ())
+            jaxpr = str(jax.make_jaxpr(step)(carry, jnp.int32(0)))
+            assert ("Precision.HIGH" in jaxpr) == expect, (chunks, prec)

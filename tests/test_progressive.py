@@ -368,3 +368,85 @@ def test_cli_delta_progressive_round_trip(tmp_path):
     img_base, _ = decode_run(tmp_path / "run", base=True)
     assert img_base.shape == img_full.shape
     assert np.isfinite(np.asarray(img_base)).all()
+
+
+def test_legacy_container_without_ctx_lo_flag_decodes(tmp_path):
+    """Pre-r5 format-4 containers stored the lo plane UNGROUPED and have
+    no "ctx_lo" header flag; the reader must decode them unchanged."""
+    from implicit_image_tpu.coding import _plane_group_payload
+    from implicit_image_tpu.coding.parsers import encode_stream
+
+    state = _vq_state(seed=7)
+    book = state["layers.1.centroids"]
+    labels = state["layers.1.labeled_weight"]
+    order = np.argsort(book, kind="stable")
+    rank_of = np.empty(book.size, np.uint8)
+    rank_of[order] = np.arange(book.size, dtype=np.uint8)
+    ranks = rank_of[labels]
+    sorted_book = np.ascontiguousarray(book[order])
+    counts = np.bincount(ranks.reshape(-1), minlength=book.size)
+    base_book = np.empty(16, book.dtype)
+    for g in range(16):
+        c = counts[g * 16:(g + 1) * 16].astype(np.float64)
+        v = sorted_book[g * 16:(g + 1) * 16].astype(np.float64)
+        base_book[g] = (v * c).sum() / c.sum() if c.sum() else v.mean()
+
+    base = OrderedDict([
+        ("layers.0.weight", state["layers.0.weight"]),
+        ("layers.1.labels_hi", (ranks >> 4).astype(np.uint8)),
+        ("layers.1.base_centroids", base_book),
+        ("layers.1.bias", state["layers.1.bias"]),
+    ])
+    refine = OrderedDict([
+        ("layers.1.labels_lo", (ranks & 15).astype(np.uint8)),  # UNGROUPED
+        ("layers.1.centroids", sorted_book),
+    ])
+    meta, order_i = OrderedDict(), 0
+    for sec, entries in ((0, base), (1, refine)):
+        for name, arr in entries.items():
+            meta[str(order_i)] = {"shape": list(arr.shape),
+                                  "dtype": str(arr.dtype),
+                                  "name": name, "sec": sec}
+            order_i += 1
+    base_blob = encode_stream("zstd", _plane_group_payload(list(base.values())))
+    refine_blob = encode_stream(
+        "zstd", _plane_group_payload(list(refine.values())))
+    meta["__meta__"] = {"format": 4, "plane_group": True, "shuffle": True,
+                        "base_bytes": len(base_blob)}  # no ctx_lo: legacy
+    d = tmp_path / "legacy"
+    d.mkdir()
+    (d / "compressed_weights.data").write_bytes(base_blob + refine_blob)
+    (d / "meta_data.json").write_text(json.dumps(meta, indent=2,
+                                                 sort_keys=True))
+
+    full = read_progressive(d, "zstd")
+    np.testing.assert_array_equal(full["layers.1.labeled_weight"], ranks)
+    np.testing.assert_array_equal(
+        full["layers.1.centroids"][full["layers.1.labeled_weight"]],
+        book[labels],
+    )
+
+
+def test_ctx_lo_grouping_round_trips_peaked_labels(tmp_path):
+    """A peaked (delta-like) label distribution round-trips bit-exactly
+    through the grouped lo plane and the container carries the flag."""
+    rng = np.random.default_rng(11)
+    k = 256
+    centroids = rng.normal(size=k).astype(np.float16)
+    # peaked ranks: most mass in a few groups, like residual codebooks
+    labels = np.clip(
+        rng.normal(64, 12, size=(128, 64)), 0, k - 1
+    ).astype(np.uint8)
+    state = OrderedDict([
+        ("layers.1.labeled_weight", labels),
+        ("layers.1.centroids", centroids),
+    ])
+    d = tmp_path / "prog"
+    compress_progressive(state, d, "zstd")
+    meta = json.loads((d / "meta_data.json").read_text())
+    assert meta["__meta__"].get("ctx_lo") is True
+    full = read_progressive(d, "zstd")
+    np.testing.assert_array_equal(
+        full["layers.1.centroids"][full["layers.1.labeled_weight"]],
+        centroids[labels],
+    )
