@@ -57,7 +57,9 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
                   log_steps=None, stream="zstd", half="auto",
                   masking_cfg=None, quant_lr=None, init_params=None,
                   delta_info=None, matmul_precision=None,
-                  program_cache=None, quant_row_stride=1):
+                  program_cache=None, quant_row_stride=1,
+                  matmul_precision_early=None,
+                  matmul_precision_switch=0.75):
     """fit -> kmeans-8 codebook finetune -> entropy code -> decode.
     Returns dict with stage walls, decoded PSNR, rate. Every wall is the
     compiled-execution wall (compile excluded, as in BASELINE.md — the
@@ -92,7 +94,9 @@ def full_protocol(tag, mdef, mcfg, grid, img, steps, optim_cfg, out_dir,
     res = fit(
         jax.random.PRNGKey(0), mdef, mcfg, grid, img,
         TrainConfig(num_steps=steps, log_steps=log_steps or max(steps // 4, 1),
-                    matmul_precision=matmul_precision),
+                    matmul_precision=matmul_precision,
+                    matmul_precision_early=matmul_precision_early,
+                    matmul_precision_switch=matmul_precision_switch),
         optim_cfg, masking_cfg, init_params=init_params,
         program_cache=cache,
     )

@@ -255,6 +255,12 @@ def main(
         loss=str(cfg.train.get("loss", "mse")),
         ssim_weight=float(cfg.train.get("ssim_weight", 0.84)),
         matmul_precision=cfg.train.get("matmul_precision") or None,
+        matmul_precision_early=(
+            cfg.train.get("matmul_precision_early") or None
+        ),
+        matmul_precision_switch=float(
+            cfg.train.get("matmul_precision_switch", 0.75)
+        ),
     )
     # PyYAML parses bare "3e-4" as a string; coerce fields that LOOK
     # numeric, leave real strings (e.g. preconditioner="ekfac") alone

@@ -92,7 +92,13 @@ def batched_fit(
     n = train_cfg.num_steps
     seg = max(1, train_cfg.segment_steps // max(1, b))
 
-    if n <= seg:
+    from implicit_image_tpu.training.fit import plan_precision_schedule
+
+    early_prec, switch_step, plan_main, plan_early = (
+        plan_precision_schedule(train_cfg, n, seg)
+    )
+
+    if n <= seg and not early_prec:
         fn = make_batched_fit_fn(
             mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, mesh,
             init_params,
@@ -124,20 +130,36 @@ def batched_fit(
             jax.vmap(init_fn), in_shardings=(shard, shard), out_shardings=shard
         )
     )
-    lengths = {seg, n % seg or seg}
-    vsegs = {}
-    for length in lengths:
-        vf = jax.vmap(
-            lambda c, im, s, _l=length: segment_fn(c, im, s, _l),
-            in_axes=(0, 0, None),
-        )
-        vsegs[length] = (
-            jax.jit(vf)
-            if shard is None
-            else jax.jit(
-                vf, in_shardings=(shard, shard, None), out_shardings=shard
+
+    def _vsegs_for(seg_fn, lengths):
+        out = {}
+        for length in lengths:
+            vf = jax.vmap(
+                lambda c, im, s, _l=length, _f=seg_fn: _f(c, im, s, _l),
+                in_axes=(0, 0, None),
             )
+            out[length] = (
+                jax.jit(vf)
+                if shard is None
+                else jax.jit(
+                    vf, in_shardings=(shard, shard, None), out_shardings=shard
+                )
+            )
+        return out
+
+    vsegs = _vsegs_for(segment_fn, plan_main)
+    vsegs_early = None
+    if early_prec:
+        # precision annealing rides the batch exactly as single fits
+        # (training/fit.py plan_precision_schedule)
+        import dataclasses as _dc
+
+        _, segment_fn_e = make_fit_segments(
+            mdef, mcfg, grid,
+            _dc.replace(train_cfg, matmul_precision=early_prec),
+            optim_cfg, masking_cfg, init_params,
         )
+        vsegs_early = _vsegs_for(segment_fn_e, plan_early)
 
     from implicit_image_tpu.training.fit import (
         estimate_step_flops,
@@ -151,6 +173,7 @@ def batched_fit(
     carry, metrics, wall, flops = run_segment_chain(
         vinit, vsegs, (keys, imgs), (imgs,), n, seg, concat_axis=1,
         flops_per_step=fps1 * imgs.shape[0] if fps1 else None,
+        jsegs_early=vsegs_early, switch_step=switch_step,
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
     return FitResult(

@@ -121,25 +121,44 @@ def ladder_fit(
     n = train_cfg.num_steps
     seg = max(1, train_cfg.segment_steps // b)  # shared per-execution wall budget
     shard = NamedSharding(mesh, P("image")) if mesh is not None else None
-    lengths = {min(seg, n), n % seg or seg}
-    jsegs = {}
-    for length in lengths:
-        vf = jax.vmap(
-            lambda c, im, s, _l=length: segment_fn(c, im, s, _l),
-            in_axes=(0, None, None),
-        )
-        jsegs[length] = (
-            jax.jit(vf)
-            if shard is None
-            else jax.jit(
-                vf, in_shardings=(shard, None, None), out_shardings=shard
+
+    from implicit_image_tpu.training.fit import plan_precision_schedule
+
+    early_prec, switch_step, plan_main, plan_early = (
+        plan_precision_schedule(train_cfg, n, seg)
+    )
+
+    def _jsegs_for(seg_fn, lengths):
+        out = {}
+        for length in lengths:
+            vf = jax.vmap(
+                lambda c, im, s, _l=length, _f=seg_fn: _f(c, im, s, _l),
+                in_axes=(0, None, None),
             )
+            out[length] = (
+                jax.jit(vf)
+                if shard is None
+                else jax.jit(
+                    vf, in_shardings=(shard, None, None), out_shardings=shard
+                )
+            )
+        return out
+
+    jsegs = _jsegs_for(segment_fn, plan_main)
+    jsegs_early = None
+    if early_prec:
+        _, segment_fn_e = make_fit_segments(
+            mdef, mcfg, grid,
+            dataclasses.replace(train_cfg, matmul_precision=early_prec),
+            optim_cfg, masking_cfg,
         )
+        jsegs_early = _jsegs_for(segment_fn_e, plan_early)
     if shard is not None:
         carry0 = jax.device_put(carry0, shard)
 
     carry, metrics, wall, flops = run_segment_chain(
-        None, jsegs, (), (img,), n, seg, concat_axis=1, carry_override=carry0
+        None, jsegs, (), (img,), n, seg, concat_axis=1, carry_override=carry0,
+        jsegs_early=jsegs_early, switch_step=switch_step,
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
     return FitResult(
@@ -291,6 +310,12 @@ def build_ladder_args(cfg) -> dict:
         # member (round-4 discovery: the silent 1-bf16-pass default costs
         # ~6.3 dB converged; the CLI default is tensorfloat32 since r5)
         matmul_precision=cfg.train.get("matmul_precision") or None,
+        matmul_precision_early=(
+            cfg.train.get("matmul_precision_early") or None
+        ),
+        matmul_precision_switch=float(
+            cfg.train.get("matmul_precision_switch", 0.75)
+        ),
     )
     optim_kwargs = {}
     for k, v in cfg.optim.items():

@@ -103,6 +103,17 @@ class TrainConfig:
     # of converged quality; "tensorfloat32" recovers it at +32% wall
     # (BASELINE.md "Matmul pass precision").
     matmul_precision: Optional[str] = None
+    # Precision ANNEALING (round 5, measured — BASELINE.md "Precision
+    # schedule"): run the first `matmul_precision_switch` fraction of
+    # steps at `matmul_precision_early` passes and only the convergence
+    # tail at `matmul_precision`. Early-phase 1-pass noise costs nothing
+    # (measured slightly BETTER converged quality: protocol SIREN
+    # 59.21 dB @ 15.3 s vs 58.46 @ 24.6 s all-tf32) because only the
+    # converged basin needs the extra passes. None = no schedule
+    # (every step at matmul_precision). The switch lands on a segment
+    # boundary (train.segment_steps granularity).
+    matmul_precision_early: Optional[str] = None
+    matmul_precision_switch: float = 0.75
 
 
 @dataclass(frozen=True)
@@ -630,6 +641,29 @@ def make_fit_segments(
     return init_fn, segment_fn
 
 
+def plan_precision_schedule(train_cfg, n: int, seg: int):
+    """(early_prec, switch_step, main_lengths, early_lengths) for a
+    precision-annealed chain from step 0 (TrainConfig
+    .matmul_precision_early) — shared by fit/batched_fit/ladder_fit so
+    every driver implements the same boundary-aligned switch."""
+    early_prec = getattr(train_cfg, "matmul_precision_early", None)
+    switch_step = 0
+    if early_prec:
+        frac = float(getattr(train_cfg, "matmul_precision_switch", 0.75))
+        switch_step = max(0, min(n, int(round(n * frac / seg)) * seg))
+        if switch_step == 0:
+            early_prec = None
+    main, early = set(), set()
+    s = 0
+    while s < n:
+        is_early = early_prec is not None and s < switch_step
+        limit = switch_step if is_early else n
+        length = min(seg, limit - s)
+        (early if is_early else main).add(length)
+        s += length
+    return early_prec, switch_step, (main or {min(seg, n)}), early
+
+
 def run_segment_chain(
     jinit,
     jsegs,
@@ -643,6 +677,8 @@ def run_segment_chain(
     on_segment=None,
     flops_per_step=None,
     warm_compile=True,
+    jsegs_early=None,
+    switch_step=0,
 ):
     """Warm-compile then chain jitted segment executions.
 
@@ -666,14 +702,22 @@ def run_segment_chain(
         # AOT lower().compile() here would re-trace + re-compile
         for f in jsegs.values():
             f.lower(carry0, *seg_args, jnp.int32(0)).compile()
+        for f in (jsegs_early or {}).values():
+            f.lower(carry0, *seg_args, jnp.int32(0)).compile()
 
     t0 = time.perf_counter()
     carry = carry0
     chunks = []
     start = start0
     while start < n:
-        length = min(seg, n - start)
-        carry, m = jsegs[length](carry, *seg_args, jnp.int32(start))
+        # precision annealing (TrainConfig.matmul_precision_early): the
+        # early program runs [start0, switch_step), the main program the
+        # rest; segment lengths never straddle the switch
+        early = jsegs_early is not None and start < switch_step
+        limit = switch_step if early else n
+        length = min(seg, limit - start)
+        fns = jsegs_early if early else jsegs
+        carry, m = fns[length](carry, *seg_args, jnp.int32(start))
         chunks.append(m)
         start += length
         if on_segment is not None and on_segment(carry, start):
@@ -801,6 +845,14 @@ def fit(
             checkpoint_path, resume_from, watch, init_params, stop_psnr,
         )
 
+    if getattr(train_cfg, "matmul_precision_early", None):
+        # precision annealing switches programs mid-chain — always the
+        # segmented driver (the switch lands on a segment boundary)
+        return _fit_segmented(
+            key, mdef, mcfg, grid, img, train_cfg, optim_cfg, masking_cfg,
+            None, None, None, init_params, program_cache=program_cache,
+        )
+
     if n <= seg:
         if program_cache is not None and "monolithic" in program_cache:
             compiled, fps = program_cache["monolithic"]
@@ -849,16 +901,38 @@ def _fit_segmented(
     sparse = masking_cfg is not None and not masking_cfg.dense
     n = train_cfg.num_steps
     seg = max(1, train_cfg.segment_steps)
+    # precision annealing (TrainConfig.matmul_precision_early): early
+    # steps run a segment program traced at the cheaper pass precision;
+    # the switch is rounded to a segment boundary
+    early_prec, switch_step, plan_main, plan_early = (
+        plan_precision_schedule(train_cfg, n, seg)
+    )
+
     cached = program_cache is not None and "segmented" in program_cache
     if cached:
-        jinit, _jseg_cached, _fps_cached = program_cache["segmented"]
+        (jinit, _jseg_cached, _fps_cached,
+         _jseg_early_cached, _switch_cached) = program_cache["segmented"]
+        if _switch_cached != switch_step:
+            raise ValueError(
+                "program_cache was built for a different precision-"
+                f"schedule switch ({_switch_cached} vs {switch_step}) — "
+                "pass identical arguments on every cached fit() call"
+            )
         init_fn = segment_fn = None
     else:
         init_fn, segment_fn = make_fit_segments(
             mdef, mcfg, grid, train_cfg, optim_cfg, masking_cfg, init_params
         )
         jinit = jax.jit(init_fn)
-    lengths = set()
+        segment_fn_early = None
+        if early_prec:
+            import dataclasses as _dc
+
+            _, segment_fn_early = make_fit_segments(
+                mdef, mcfg, grid,
+                _dc.replace(train_cfg, matmul_precision=early_prec),
+                optim_cfg, masking_cfg, init_params,
+            )
     start_probe = 0
     if resume_from is not None:
         from implicit_image_tpu.training.checkpoint import load_checkpoint
@@ -870,13 +944,12 @@ def _fit_segmented(
                 f"checkpoint is at step {start_probe} >= num_steps {n}; "
                 "nothing to resume"
             )
-    s = start_probe
-    while s < n:
-        lengths.add(min(seg, n - s))
-        s += min(seg, n - s)
+    lengths, lengths_early = plan_main, plan_early
     if cached:
-        jseg = _jseg_cached
-        if not set(lengths or {min(seg, n)}) <= set(jseg):
+        jseg, jseg_early = _jseg_cached, _jseg_early_cached
+        if not set(lengths) <= set(jseg) or not (
+            lengths_early <= set(jseg_early or {})
+        ):
             raise ValueError(
                 "program_cache was built for different segment lengths "
                 f"({sorted(jseg)}) than this call needs "
@@ -886,8 +959,18 @@ def _fit_segmented(
     else:
         jseg = {
             length: jax.jit(functools.partial(segment_fn, length=length))
-            for length in (lengths or {min(seg, n)})
+            for length in lengths
         }
+        jseg_early = (
+            {
+                length: jax.jit(
+                    functools.partial(segment_fn_early, length=length)
+                )
+                for length in lengths_early
+            }
+            if early_prec
+            else None
+        )
 
     carry_override = None
     start0 = 0
@@ -972,12 +1055,15 @@ def _fit_segmented(
     else:
         fps = estimate_step_flops(init_fn, segment_fn, (key, img), (img,))
         if program_cache is not None:
-            program_cache["segmented"] = (jinit, jseg, fps)
+            program_cache["segmented"] = (
+                jinit, jseg, fps, jseg_early, switch_step
+            )
     carry, metrics, wall, flops = run_segment_chain(
         jinit, jseg, (key, img), (img,), n, seg,
         start0=start0, carry_override=carry_override, on_segment=on_segment,
         flops_per_step=fps,
         warm_compile=not cached,
+        jsegs_early=jseg_early, switch_step=switch_step,
     )
     params, opt_state, mask_state = carry[0], carry[1], carry[2]
     return FitResult(

@@ -354,6 +354,11 @@ def test_bench_always_prints_json_line(monkeypatch, capsys, tmp_path):
         raise RuntimeError("protocol exploded")
 
     monkeypatch.setattr(time_to_quality, "full_protocol", boom)
+    # the in-run batched arm (r5) must soft-fail the same way — and on
+    # CPU a real B=64 x 2000-step batched_fit would run for hours
+    from implicit_image_tpu.parallel import batched as batched_mod
+
+    monkeypatch.setattr(batched_mod, "batched_fit", boom)
     # tiny shapes + tiny last-resort fit so the fallback is fast on CPU
     import importlib
 

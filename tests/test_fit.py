@@ -402,3 +402,87 @@ def test_matmul_precision_reaches_chunked_loss():
                      _dummy_mask_state(params), jax.random.PRNGKey(1), ())
             jaxpr = str(jax.make_jaxpr(step)(carry, jnp.int32(0)))
             assert ("Precision.HIGH" in jaxpr) == expect, (chunks, prec)
+
+
+def test_precision_schedule_bit_exact_on_cpu():
+    """Precision annealing (train.matmul_precision_early): on CPU every
+    pass precision lowers to the same f32 math, so a scheduled fit must
+    be BIT-EXACT to the plain fit with the same key — this pins the
+    two-program chain wiring (boundary-aligned switch, global step
+    indices, metrics concat) independent of numerics."""
+    img = synthetic_image(24, 24, seed=0)
+    grid = get_grid(24, 24)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+
+    base = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+               TrainConfig(num_steps=12, log_steps=4, segment_steps=4),
+               OptimConfig())
+    sched = fit(jax.random.PRNGKey(0), mdef, mcfg, grid, img,
+                TrainConfig(num_steps=12, log_steps=4, segment_steps=4,
+                            matmul_precision="tensorfloat32",
+                            matmul_precision_early="bfloat16",
+                            matmul_precision_switch=0.5),
+                OptimConfig())
+    for la, lb in zip(base.params, sched.params):
+        for k in la:
+            np.testing.assert_array_equal(np.asarray(la[k]),
+                                          np.asarray(lb[k]))
+    np.testing.assert_array_equal(
+        np.asarray(base.metrics["loss"]), np.asarray(sched.metrics["loss"]))
+
+
+def test_precision_schedule_plan():
+    """plan_precision_schedule: boundary-aligned switch, correct phase
+    length sets, no-op collapse at switch 0."""
+    from implicit_image_tpu.training.fit import plan_precision_schedule
+
+    cfg = TrainConfig(num_steps=2000, log_steps=100,
+                      matmul_precision="tensorfloat32",
+                      matmul_precision_early="bfloat16",
+                      matmul_precision_switch=0.75)
+    ep, sw, main, early = plan_precision_schedule(cfg, 2000, 500)
+    assert ep == "bfloat16" and sw == 1500
+    assert early == {500} and main == {500}
+
+    # non-divisible: 1300 steps, seg 500 -> switch rounds to 1000
+    ep, sw, main, early = plan_precision_schedule(cfg, 1300, 500)
+    assert sw == 1000 and early == {500} and main == {300}
+
+    # fraction that rounds to zero collapses the schedule
+    cfg0 = TrainConfig(num_steps=100, log_steps=10,
+                       matmul_precision_early="bfloat16",
+                       matmul_precision_switch=0.001)
+    ep, sw, main, early = plan_precision_schedule(cfg0, 100, 100)
+    assert ep is None and sw == 0 and early == set() and main == {100}
+
+    # no schedule configured
+    ep, sw, main, early = plan_precision_schedule(
+        TrainConfig(num_steps=10, log_steps=5), 10, 100)
+    assert ep is None and main == {10}
+
+
+def test_precision_schedule_jaxpr_switches_programs():
+    """The early and late segment programs really differ in dot
+    precision (Precision.HIGH appears only in the late program when the
+    schedule is bf16 -> tensorfloat32)."""
+    from implicit_image_tpu.training.fit import make_fit_segments
+    import dataclasses as dc
+    import functools
+
+    img = synthetic_image(16, 16, seed=0)
+    grid = get_grid(16, 16)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=16)
+    tcfg = TrainConfig(num_steps=8, log_steps=4, segment_steps=4,
+                       matmul_precision="tensorfloat32")
+    init_fn, seg_late = make_fit_segments(mdef, mcfg, grid, tcfg,
+                                          OptimConfig())
+    _, seg_early = make_fit_segments(
+        mdef, mcfg, grid, dc.replace(tcfg, matmul_precision="bfloat16"),
+        OptimConfig())
+    carry = init_fn(jax.random.PRNGKey(0), jnp.asarray(img))
+    late_j = str(jax.make_jaxpr(
+        functools.partial(seg_late, length=4))(carry, jnp.asarray(img), 0))
+    early_j = str(jax.make_jaxpr(
+        functools.partial(seg_early, length=4))(carry, jnp.asarray(img), 0))
+    assert "Precision.HIGH" in late_j
+    assert "Precision.HIGH" not in early_j

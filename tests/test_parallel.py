@@ -500,3 +500,27 @@ def test_parse_ladder_cli_axes():
         parse_ladder_cli(["masking=RigL", "masking.final_density=0.2,0.6"])
     with pytest.raises(ValueError, match="not the ladder axis"):
         parse_ladder_cli(["masking=Pruning", "masking.density=0.1,0.5"])
+
+
+def test_batched_fit_precision_schedule_matches_single():
+    """Precision annealing through batched_fit == the single scheduled
+    fit (CPU: precisions are numerically no-ops, so this pins the
+    vmapped two-program chain wiring)."""
+    grid = get_grid(16, 16)
+    imgs = _imgs(3)
+    mdef, mcfg = build_model("siren", depth=3, hidden_size=8)
+    tc = TrainConfig(num_steps=40, log_steps=20, segment_steps=30,
+                     matmul_precision="tensorfloat32",
+                     matmul_precision_early="bfloat16",
+                     matmul_precision_switch=0.5)
+    oc = OptimConfig(lr=1e-3)
+    key = jax.random.PRNGKey(7)
+
+    res = batched_fit(key, mdef, mcfg, grid, imgs, tc, oc)
+    keys = jax.random.split(key, 3)
+    single = fit(keys[1], mdef, mcfg, grid, imgs[1], tc, oc)
+    np.testing.assert_allclose(
+        np.asarray(res.params[0]["w"][1]),
+        np.asarray(single.params[0]["w"]),
+        rtol=2e-5, atol=1e-6,
+    )
