@@ -222,17 +222,23 @@ def ladder_compress(
     params_q, codebooks_b, qpsnr = res.params, None, None
     if quant_cfg is not None and quant_cfg.name != "none":
         masks = res.mask_state.masks
+        # quant.row_stride: finetune every member's codebooks against the
+        # row-subsampled target (encoder-side only; decoded PSNR below is
+        # always the full image — QuantConfig.row_stride)
+        stride = int(getattr(quant_cfg, "row_stride", 1))
+        q_grid = grid[::stride] if stride > 1 else grid
+        q_img = img[::stride] if stride > 1 else img
 
         def qfit(params, masks_i):
             fn = make_quant_fit_fn(
-                mdef, mcfg, grid, quant_cfg, optim_cfg, masks_i,
+                mdef, mcfg, q_grid, quant_cfg, optim_cfg, masks_i,
                 offset_params=(
                     init_params if delta_info is not None else None
                 ),
                 matmul_precision=getattr(
                     train_cfg, "matmul_precision", None),
             )
-            return fn(params, img)
+            return fn(params, q_img)
 
         qfn = jax.vmap(qfit, in_axes=(0, 0))
         if mesh is not None:
@@ -347,6 +353,7 @@ def build_ladder_args(cfg) -> dict:
             qscheme=str(quant_raw.get("qscheme", "per_channel")),
             lr=(float(quant_raw["lr"])
                 if quant_raw.get("lr") is not None else None),
+            row_stride=int(quant_raw.get("row_stride", 1)),
             skip_layers=(
                 tuple(int(i) for i in quant_raw["skip_layers"])
                 if quant_raw.get("skip_layers") is not None

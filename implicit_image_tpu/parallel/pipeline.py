@@ -212,9 +212,16 @@ def batched_compress(
         # make_quant_fit_fn closes over them — rebuild the closure under
         # the vmap trace so each member sees its own mask slice (the
         # shared delta offsets ride the closure unbatched)
+        # quant.row_stride: every lane finetunes against the row-
+        # subsampled target (encoder-side only; the coded container and
+        # decoded PSNR stay full-resolution — QuantConfig.row_stride)
+        stride = int(getattr(quant_cfg, "row_stride", 1))
+        q_grid = grid[::stride] if stride > 1 else grid
+        q_imgs = imgs[:, ::stride] if stride > 1 else imgs
+
         def qfit(params, img, masks_i):
             fn = make_quant_fit_fn(
-                mdef, mcfg, grid, quant_cfg, optim_cfg, masks_i,
+                mdef, mcfg, q_grid, quant_cfg, optim_cfg, masks_i,
                 offset_params=(
                     init_params if delta_info is not None else None
                 ),
@@ -233,7 +240,7 @@ def batched_compress(
             )
         else:
             qfn = jax.jit(qfn)
-        params_q, codebooks_b, qmetrics = qfn(res.params, imgs, masks)
+        params_q, codebooks_b, qmetrics = qfn(res.params, q_imgs, masks)
         qpsnr = np.asarray(qmetrics["quant_psnr"])
 
     # per-image host-side coding on the gathered results

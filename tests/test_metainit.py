@@ -315,7 +315,10 @@ def test_init_path_auto_through_compress(tmp_path, monkeypatch, caplog):
     meta_dir = tmp_path / "meta"
     meta_dir.mkdir()
     path = meta_dir / "tiny.npz"
-    save_meta_init(path, params, mdef.name, mcfg)
+    # basins are precision-specific: the artifact must match the run's
+    # matmul_precision, which defaults to tensorfloat32 since r5
+    save_meta_init(path, params, mdef.name, mcfg,
+                   matmul_precision="tensorfloat32")
     monkeypatch.setattr(metainit, "default_meta_dir", lambda: meta_dir)
 
     base = [
