@@ -69,8 +69,26 @@ def pack_run(
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED) as z:
         for name in MEMBERS:
             info = zipfile.ZipInfo(name, date_time=_EPOCH)
-            z.writestr(info, (run_dir / name).read_bytes())
+            z.writestr(info, (run_dir / name).read_bytes(),
+                       compress_type=_member_compression(name),
+                       compresslevel=9)
     return out_path
+
+
+def _member_compression(name: str) -> int:
+    """Deflate the JSON manifests, store the entropy-coded payload.
+
+    The 48-frame `.iiv` measurement (BASELINE.md "Sequence at clip
+    scale") showed the container overhead was PER-FRAME JSON, not
+    amortizing: meta_data/config/summary.json were ~318 KB of a 351 KB
+    overhead. Deflate level 9 is deterministic for a given zlib, so
+    identical runs still pack to identical bytes; readers are untouched
+    (zipfile decompresses members transparently, and pre-r5 all-stored
+    archives remain readable)."""
+    return (
+        zipfile.ZIP_DEFLATED if name.endswith(".json")
+        else zipfile.ZIP_STORED
+    )
 
 
 def is_packed_container(path: Union[str, Path]) -> bool:
@@ -159,7 +177,8 @@ def pack_sequence(
     )
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED) as z:
         info = zipfile.ZipInfo(_SEQ_INDEX, date_time=_EPOCH)
-        z.writestr(info, json.dumps(index, indent=2, sort_keys=True))
+        z.writestr(info, json.dumps(index, indent=2, sort_keys=True),
+                   compress_type=zipfile.ZIP_DEFLATED, compresslevel=9)
         for fr in index["frames"]:
             for name in _FRAME_MEMBERS:
                 src = seq_root / fr["name"] / name
@@ -171,7 +190,9 @@ def pack_sequence(
                 member = zipfile.ZipInfo(
                     f"{fr['name']}/{name}", date_time=_EPOCH
                 )
-                z.writestr(member, src.read_bytes())
+                z.writestr(member, src.read_bytes(),
+                           compress_type=_member_compression(name),
+                           compresslevel=9)
     return out_path
 
 

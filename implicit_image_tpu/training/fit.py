@@ -110,8 +110,8 @@ class TrainConfig:
     # (measured slightly BETTER converged quality: protocol SIREN
     # 59.21 dB @ 15.3 s vs 58.46 @ 24.6 s all-tf32) because only the
     # converged basin needs the extra passes. None = no schedule
-    # (every step at matmul_precision). The switch lands on a segment
-    # boundary (train.segment_steps granularity).
+    # (every step at matmul_precision). The switch is an exact step
+    # index (round(num_steps * switch)); segments are planned around it.
     matmul_precision_early: Optional[str] = None
     matmul_precision_switch: float = 0.75
 
@@ -650,7 +650,11 @@ def plan_precision_schedule(train_cfg, n: int, seg: int):
     switch_step = 0
     if early_prec:
         frac = float(getattr(train_cfg, "matmul_precision_switch", 0.75))
-        switch_step = max(0, min(n, int(round(n * frac / seg)) * seg))
+        # the switch is an exact step index (NOT segment-aligned): the
+        # chain below plans a shorter early/main remainder segment on
+        # each side, so e.g. a 1200-step fit under a 2000-step segment
+        # budget still switches at step 900
+        switch_step = max(0, min(n, int(round(n * frac))))
         if switch_step == 0:
             early_prec = None
     main, early = set(), set()

@@ -50,6 +50,11 @@ def gather(outputs_root="outputs"):
     table = defaultdict(list)
     dense_psnr = None
     for run in collect_runs(outputs_root, require=["PSNR"]):
+        # SIREN-protocol study only — a wavelet_siren RigL point in the
+        # store must not masquerade as a study row
+        mlp = (run.get("config") or {}).get("mlp") or {}
+        if mlp.get("name", "siren") != "siren":
+            continue
         psnr = float(run.get("Quant PSNR", run["PSNR"]))
         method, density = _classify(run)
         if method == "none":

@@ -444,9 +444,14 @@ def test_precision_schedule_plan():
     assert ep == "bfloat16" and sw == 1500
     assert early == {500} and main == {500}
 
-    # non-divisible: 1300 steps, seg 500 -> switch rounds to 1000
+    # exact-step switch, NOT segment-aligned: 1300 steps, seg 500 ->
+    # switch at 975 (early 500+475, main 325)
     ep, sw, main, early = plan_precision_schedule(cfg, 1300, 500)
-    assert sw == 1000 and early == {500} and main == {300}
+    assert sw == 975 and early == {500, 475} and main == {325}
+
+    # switch inside a single-segment budget (the b1200 flagship case)
+    ep, sw, main, early = plan_precision_schedule(cfg, 1200, 2000)
+    assert sw == 900 and early == {900} and main == {300}
 
     # fraction that rounds to zero collapses the schedule
     cfg0 = TrainConfig(num_steps=100, log_steps=10,

@@ -27,6 +27,11 @@ def gather_full(outputs_root="outputs"):
     table = defaultdict(dict)
     dense = None
     for run in collect_runs(outputs_root, require=["PSNR"]):
+        # the study is the SIREN protocol — a wavelet_siren RigL run in
+        # the store must not masquerade as a SIREN study row
+        mlp = (run.get("config") or {}).get("mlp") or {}
+        if mlp.get("name", "siren") != "siren":
+            continue
         psnr = run.get("Decoded PSNR", run.get("Quant PSNR", run["PSNR"]))
         nbytes = run.get("Compressed Bytes")
         method, density = _classify(run)
