@@ -18,12 +18,20 @@ RUN on the same chip:
     init (assets/meta/coordx_s5w96_512_tf32.npz — REPTILE over non-eval
     synthetic seeds UNDER tf32, training/metainit.py; zero bitstream
     cost) with DELTA residual quantization against the same artifact
-    (quant.delta), kmeans-8 + `auto` entropy coding. Measured ~4 s total
-    at 59.03 dB @ 80.1 KB vs the tf32 bar — +0.57 dB at −19.6% rate
-    (BASELINE.md "Matmul pass precision"). Falls back to warm absolute
-    coding, then to the cold tf32 b3000 flagship (61.47 dB @ 89.9 KB,
-    12.8 s), if the artifact is missing or a candidate misses the bar
-    in-run.
+    (quant.delta), kmeans-8 finetune against every 4th row
+    (quant.row_stride=4 — R-D neutral, half the finetune wall) + `auto`
+    entropy coding, all programs reused across repeats via
+    full_protocol's program_cache (steady-state walls — BENCH_r04's
+    quant stage was overcounting ~0.8 s/repeat of first-execution
+    warm-up). Measured r5: 59.02 dB @ 80,085 B, steady walls
+    3.7-4.6 s (median straddles 10x with tunnel decode-readback
+    jitter; BASELINE.md "Quant-phase breakdown"). Falls back to warm
+    absolute coding, then to the cold tf32 b3000 flagship, if the
+    artifact is missing or a candidate misses the bar in-run. The
+    PRECISION SCHEDULE (train.matmul_precision_early) is deliberately
+    NOT used here: it wins for cold fits but walks a warm start out of
+    its basin (measured -0.2..-1.3 dB, BASELINE.md "Precision
+    schedule"); the cold batched arm below DOES use it.
 
 vs_baseline divides the documented 40 s RTX 2080 Ti estimate for the
 reference's 2000-step fit ALONE (fit-only, i.e. conservative: the
@@ -174,11 +182,18 @@ def main() -> None:
         img_batch = np.stack(
             [synthetic_image(bside, bside, seed=s) for s in range(bn)]
         )
+        # cold fleet fits take the precision SCHEDULE (1-pass early
+        # steps, tf32 tail): measured DOMINANT for cold fits at batch
+        # scale — 3.934 s/fit at 57.22 dB mean vs 4.671 s at 55.49 pure
+        # tf32 (BASELINE.md "Precision schedule"; warm starts must NOT
+        # use it, see the flagship A/B negative there)
         bres = batched_fit(
             jax.random.PRNGKey(0), b_def, b_cfg, get_grid(bside, bside),
             img_batch,
             TrainConfig(num_steps=bsteps, log_steps=bsteps, pixel_chunks=8,
-                        matmul_precision=PRECISION),
+                        matmul_precision=PRECISION,
+                        matmul_precision_early="bfloat16",
+                        matmul_precision_switch=0.75),
             OptimConfig(),
         )
         bpsnr = np.asarray(bres.metrics["psnr"])[:, -1]
