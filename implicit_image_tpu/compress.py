@@ -329,14 +329,16 @@ def main(
         )
 
         if num_steps > WARM_BUDGET_MAX_STEPS:
-            # known-bad regime guard: warm saturates below the cold
-            # asymptote past ~b1200 (BASELINE.md) — honor the explicit
-            # config but say so loudly; init_path=auto picks cold here
+            # regime guard: past the largest MEASURED warm win (r5
+            # raised it to 3000 after the tf32 re-measurement killed the
+            # bf16-era ~b1200 saturation; metainit.py) — honor the
+            # explicit config but say so loudly; init_path=auto picks
+            # cold here
             log.warning(
                 "fit: explicit warm start at %d steps is past the "
-                "measured warm-win regime (~%d); expect LOWER decoded "
-                "quality than a cold start — use train.init_path=auto "
-                "for budget-aware arbitration", num_steps,
+                "measured warm-win regime (<= %d); beyond it is "
+                "unmeasured — use train.init_path=auto for budget-aware "
+                "arbitration", num_steps,
                 WARM_BUDGET_MAX_STEPS,
             )
         fit_kwargs["init_params"] = load_meta_init(

@@ -56,11 +56,16 @@ __all__ = [
     "WARM_BUDGET_MAX_STEPS",
 ]
 
-# BASELINE.md "Meta-learned initialization": warm starts SATURATE — the
-# warm trajectory's asymptote sits below the cold one, so past ~1200
-# effective steps cold wins decoded quality. `train.init_path=auto` picks
-# the warm artifact only inside the measured-win regime.
-WARM_BUDGET_MAX_STEPS = 1200
+# The measured warm-win budget regime. Under the bf16-era recipe warm
+# starts SATURATED past ~1200 effective steps (BASELINE.md "Meta-learned
+# initialization"); the round-5 tf32 re-measurement found NO saturation
+# in-distribution through b3000 — warm+delta beats cold on BOTH axes at
+# b2000 (flower +2.57 dB / −10.5% bytes, big_building +2.31 / −8.2%)
+# and b3000 (flower 62.85 @ 80.7 KB vs cold 61.47 @ 89.9 KB). The gate
+# is set at the largest MEASURED win; beyond it is unmeasured, not
+# known-bad. (The content-axis caveat in resolve_auto_init is
+# independent of this budget gate.)
+WARM_BUDGET_MAX_STEPS = 3000
 
 # evaluation images (bench.py / benchmarks/time_to_quality.py) — the meta
 # pool must never contain them
@@ -337,14 +342,24 @@ def resolve_auto_init(model_name: str, mcfg, num_steps: int, meta_dir=None,
         architecture (load_meta_init's model+mcfg validation).
     Otherwise (None, None, why) — the fit cold-starts, and the reason is
     logged so a user can see WHY auto declined the warm arm.
+
+    Content-axis caveat (round 5, measured): the budget gate is
+    necessary but NOT sufficient off-distribution. Under the tf32
+    recipe the cold arm recovers its full strength on far-OOD
+    structured content and the warm basin can CAP the fit — measured
+    −5.1 dB on text-like glyphs at b1000 (the bf16-era "+4.8 dB warm
+    win" there was an era artifact; BASELINE.md "OOD stress A/B —
+    round-5"). For corpora far from the meta pool's statistics, prefer
+    cold or A/B per corpus; auto cannot detect content cheaply and
+    does not try.
     """
     from pathlib import Path
 
     if num_steps > WARM_BUDGET_MAX_STEPS:
         return None, None, (
             f"budget {num_steps} steps > warm-win regime "
-            f"(~{WARM_BUDGET_MAX_STEPS}); warm starts saturate below the "
-            "cold asymptote there (BASELINE.md), cold-starting"
+            f"(<= {WARM_BUDGET_MAX_STEPS}, the largest measured warm "
+            "win — beyond it is unmeasured; BASELINE.md), cold-starting"
         )
     root = Path(meta_dir) if meta_dir is not None else default_meta_dir()
     if not root.is_dir():

@@ -293,11 +293,13 @@ def test_resolve_auto_init_arbitration(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(p[0]["w"]),
                                   np.asarray(params[0]["w"]))
 
-    # past the saturation budget -> cold even though the artifact matches
+    # past the measured warm-win budget -> cold even though the
+    # artifact matches (the regime cap is the largest MEASURED win —
+    # r5 raised it to 3000 after the tf32 re-measurement)
     p, path, why = resolve_auto_init(
         mdef.name, mcfg, WARM_BUDGET_MAX_STEPS + 1, meta_dir=meta_dir
     )
-    assert p is None and "saturate" in why
+    assert p is None and "warm-win regime" in why
 
 
 def test_init_path_auto_through_compress(tmp_path, monkeypatch, caplog):
@@ -342,8 +344,8 @@ def test_init_path_auto_through_compress(tmp_path, monkeypatch, caplog):
     caplog.clear()
     with caplog.at_level(logging.INFO, logger="implicit_image_tpu"):
         psnr_auto_big, _ = compress_main(compose(
-            base + ["train.init_path=auto", "train.num_steps=1301",
-                    "train.log_steps=1301", f"output_dir={tmp_path}/autobig"]
+            base + ["train.init_path=auto", "train.num_steps=3001",
+                    "train.log_steps=3001", f"output_dir={tmp_path}/autobig"]
         ))
     assert any("auto -> cold" in r.message for r in caplog.records)
 
@@ -351,8 +353,8 @@ def test_init_path_auto_through_compress(tmp_path, monkeypatch, caplog):
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger="implicit_image_tpu"):
         compress_main(compose(
-            base + [f"train.init_path={path}", "train.num_steps=1301",
-                    "train.log_steps=1301", f"output_dir={tmp_path}/expbig"]
+            base + [f"train.init_path={path}", "train.num_steps=3001",
+                    "train.log_steps=3001", f"output_dir={tmp_path}/expbig"]
         ))
     assert any("warm-win regime" in r.message for r in caplog.records)
 
