@@ -257,7 +257,21 @@ def main() -> None:
         # flagship measurement and the lead metric below says the bar is
         # unmeasured
         if flag is not None and ref is not None and not meets_bar(flag):
-            print("[bench] warm flagship missed the bar; trying cold",
+            print("[bench] warm flagship missed the bar; trying warm "
+                  "b3000", file=sys.stderr)
+            flag = None
+        if flag is None:
+            # larger warm budget: the r5 re-measurement killed the
+            # bf16-era warm saturation — warm+delta b3000 beats cold
+            # b3000 on BOTH axes on every stand-in (flower 62.85 @
+            # 80.7 KB in 8.4 s; BASELINE.md meta-init r5 update)
+            flag, flag_walls = run_flagship(
+                "coordx_s5w96_d085_b3000_warm_delta_tf32", 3000,
+                meta_params, delta_info,
+            )
+            flagship_tag = "warm_delta_b3000_tf32"
+        if flag is not None and ref is not None and not meets_bar(flag):
+            print("[bench] warm b3000 missed the bar; trying cold",
                   file=sys.stderr)
             flag = None
     if flag is None:
