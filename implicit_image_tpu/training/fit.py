@@ -645,7 +645,8 @@ def plan_precision_schedule(train_cfg, n: int, seg: int):
     """(early_prec, switch_step, main_lengths, early_lengths) for a
     precision-annealed chain from step 0 (TrainConfig
     .matmul_precision_early) — shared by fit/batched_fit/ladder_fit so
-    every driver implements the same boundary-aligned switch."""
+    every driver plans the same exact-step switch (segment lengths are
+    planned around it; they never straddle the switch)."""
     early_prec = getattr(train_cfg, "matmul_precision_early", None)
     switch_step = 0
     if early_prec:
